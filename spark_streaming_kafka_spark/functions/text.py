@@ -1,0 +1,174 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+fingerprinting, sentiment (SURVEY.md F9 + LLM-pipeline additions).
+
+Everything except sentiment is pure column algebra (JVM-side, codegen'd,
+zero shuffle — these run as a wide ``select`` over the corpus scan, so a
+100 TB pass is scan-bound, not compute-bound). Sentiment ships twice:
+
+- :func:`sentiment_expr` — lexicon sum as column algebra, used by the
+  oracle-checked query path.
+- :func:`sentiment_pandas_udf` — the Arrow-batched UDF form (F9;
+  reference used TextBlob/Afinn in driver pandas, ``lyric.ipynb#cell9``),
+  the shape you swap a real model into.
+
+The AFINN-style lexicon here is a tiny illustrative word list (written
+for this repo, not copied); mechanism, not lexicography, is the point.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .hashing import MERSENNE_P, poly_fingerprint
+
+# --- token counting -----------------------------------------------------
+
+#: BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+#: non-alphanumeric marks. Chosen to behave identically under Java regex
+#: (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (empties excluded)."""
+    return F.size(F.filter(F.split(text, " "), lambda x: x != ""))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the regex pre-tokenizer — a cheap,
+    deterministic proxy for BPE token budgeting at corpus scale."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# --- quality scoring ----------------------------------------------------
+
+#: Small English stopword list (shared with the DuckDB oracle).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features.
+
+    Returns named columns; compose with ``df.select(doc_id, **)`` or
+    :func:`quality_score` for the scalar score.
+    """
+    toks = F.filter(F.split(text, " "), lambda x: x != "")
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit("[^A-Za-z0-9 ]"), 0)
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": F.when(
+            n_tok > 0, (n_chars - (n_tok - F.lit(1))) / n_tok
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, some stopwords
+    (English-fluency proxy), not punctuation-soup. Deliberately simple
+    and fully SQL-portable; swap for a model scorer via pandas_udf when
+    quality budgets justify GPU/model inference."""
+    ft = quality_features(text)
+    len_ok = F.least(ft["n_tokens"] / F.lit(50.0), F.lit(1.0))
+    stop_ok = F.least(ft["stopword_ratio"] / F.lit(0.2), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(ft["punct_ratio"] * F.lit(5.0), F.lit(1.0))
+    return (len_ok + stop_ok + punct_ok) / F.lit(3.0)
+
+
+# --- language identification -------------------------------------------
+
+#: Marker tokens per language — heuristic n-gram/stopword language ID.
+#: Real deployments plug fastText/CLD3-scale marker tables into the SAME
+#: scoring shape (scores stay column algebra; argmax stays greatest()).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over lowercased tokens."""
+    toks = F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def langid(text: Column, default: str = "und") -> Column:
+    """Predicted language = argmax marker score, ties → first language in
+    LANG_MARKERS order, zero hits → ``default``."""
+    scores = langid_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit(default)
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit(default))
+
+
+# --- document fingerprint ----------------------------------------------
+
+def doc_fingerprint(text: Column, p: int = MERSENNE_P) -> Column:
+    """Order-sensitive rolling document fingerprint (see
+    functions/hashing.py — position-weighted md5 polynomial mod p)."""
+    toks = F.filter(F.split(text, " "), lambda x: x != "")
+    return poly_fingerprint(toks, p)
+
+
+# --- sentiment (F9) -----------------------------------------------------
+
+#: Minimal valence lexicon (AFINN-shaped: word → integer −5..5).
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 3, "great": 4, "love": 4, "happy": 3, "best": 4, "fast": 1,
+    "win": 3, "nice": 2, "like": 2, "joy": 3,
+    "bad": -3, "hate": -4, "sad": -3, "worst": -4, "slow": -1,
+    "lose": -3, "awful": -4, "pain": -2, "angry": -3, "fail": -3,
+}
+
+
+def sentiment_expr(text: Column) -> Column:
+    """Lexicon-sum sentiment as pure column algebra (oracle-portable):
+    Σ lexicon[token] over lowercased whitespace tokens."""
+    toks = F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+    score = F.lit(0)
+    mapped = F.transform(
+        toks,
+        lambda t: F.coalesce(
+            *[F.when(t == F.lit(w), F.lit(v)) for w, v in SENTIMENT_LEXICON.items()],
+            F.lit(0),
+        ),
+    )
+    score = F.aggregate(mapped, F.lit(0), lambda acc, x: acc + x)
+    return score.cast("long")
+
+
+@pandas_udf("double")
+def sentiment_pandas_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched sentiment UDF (F9). Same lexicon sum, computed in
+    pandas per batch — the slot where TextBlob/Afinn/a transformer model
+    would plug in. Keep model loading at module scope (once per worker),
+    never per batch."""
+    lex = SENTIMENT_LEXICON
+
+    def score(t: str | None) -> float:
+        if not t:
+            return 0.0
+        return float(sum(lex.get(w, 0) for w in t.lower().split()))
+
+    return texts.map(score)

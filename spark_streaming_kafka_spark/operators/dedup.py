@@ -1,0 +1,382 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five escalating strategies over a ``documents(doc_id, text, ...)`` table:
+
+- :func:`exact_dedup` — byte-identical texts via hash groupBy.
+- :func:`ngram_jaccard_pairs` — exact word-shingle Jaccard via inverted
+  index self-join (the ground truth the approximate methods target).
+- :func:`minhash_lsh_pairs` — MinHash signatures + LSH banding; the
+  standard sub-quadratic near-dup path (GPL-free, from the classic
+  Broder construction).
+- :func:`simhash_pairs` — 60-bit SimHash fingerprints + chunk banding
+  with *guaranteed* recall for hamming radius ≤ bands-1 (pigeonhole).
+- :func:`embedding_near_dup_pairs` — cosine threshold over embedding
+  vectors (semantic near-dup).
+
+All hashing uses the engine-portable ``md5_long`` (functions/hashing.py)
+so the DuckDB oracle reproduces results exactly; swap ``fast=True`` →
+``xxhash64`` in production where no external verifier must agree.
+
+Scale analysis (the reason each exists):
+  exact       O(n) + one shuffle on text-hash.
+  jaccard     Σ_shingle df² join rows — quadratic in doc-frequency of
+              common shingles; only viable with stop-shingle pruning
+              (``max_df``) or as a verifier on candidate pairs.
+  minhash     O(n·perms) signature pass (narrow shuffle of n·bands
+              band-key rows), candidates ≈ true pairs ⇒ near-linear.
+  simhash     O(n) fingerprint (pure column algebra, zero shuffle), then
+              bands·n bucket rows.
+  embedding   pairwise is O(n²)·d — cap with LSH/IVF bucketing
+              (operators/similarity.py) beyond ~10⁵ docs per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, md5_long
+from ..functions.vectors import cosine_similarity
+
+# Deterministic universal-hash parameters for MinHash permutations,
+# generated once from a fixed seed (no runtime randomness ⇒ resumable,
+# oracle-reproducible). (a, b) pairs for h_i(x) = (a_i·x + b_i) mod P.
+_MINHASH_SEED = 42
+
+
+def minhash_params(num_perm: int, seed: int = _MINHASH_SEED) -> list[tuple[int, int]]:
+    """LCG-derived (a, b) pairs — avoids `random` so the exact constants
+    are trivially re-derivable in SQL/docs. a ∈ [1, P-1], b ∈ [0, P-1]."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (1103515245 * state + 12345) % (2**31)
+        a = state % (MERSENNE_P - 1) + 1
+        state = (1103515245 * state + 12345) % (2**31)
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def tokenize(text: Column, lowercase: bool = False) -> Column:
+    """Whitespace tokens, empties dropped."""
+    t = F.lower(text) if lowercase else text
+    return F.filter(F.split(t, " "), lambda x: x != "")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column — pure column algebra
+    (no explode): slide over the token array with ``transform`` +
+    ``slice`` and join each window with spaces."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    # Guard: sequence(1, 0) would DESCEND in Spark, so short docs get an
+    # explicitly empty index array (→ zero shingles), matching the oracle.
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: one row per distinct text with
+    the canonical (minimum) id and the duplicate count.
+
+    Hash-groupBy on md5(text): the shuffle carries (hash, id) pairs —
+    never the document bodies — so it scales to 100 TB of text with a
+    ~n·24-byte shuffle.
+    """
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded inverted-index input; distinct per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (a < b, J ≥ threshold).
+
+    Inverted-index self-join: explode shingles, join on shingle, count
+    common shingles per pair, J = |∩| / (|A|+|B|−|∩|). ``max_df`` drops
+    shingles appearing in more than max_df docs before pairing —
+    mandatory at scale (a stop-shingle in 1M docs alone creates 10¹²
+    join rows); leave None only when an exact oracle must verify.
+    """
+    sh = doc_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")  # shuffle join keyed on shingle
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 32,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length num_perm.
+
+    Entirely per-row column algebra — the shingle set never leaves its
+    row, so this stage has ZERO shuffle and scales embarrassingly.
+    min over shingles of (aᵢ·(md5_long(s) mod P) + bᵢ) mod P.
+    """
+    params = minhash_params(num_perm)
+    sh = word_shingles(F.col(text_col), k)
+    hashed = F.transform(sh, lambda s: md5_long(s) % F.lit(MERSENNE_P))
+
+    def perm_min(a: int, b: int) -> Column:
+        # Closure factory: pyspark inspects lambda arity, so the (a, b)
+        # constants must be captured outside the lambda signature.
+        return F.array_min(
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
+        )
+
+    sig = F.array(*[perm_min(a, b) for (a, b) in params])
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Banding: num_perm/bands rows per band; docs sharing any band-slice
+    become candidates (groupBy band-key — the only shuffle, n·bands
+    narrow rows). ``verify=True`` re-checks candidates with exact
+    Jaccard on the shingle sets (array_intersect on the two rows'
+    arrays — candidate-count bounded, not corpus-quadratic), which
+    removes LSH false positives; false-negative rate is the standard
+    1-(1-s^r)^b curve (≈0 for s near 1).
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
+    bands_df = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("signature").getItem(i * rows + j) for j in range(rows)]
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    shs = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    sa = shs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+#: SimHash fingerprint width. 60 bits = what md5_long provides; plenty
+#: for near-dup at corpus scale (collision ≈ n²/2⁶⁰).
+SIMHASH_BITS = 60
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 60-bit SimHash over whitespace tokens (term frequency
+    weighted — repeated tokens vote repeatedly, per Charikar's scheme).
+
+    Pure per-row column algebra: hash each token once, then fold the
+    token-hash array into 60 bit-counters and re-assemble the sign bits.
+    Zero shuffle, whole-stage-codegen friendly.
+    """
+    toks = tokenize(F.col(text_col))
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+
+    def bit_votes(h: Column) -> Column:
+        # ±1 vote per bit; the bit masks are Python-side constants
+        # (shift amounts must be literals in the Column API).
+        return F.array(
+            *[
+                (
+                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                ).cast("long")
+                for i in range(SIMHASH_BITS)
+            ]
+        )
+
+    counters = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, d: a + d),
+    )
+    fp_terms = [
+        F.when(F.element_at(counters, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    fp = fp_terms[0]
+    for t in fp_terms[1:]:
+        fp = fp + t
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Bands the 60-bit fingerprint into ``bands`` chunks; by pigeonhole any
+    pair within hamming ≤ bands−1 shares at least one identical chunk, so
+    recall is exactly 1.0 for ``max_hamming ≤ bands−1`` (set bands ≥
+    max_hamming+1). Candidates then verified with bit_count(a XOR b).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("recall guarantee needs bands >= max_hamming + 1")
+    fps = simhash_fingerprints(docs, text_col, id_col)
+    chunk = SIMHASH_BITS // bands
+    bands_df = fps.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("fingerprint"), i * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fingerprint", "bk.band", "bk.key")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine ≥ threshold.
+
+    Exact all-pairs — O(n²)·d, fine to ~10⁴–10⁵ vectors. Beyond that,
+    bucket first with :func:`..operators.similarity.signature_buckets`
+    (random-hyperplane LSH) and run this inside buckets.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,802 @@
+"""Oracle-checked query registry.
+
+Every operator from SURVEY.md §2 that is SQL-expressible appears here as
+a named (spark_fn, duckdb_sql) pair over the driver testdata tables
+(TESTDATA.md). The driver runs both at sf0.01 and compares row count +
+schema + order-insensitive value hash, so each pair pins:
+
+- identical column NAMES and TYPES on both sides (aggregates aliased,
+  integer sums cast — DuckDB widens sum(BIGINT) to HUGEINT, counts stay
+  BIGINT, Spark ``size()`` is INT so token counts are cast to long);
+- deterministic content: every ranking carries a unique tiebreaker,
+  double outputs are rounded (float-fold associativity noise is ~1e-15,
+  rounding at 1e-6 absorbs it), no raw timestamps (epoch millis instead);
+- identical hashing via the portable md5-prefix integer hash
+  (functions/hashing.py) wherever MinHash/SimHash/fingerprints appear.
+
+Design note: these are *queries over the engine's operators* — each
+callable composes functions from ``operators/`` / ``functions/`` rather
+than inlining logic, so the oracle checks the same code paths the public
+API exposes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import MERSENNE_P, duckdb_md5_long
+from .functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    SENTIMENT_LEXICON,
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    langid,
+    quality_features,
+    quality_score,
+    sentiment_expr,
+    ws_token_count,
+)
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators.json_ops import extract_json_fields
+from .operators.percentile import group_quantiles, ntile_buckets, quantile_buckets
+from .operators.relational import (
+    anti_join,
+    counts_and_averages,
+    dedup_by_key,
+    distinct_pairs,
+    grouped_sum,
+    join_facts_to_dims,
+    semi_join,
+    top_k,
+    union_ratings,
+    word_count,
+)
+from .operators.windows import per_group_top_k
+from .schemas import EVENT_PROPS
+from .sources.readers import load_table
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+#: name → (spark_callable, duckdb_oracle_sql | None). Populated below.
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Relational core (SURVEY §2.2–2.7)
+# =====================================================================
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan+agg (A1/A3/A4 composite). Filter + all
+    aggregates evaluate in one codegen stage over the parquet scan;
+    map-side partial agg means the shuffle is 4 rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "counts_and_averages",
+    """
+    SELECT l_partkey AS song_id, count(*) AS n_ratings,
+           round(avg(l_quantity), 6) AS avg_rating
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def q_counts_and_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the reference's get_counts_and_averages (engine.py:9-14),
+    partkey standing in for song_id."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "song_id")
+    out = counts_and_averages(li, "song_id", "l_quantity")
+    return out.select("song_id", "n_ratings", F.round("avg_rating", 6).alias("avg_rating"))
+
+
+@register(
+    "top_revenue_join",
+    """
+    SELECT c.c_custkey, n.n_name, r.r_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY c.c_custkey, n.n_name, r.r_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 50
+    """,
+)
+def q_top_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2-class: fact ⋈ three broadcast dims → agg → top-k (T1).
+    All three dims broadcast: the orders scan never shuffles for the
+    joins; the only exchange is the final groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = join_facts_to_dims(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        [(customer, "c_custkey"), (nation.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey"),
+         (region.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey")],
+    )
+    agg = joined.groupBy("c_custkey", "n_name", "r_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 50)
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — takeOrdered(25) rebuilt as TakeOrderedAndProject (per-
+    partition heaps, driver merge; no global sort)."""
+    return top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        25,
+    )
+
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_returnflag <> 'A'
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P5/P6 — conjunctive predicates + projection. All three
+    predicates push to the parquet scan (PushedFilters) and only four
+    columns are read (ReadSchema) — asserted in tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_returnflag") != "A")
+        & (F.col("l_discount").between(0.02, 0.08))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/P7 — left_anti replaces the reference's driver-list NOT-IN."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(cust, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — EXISTS without join-multiplicity blowup."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(cust, urgent, "c_custkey").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "distinct_user_event",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — distinct pairs (hash agg with partial combine)."""
+    return distinct_pairs(_t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@register(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — deterministic dedup-by-key (min ts, tiebreak event_id),
+    unlike dropDuplicates' partitioning-dependent pick."""
+    ev = dedup_by_key(_t(spark, sf_dir, "events"), "user_id", ["ts", "event_id"])
+    return ev.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+    )
+
+
+@register(
+    "union_event_counts",
+    """
+    SELECT user_id, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) GROUP BY user_id
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — unionByName of two filtered streams + count."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return union_ratings(clicks, views).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "word_count",
+    """
+    SELECT word, count(*) AS count FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ) GROUP BY word
+    """,
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/P10 — the reference's streaming word count as its batch
+    equivalent over documents (streaming form in streaming/wordcount.py
+    shares this function)."""
+    docs = _t(spark, sf_dir, "documents")
+    return word_count(docs, "text")
+
+
+@register(
+    "top_words",
+    """
+    SELECT word, count(*) AS count FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ) GROUP BY word ORDER BY count DESC, word ASC LIMIT 20
+    """,
+)
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — top-N over an aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return top_k(word_count(docs, "text"), [F.col("count").desc(), F.col("word").asc()], 20)
+
+
+@register(
+    "json_extract_sum",
+    """
+    SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/F6 — one-pass from_json replaces the reference's triple
+    eval(json.loads(...)) collect passes."""
+    ev = extract_json_fields(
+        _t(spark, sf_dir, "events"), "props", EVENT_PROPS, keep=["event_type"]
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "percentile_buckets",
+    """
+    WITH q AS (
+      SELECT o_custkey, quantile_cont(o_totalprice, [0.2, 0.4, 0.6, 0.8]) AS qs
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN o.o_totalprice >= qs[4] THEN 5
+                WHEN o.o_totalprice >= qs[3] THEN 4
+                WHEN o.o_totalprice >= qs[2] THEN 3
+                WHEN o.o_totalprice >= qs[1] THEN 2
+                ELSE 1 END AS level
+    FROM orders o JOIN q USING (o_custkey)
+    """,
+)
+def q_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 Option A — the reference ETL's per-user quantile rating
+    (music_ETL.ipynb#cell9) with exact pandas-style interpolation,
+    customers standing in for users, order totals for listen counts."""
+    orders = _t(spark, sf_dir, "orders")
+    out = quantile_buckets(orders, "o_custkey", "o_totalprice")
+    return out.select("o_orderkey", "o_custkey", "level")
+
+
+@register(
+    "ntile_buckets",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(5) OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS level
+    FROM orders
+    """,
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 Option B — single-shuffle ntile variant (tie semantics differ
+    from Option A by design; both shipped)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = ntile_buckets(orders, "o_custkey", "o_totalprice", 5, tiebreak=["o_orderkey"])
+    return out.select("o_orderkey", "o_custkey", "level")
+
+
+@register(
+    "window_topk_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+          FROM orders) WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — per-group top-k: the scalable form of the reference's
+    single-user takeOrdered serving loop."""
+    orders = _t(spark, sf_dir, "orders")
+    out = per_group_top_k(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+@register(
+    "group_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS q0,
+           round(quantile_cont(value, 0.50), 6) AS q1,
+           round(quantile_cont(value, 0.75), 6) AS q2
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/F7 — exact per-group quantiles (linear interpolation, matching
+    pandas/DuckDB); percentile_approx is the 100-TB switch."""
+    ev = _t(spark, sf_dir, "events")
+    qs = group_quantiles(ev, "event_type", "value", (0.25, 0.5, 0.75))
+    return qs.select(
+        "event_type",
+        *[F.round(f"q{i}", 6).alias(f"q{i}") for i in range(3)],
+    )
+
+
+@register(
+    "grouped_sum_events",
+    """
+    SELECT user_id, round(sum(value), 4) AS total, count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — pandas groupby().sum() as hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    out = grouped_sum(ev, "user_id", "value")
+    n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return out.join(n, "user_id").select(
+        "user_id", F.round("total", 4).alias("total"), "n"
+    )
+
+
+@register(
+    "rmse_vs_constant",
+    """
+    SELECT round(sqrt(avg(pow(value - 10.0, 2))), 6) AS rmse FROM events
+    """,
+)
+def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F3/F4 — the reference's RMSE expression shape
+    (spark_music.py:37) as one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.round(F.sqrt(F.avg(F.pow(F.col("value") - 10.0, 2))), 6).alias("rmse")
+    )
+
+
+@register(
+    "split_first_token",
+    """
+    SELECT string_split(p_type, ' ')[1] AS type_head, count(*) AS n
+    FROM part GROUP BY type_head
+    """,
+)
+def q_split_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15/F1 — split-and-take-first (the reference's genre extraction,
+    lyric.ipynb#cell13)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.split("p_type", " ").getItem(0).alias("type_head")
+    ).groupBy("type_head").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# Text analysis (F9 + LLM-pipeline operators)
+# =====================================================================
+
+def _sql_tokens(expr: str = "text") -> str:
+    return f"list_filter(string_split({expr}, ' '), x -> x <> '')"
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_sql_tokens()}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer. Pure
+    scan-bound column work."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "quality_scores",
+    f"""
+    WITH ft AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_sql_tokens()}, t -> list_contains({_STOP_SQL}, lower(t)))) AS BIGINT) AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+           round((least(n_tokens / 50.0, 1.0)
+                + least((CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END) / 0.2, 1.0)
+                + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END) * 5.0, 1.0))) / 3.0, 6) AS quality
+    FROM ft
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation features + composite
+    score, all JVM column algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    ft = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ft["n_chars"].alias("n_chars"),
+        ft["n_tokens"].alias("n_tokens"),
+        F.round(ft["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(ft["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(ft["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter({_sql_tokens('lower(text)')}, t -> list_contains({arr}, t))) AS BIGINT) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM documents)
+    SELECT lang, {case} AS predicted, count(*) AS n
+    FROM scored GROUP BY lang, predicted
+    """
+
+
+@register("langid_confusion", _langid_sql())
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token argmax) summarized as a
+    (actual, predicted) confusion table. The mechanism — per-language
+    marker scores + deterministic argmax — is the production shape;
+    plug real marker tables for real corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LEX_CASE = "CASE " + " ".join(
+    f"WHEN t = '{w}' THEN {v}" for w, v in SENTIMENT_LEXICON.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "sentiment_scores",
+    f"""
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform({_sql_tokens('lower(text)')}, t -> {_LEX_CASE})), 0) AS BIGINT) AS sentiment
+    FROM documents
+    """,
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — lexicon sentiment as column algebra (the pandas_udf twin is
+    exercised in tests/test_text.py; identical outputs by construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", sentiment_expr(F.col("text")).alias("sentiment"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS tok,
+             generate_subscripts({_sql_tokens()}, 1) AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(coalesce(sum(({duckdb_md5_long('tok')} % {MERSENNE_P}) * pos % {MERSENNE_P}) % {MERSENNE_P}, 0) AS BIGINT) AS fingerprint
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting — position-weighted rolling hash,
+    portable across engines via the md5-prefix integer hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via text-hash groupBy — shuffle carries 24-byte
+    (hash,id) pairs, never document bodies."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tok, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join).
+    The ground truth that the MinHash path approximates."""
+    out = dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh", _JACCARD_SQL)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(16 bands × 2 rows) + exact verification.
+
+    Oracle = the exact-Jaccard pairs: verification removes LSH false
+    positives, and at the dataset's near-dup similarity (~0.99) the
+    false-negative probability per pair is (1-s²)¹⁶ ≈ 1e-22, so the
+    approximate result equals ground truth. (A miss here is a real
+    recall regression, which is exactly what the check should catch.)
+    """
+    out = dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_perm=32, bands=16
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, {duckdb_md5_long('tok')} AS h FROM tok
+), bits AS (
+  SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS cnt
+  FROM th, unnest(range(0, 60)) r(i)
+  GROUP BY doc_id, i
+), fp AS (
+  SELECT doc_id, CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fingerprint
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) near-dup pairs, hamming ≤ 3, via 4-chunk banding
+    (pigeonhole ⇒ recall exactly 1.0 at this radius — the banding is an
+    optimization, never a semantics change, so the O(n²) oracle matches
+    by construction)."""
+    out = dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the testdata's
+    cosine range; production thresholds ~0.95+ on real embeddings)."""
+    out = dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+@register(
+    "ann_topk_bruteforce",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rn
+          FROM scored) WHERE rn <= 10
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — broadcast queries, one
+    streaming pass over the corpus, windowed cut. Rounding before
+    ranking pins order against float-fold noise."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim.cosine_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+def _lsh_ann_sql() -> str:
+    planes = [sim.hyperplane(64, p) for p in range(8)]
+    plane_rows = ", ".join(
+        f"({p}, {i}, {c})" for p, plane in enumerate(planes) for i, c in enumerate(plane)
+    )
+    return f"""
+    WITH planes(plane, i, comp) AS (VALUES {plane_rows}),
+    sigs AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN dotp >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+      FROM (
+        SELECT e.vec_id, p.plane, sum(e.embedding[p.i + 1]::DOUBLE * p.comp) AS dotp
+        FROM (SELECT vec_id, embedding FROM embeddings) e, planes p
+        GROUP BY e.vec_id, p.plane
+      ) e GROUP BY e.vec_id
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+      FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rn
+          FROM scored) WHERE rn <= 5
+    """
+
+
+@register("ann_topk_lsh", _lsh_ann_sql())
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: score only same-bucket pairs (n²/2⁸ of the
+    work), top-5 within bucket. Deterministic md5-derived hyperplanes —
+    the oracle computes the identical planes from literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_cosine_topk(emb, k=5, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------
+
+def _lateral_dot_note() -> None:
+    """The LSH oracle computes plane dot products relationally (unnest ×
+    VALUES join) rather than via list comprehension — documented here so
+    the SQL's shape is explicable: DuckDB 1.0 lacks lateral array refs
+    in list_transform over correlated subqueries."""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: fn for name, (fn, _) in REGISTRY.items()
+}
+
+ORACLES: dict[str, str] = {
+    name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None
+}

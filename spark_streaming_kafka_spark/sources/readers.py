@@ -1,0 +1,95 @@
+"""Batch file sources (S1–S5, S17 read side).
+
+Replaces the reference's ``sc.textFile`` + header-skip-filter + tokenize
+pattern (``engine.py:94-96``, ``spark_music.py:5-12``) with schema'd
+``spark.read``. The reference's header handling — drop every line equal to
+the first line — is O(n) comparisons and silently drops data rows that
+collide with the header; ``option('header', True)`` removes the hazard.
+
+Scale notes: explicit schemas mean zero inference scans; CSV/JSON scans
+parallelize by file split; parquet scans get column pruning + predicate
+pushdown + partition pruning for free once the query is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with explicit schema (S1/S2)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_tsv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Headerless TSV scan (S3) — the MSD triplet shape."""
+    return read_csv(spark, path, schema, header=False, sep="\t")
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan (S4). Schema strongly recommended in production."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver testdata table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads only as
+    a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); convert
+    to a proper timestamp with integer division (``div`` — float division
+    would lose precision above 2^53 ns).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables keyed by name (TESTDATA.md)."""
+    from ..schemas import TESTDATA_TABLES
+
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink (S17). Prefer parquet for anything that is re-read."""
+    df.write.option("header", header).mode(mode).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` enables partition pruning for readers
+    (e.g. partition a 100 TB fact table by date so per-day queries scan
+    one directory, not the world)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,106 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` twin at a
+given scale factor and compares row count, column names/types, and an
+order-insensitive value comparison (exact, after each query's own
+rounding — the queries are designed to be bit-deterministic).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from spark_streaming_kafka_spark import get_spark
+
+    spark = get_spark("correctness-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark query raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"PASS(rows-only) {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            n_pass += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception:
+            print(f"FAIL {name}: oracle sql raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        status = []
+        if sorted(scols) != sorted(ocols):
+            status.append(f"cols spark={scols} oracle={ocols}")
+        if len(srows) != len(orows):
+            status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not status:
+            sn = normalize([dict(zip(scols, r)) for r in srows], sorted(scols))
+            on = normalize([dict(zip(ocols, r)) for r in orows], sorted(ocols))
+            if sn != on:
+                diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+                status.append(f"values differ, first diffs: {diff}")
+        if status:
+            print(f"FAIL {name}: " + "; ".join(status))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
