@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with the noop sink (full materialization, no
+driver transfer, no result-size bias). One warmup of a tiny query
+amortizes JVM/codegen startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: every operator family with real work at sf0.1.
+HEADLINE = [
+    "pricing_summary",        # scan+filter+wide agg
+    "counts_and_averages",    # high-cardinality hash agg
+    "top_revenue_join",       # 3-way broadcast join + agg + top-k
+    "filter_project",         # pushdown + pruning scan
+    "percentile_buckets",     # per-group exact quantiles + join (W1)
+    "window_topk_per_customer",  # window shuffle (W2)
+    "json_extract_sum",       # from_json parse
+    "word_count",             # explode + agg
+    "dedup_exact",            # md5 groupBy
+    "dedup_minhash_lsh",      # signatures + banding + verify
+    "dedup_simhash",          # fingerprints + banding
+    "ann_topk_bruteforce",    # broadcast NLJ + vector fold + window
+    "ann_topk_lsh",           # bucketed self-join ANN
+    "quality_scores",         # text feature extraction
+    "doc_fingerprints",       # rolling-hash fingerprint
+]
+
+
+def main() -> None:
+    from spark_streaming_kafka_spark import get_spark
+    from spark_streaming_kafka_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: spin up executors + codegen paths once
+    QUERIES["topk_orders"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = 0.1
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

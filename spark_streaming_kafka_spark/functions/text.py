@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from .hashing import MERSENNE_P, poly_fingerprint
 
@@ -158,7 +159,7 @@ def sentiment_expr(text: Column) -> Column:
     return score.cast("long")
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def sentiment_pandas_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched sentiment UDF (F9). Same lexicon sum, computed in
     pandas per batch — the slot where TextBlob/Afinn/a transformer model

@@ -165,23 +165,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: array<long> of length num_perm.
 
-    Entirely per-row column algebra — the shingle set never leaves its
-    row, so this stage has ZERO shuffle and scales embarrassingly.
-    min over shingles of (aᵢ·(md5_long(s) mod P) + bᵢ) mod P.
+    Formulated relationally: explode distinct shingles → md5 each ONCE →
+    hash-aggregate num_perm ``min((aᵢh+bᵢ) mod P)`` columns per doc.
+    Spark's partial aggregation computes the mins map-side, so the
+    shuffle is one (doc, num_perm·8B) row per doc per partition — at
+    100 TB this is scan-bound, and the whole stage is codegen'd.
+
+    (A pure per-row array-fold variant avoids even that shuffle but
+    re-evaluates the md5 array once per permutation under projection
+    collapse — measured 30× slower. Explode+agg is the right plan.)
     """
     params = minhash_params(num_perm)
-    sh = word_shingles(F.col(text_col), k)
-    hashed = F.transform(sh, lambda s: md5_long(s) % F.lit(MERSENNE_P))
-
-    def perm_min(a: int, b: int) -> Column:
-        # Closure factory: pyspark inspects lambda arity, so the (a, b)
-        # constants must be captured outside the lambda signature.
-        return F.array_min(
-            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
-        )
-
-    sig = F.array(*[perm_min(a, b) for (a, b) in params])
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+        ),
+    ).select(
+        "doc_id", (md5_long(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    sig = F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+    return mins.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -266,42 +276,32 @@ def simhash_fingerprints(
     """Per-doc 60-bit SimHash over whitespace tokens (term frequency
     weighted — repeated tokens vote repeatedly, per Charikar's scheme).
 
-    Pure per-row column algebra: hash each token once, then fold the
-    token-hash array into 60 bit-counters and re-assemble the sign bits.
-    Zero shuffle, whole-stage-codegen friendly.
+    Relational formulation: explode tokens → md5 once per token → one
+    hash-aggregate with 60 ``sum(±1 per bit)`` columns → re-assemble
+    sign bits into the fingerprint. Partial aggregation combines the
+    bit-votes map-side (shuffle = one 60-column row per doc per
+    partition); the whole pipeline is codegen'd, no higher-order
+    array expressions in the hot path.
     """
-    toks = tokenize(F.col(text_col))
-    hashes = F.transform(toks, lambda t: md5_long(t))
-    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
-
-    def bit_votes(h: Column) -> Column:
-        # ±1 vote per bit; the bit masks are Python-side constants
-        # (shift amounts must be literals in the Column API).
-        return F.array(
-            *[
-                (
-                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1))
-                    .otherwise(F.lit(-1))
-                ).cast("long")
-                for i in range(SIMHASH_BITS)
-            ]
-        )
-
-    counters = F.aggregate(
-        hashes,
-        zeros,
-        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, d: a + d),
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).select("doc_id", md5_long(F.col("tok")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+            ).alias(f"c{i}")
+            for i in range(SIMHASH_BITS)
+        ]
     )
-    fp_terms = [
-        F.when(F.element_at(counters, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+    fp = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"c{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        for i in range(SIMHASH_BITS)
-    ]
-    fp = fp_terms[0]
-    for t in fp_terms[1:]:
-        fp = fp + t
-    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+    return votes.select("doc_id", fp.alias("fingerprint"))
 
 
 def simhash_pairs(

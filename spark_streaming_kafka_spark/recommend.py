@@ -1,0 +1,223 @@
+"""RecommendationEngine — DataFrame edition of the reference's query API.
+
+API parity with ``engine.py:83-112`` (``__init__``), ``:50-62``
+(``add_ratings``), ``:64-71`` (``get_ratings_for_music_ids``), ``:73-81``
+(``get_top_ratings``), plus the all-users generalization the reference
+couldn't express (driver-side takeOrdered served one user at a time).
+
+Mechanical deltas from the reference, by design:
+
+- ``pyspark.ml.recommendation.ALS`` (DataFrame) replaces
+  ``pyspark.mllib`` (RDD). Same model family, same hyperparameters
+  (rank grid {4,8,12}, maxIter 10, regParam 0.1, seed 5 — matching
+  ``spark_music.py:21-34``); factors remain inspectable DataFrames.
+- Candidate generation is a left_anti join (``catalog − rated``)
+  instead of the driver-list NOT-IN with the exhausted-generator bug
+  (``spark_kafka.py:108-110``).
+- The serving join (predictions ⋈ titles ⋈ rating-counts) is one
+  3-way broadcast join + TakeOrderedAndProject — zero driver collects
+  until the final result (the reference did 4 driver round-trips per
+  request, SURVEY.md §3 E1).
+- Retrain is explicit (``retrain()``), not implicit per added batch:
+  full-refit ALS per micro-batch is the reference's dominant cost and
+  is not sustainable at its own 1 s interval; cadence is the caller's
+  policy knob (see streaming/recommend_stream.py).
+
+Scale: ALS itself is Spark-distributed (block factorization). The
+ratings union grows unboundedly — ``add_ratings`` checkpoints lineage
+via a localCheckpoint every ``_CHECKPOINT_EVERY`` batches so the plan
+doesn't deepen linearly over a long-lived stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.recommendation import ALS, ALSModel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.relational import anti_join, counts_and_averages, top_k, union_ratings
+
+_CHECKPOINT_EVERY = 10
+
+
+class RecommendationEngine:
+    """Music (or any user×item) recommender over a ratings DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ratings: DataFrame,
+        metadata: DataFrame | None = None,
+        rank: int = 4,
+        max_iter: int = 10,
+        reg_param: float = 0.1,
+        seed: int = 5,
+        min_ratings: int = 25,
+    ) -> None:
+        """``ratings``: (user_id int, song_id int, rating double);
+        ``metadata``: song catalog with at least (new_song_ID, title)."""
+        self.spark = spark
+        self.ratings = ratings.cache()
+        self.metadata = metadata.cache() if metadata is not None else None
+        self.rank = rank
+        self.max_iter = max_iter
+        self.reg_param = reg_param
+        self.seed = seed
+        self.min_ratings = min_ratings
+        self.model: ALSModel | None = None
+        self._adds_since_checkpoint = 0
+        self._refresh_counts()
+
+    # -- reference: engine.py:20-28 (__count_and_average_ratings) -------
+    def _refresh_counts(self) -> None:
+        self.rating_counts = counts_and_averages(
+            self.ratings, "song_id", "rating"
+        ).cache()
+
+    # -- reference: engine.py:30-37 (__train_model) ----------------------
+    def retrain(self) -> None:
+        als = ALS(
+            rank=self.rank,
+            maxIter=self.max_iter,
+            regParam=self.reg_param,
+            seed=self.seed,
+            userCol="user_id",
+            itemCol="song_id",
+            ratingCol="rating",
+            coldStartStrategy="drop",
+        )
+        self.model = als.fit(self.ratings)
+
+    # -- reference: engine.py:50-62 (add_ratings) ------------------------
+    def add_ratings(self, new_ratings: DataFrame, retrain: bool = True) -> None:
+        """Union new ratings into history (U1). The reference retrains on
+        every add; here it's a flag so streaming callers set cadence."""
+        old = self.ratings
+        self.ratings = union_ratings(self.ratings, new_ratings).cache()
+        self._adds_since_checkpoint += 1
+        if self._adds_since_checkpoint >= _CHECKPOINT_EVERY:
+            # Truncate lineage: after N unions the plan is N levels deep;
+            # localCheckpoint materializes and resets it.
+            self.ratings = self.ratings.localCheckpoint(eager=True)
+            self._adds_since_checkpoint = 0
+        old.unpersist()
+        self.rating_counts.unpersist()
+        self._refresh_counts()
+        if retrain:
+            self.retrain()
+
+    # -- reference: engine.py:64-71 (get_ratings_for_music_ids) ----------
+    def predict_for_pairs(self, pairs: DataFrame) -> DataFrame:
+        """Predicted rating for explicit (user_id, song_id) pairs, with
+        title/count context: the reference's get_ratings_for_music_ids."""
+        self._require_model()
+        preds = self.model.transform(pairs)
+        return self._with_context(preds)
+
+    # -- reference: engine.py:73-81 (get_top_ratings) --------------------
+    def get_top_ratings(self, user_id: int, k: int = 25) -> DataFrame:
+        """Top-k unrated songs for one user (min_ratings support filter).
+
+        Candidates = catalog anti-join user's rated songs — computed
+        distributed, never as a driver list.
+        """
+        self._require_model()
+        rated = self.ratings.filter(F.col("user_id") == user_id).select("song_id")
+        candidates = anti_join(
+            self.rating_counts.select("song_id"), rated, "song_id"
+        ).withColumn("user_id", F.lit(user_id))
+        preds = self.model.transform(candidates)
+        scored = self._with_context(preds).filter(
+            F.col("num_ratings") >= self.min_ratings
+        )
+        return top_k(
+            scored,
+            [F.col("predicted_rating").desc(), F.col("song_id").asc()],
+            k,
+        )
+
+    def recommend_for_all_users(self, k: int = 25) -> DataFrame:
+        """All-users top-k in one distributed pass — the generalization
+        the reference's per-user driver loop couldn't do. Uses ALS's
+        native blocked top-k (recommendForAllUsers), then explodes."""
+        self._require_model()
+        recs = self.model.recommendForAllUsers(k)
+        return recs.select(
+            "user_id",
+            F.posexplode("recommendations").alias("rank0", "rec"),
+        ).select(
+            "user_id",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("rec.song_id").alias("song_id"),
+            F.col("rec.rating").alias("predicted_rating"),
+        )
+
+    # -- reference: spark_music.py:35-44 (RMSE validation) ---------------
+    def evaluate_rmse(self, test: DataFrame) -> float:
+        self._require_model()
+        preds = self.model.transform(test)
+        evaluator = RegressionEvaluator(
+            metricName="rmse", labelCol="rating", predictionCol="prediction"
+        )
+        return float(evaluator.evaluate(preds))
+
+    # -- reference: spark_music.py:24-44 (rank grid search) --------------
+    @classmethod
+    def train_best_rank(
+        cls,
+        spark: SparkSession,
+        ratings: DataFrame,
+        metadata: DataFrame | None = None,
+        ranks: tuple[int, ...] = (4, 8, 12),
+        seed_split: int = 0,
+        **kwargs,
+    ) -> tuple["RecommendationEngine", dict[int, float]]:
+        """60/20/20 split, pick the rank minimizing validation RMSE
+        (reference grid {4,8,12} → best 4), refit on train+val."""
+        train, val, test = ratings.randomSplit([0.6, 0.2, 0.2], seed=seed_split)
+        rmses: dict[int, float] = {}
+        best_rank, best = None, float("inf")
+        for rank in ranks:
+            eng = cls(spark, train, metadata, rank=rank, **kwargs)
+            eng.retrain()
+            r = eng.evaluate_rmse(val)
+            rmses[rank] = r
+            if r < best:
+                best, best_rank = r, rank
+        final = cls(spark, train.unionByName(val), metadata, rank=best_rank, **kwargs)
+        final.retrain()
+        return final, rmses
+
+    # -- reference: spark_music.py:116,123 (model save/load, S16/M3) -----
+    def save_model(self, path: str) -> None:
+        self._require_model()
+        self.model.write().overwrite().save(path)
+
+    def load_model(self, path: str) -> None:
+        self.model = ALSModel.load(path)
+
+    # ---------------------------------------------------------------
+    def _with_context(self, preds: DataFrame) -> DataFrame:
+        """J1/J2 — predictions ⋈ titles ⋈ counts as one select over
+        broadcast joins; output matches the reference tuple shape
+        (title, predicted_rating, num_ratings) plus ids."""
+        out = preds.join(F.broadcast(self.rating_counts), "song_id")
+        cols = [
+            "user_id",
+            "song_id",
+            F.col("prediction").alias("predicted_rating"),
+            F.col("n_ratings").alias("num_ratings"),
+            "avg_rating",
+        ]
+        if self.metadata is not None:
+            meta = self.metadata.select(
+                F.col("new_song_ID").alias("song_id"), "title"
+            )
+            out = out.join(F.broadcast(meta), "song_id")
+            cols.append("title")
+        return out.select(*cols)
+
+    def _require_model(self) -> None:
+        if self.model is None:
+            raise RuntimeError("no model: call retrain() or load_model() first")

@@ -1,0 +1,85 @@
+"""RecommendationEngine: seeded-RMSE gate (the reference's only
+correctness practice, spark_music.py:52-56), API parity behaviors, and
+model persistence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_kafka_spark.recommend import RecommendationEngine
+
+
+@pytest.fixture(scope="module")
+def ratings(spark):
+    """Synthetic ratings with real structure: 60 users × 40 songs, block
+    preference pattern + deterministic jitter so ALS has signal."""
+    rows = []
+    for u in range(60):
+        for s in range(40):
+            if (u * 7 + s * 3) % 5 < 3:  # ~60% density, deterministic
+                base = 4.0 if (u % 2 == s % 2) else 2.0
+                rows.append((u, s, base + ((u + s) % 3 - 1) * 0.5))
+    return spark.createDataFrame(rows, "user_id int, song_id int, rating double").cache()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, ratings):
+    eng = RecommendationEngine(spark, ratings, rank=4, max_iter=10, min_ratings=1)
+    eng.retrain()
+    return eng
+
+
+def test_rmse_below_threshold(spark, engine, ratings):
+    train, test = ratings.randomSplit([0.8, 0.2], seed=0)
+    eng = RecommendationEngine(spark, train, rank=4, min_ratings=1)
+    eng.retrain()
+    assert eng.evaluate_rmse(test) < 1.2  # block structure ⇒ learnable
+
+
+def test_top_ratings_excludes_rated(engine, ratings):
+    rated = {r["song_id"] for r in ratings.filter(F.col("user_id") == 3).collect()}
+    recs = engine.get_top_ratings(3, k=10).collect()
+    assert 0 < len(recs) <= 10
+    assert all(r["song_id"] not in rated for r in recs)
+    scores = [r["predicted_rating"] for r in recs]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_recommend_for_all_users_shape(engine):
+    recs = engine.recommend_for_all_users(k=3)
+    counts = recs.groupBy("user_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+    assert len(counts) == 60
+
+
+def test_add_ratings_extends_history(spark, engine):
+    n0 = engine.ratings.count()
+    new = spark.createDataFrame([(999, 1, 5.0), (999, 2, 4.0)],
+                                "user_id int, song_id int, rating double")
+    engine.add_ratings(new, retrain=True)
+    assert engine.ratings.count() == n0 + 2
+    recs = engine.get_top_ratings(999, k=5).collect()
+    assert len(recs) > 0
+    assert all(r["song_id"] not in (1, 2) for r in recs)
+
+
+def test_model_save_load(tmp_path, spark, engine):
+    path = str(tmp_path / "als_model")
+    engine.save_model(path)
+    eng2 = RecommendationEngine(spark, engine.ratings, min_ratings=1)
+    eng2.load_model(path)
+    a = engine.get_top_ratings(5, k=5).collect()
+    b = eng2.get_top_ratings(5, k=5).collect()
+    assert [(r["song_id"], round(r["predicted_rating"], 5)) for r in a] == [
+        (r["song_id"], round(r["predicted_rating"], 5)) for r in b
+    ]
+
+
+def test_best_rank_search(spark, ratings):
+    eng, rmses = RecommendationEngine.train_best_rank(
+        spark, ratings, ranks=(2, 4), min_ratings=1
+    )
+    assert set(rmses) == {2, 4}
+    assert eng.model is not None
+    assert eng.rank == min(rmses, key=rmses.get)

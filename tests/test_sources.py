@@ -1,0 +1,118 @@
+"""Sources/sinks: file readers round-trip with explicit schemas; Kafka
+record shaping; JSON extraction; multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_streaming_kafka_spark.operators.json_ops import extract_json_fields
+from spark_streaming_kafka_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    resize_images,
+)
+from spark_streaming_kafka_spark.schemas import (
+    LISTEN_TRIPLETS,
+    RATING_EVENT_A,
+    RATINGS,
+    SONGS,
+)
+from spark_streaming_kafka_spark.sources.kafka import to_kafka_records
+from spark_streaming_kafka_spark.sources.readers import read_csv, read_jsonl, read_tsv
+
+
+def test_csv_reader_with_header(spark, tmp_path):
+    p = tmp_path / "ratings.csv"
+    p.write_text("user_id,song_id,rating\n1,10,4.5\n2,11,3.0\n")
+    df = read_csv(spark, str(p), RATINGS)
+    rows = sorted((r["user_id"], r["song_id"], r["rating"]) for r in df.collect())
+    assert rows == [(1, 10, 4.5), (2, 11, 3.0)]
+    # CSV sources are always nullable in Spark; compare names + types
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in RATINGS.fields
+    ]
+
+
+def test_csv_header_collision_row_not_dropped(spark, tmp_path):
+    """The reference's filter(line != header) would drop a data row equal
+    to the header; option('header') only strips the first line."""
+    p = tmp_path / "songs.csv"
+    header = "new_song_ID,title,release,artist_name,year,song_id"
+    p.write_text(f"{header}\n1,{header.split(',')[1]},r,a,0,SOX\n")
+    df = read_csv(spark, str(p), SONGS)
+    assert df.count() == 1
+
+
+def test_tsv_reader(spark, tmp_path):
+    p = tmp_path / "triplets.tsv"
+    p.write_text("abc\tSO1\t3\ndef\tSO2\t7\n")
+    df = read_tsv(spark, str(p), LISTEN_TRIPLETS)
+    assert df.count() == 2
+    assert dict(df.dtypes)["listen_count"] == "int"
+
+
+def test_jsonl_reader(spark, tmp_path):
+    p = tmp_path / "events.jsonl"
+    p.write_text('{"userid": 1, "songid": 2, "rating": 4.5}\n')
+    df = read_jsonl(spark, str(p), RATING_EVENT_A)
+    r = df.first()
+    assert (r["userid"], r["songid"], r["rating"]) == (1, 2, 4.5)
+
+
+def test_extract_json_fields_single_pass(spark):
+    df = spark.createDataFrame(
+        [("a", '{"userid": 7, "songid": 9, "rating": 5.0}'), ("b", "not json")],
+        "id string, payload string",
+    )
+    out = extract_json_fields(df, "payload", RATING_EVENT_A)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["userid"] == 7 and rows["a"]["rating"] == 5.0
+    assert rows["b"]["userid"] is None  # malformed ⇒ nulls, never eval
+
+
+def test_kafka_record_shaping(spark):
+    df = spark.createDataFrame([(1, "t", 4.5)], "user_id int, title string, pred double")
+    rec = to_kafka_records(df, F.col("user_id"), ["title", "pred"]).first()
+    assert rec["key"] == "1"
+    assert json.loads(rec["value"]) == {"title": "t", "pred": 4.5}
+
+
+# --- multimodal plumbing ------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", bytearray(b"imgbytes-0"), "image/png", {"src": "a"}),
+        (1, "video", bytearray(b"vidbytes-1"), "video/mp4", {"src": "b"}),
+        (2, "audio", None, "audio/wav", {}),
+    ]
+    from spark_streaming_kafka_spark.schemas import MEDIA
+
+    return spark.createDataFrame(rows, MEDIA)
+
+
+def test_media_feature_extraction_deterministic(media):
+    out = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert len(out) == 3
+    assert out[0]["n_frames"] == 1 and out[0]["duration_s"] == 0.0
+    assert out[1]["n_frames"] >= 1
+    assert out[2]["width"] == 0  # null payload contract
+    assert len(out[0]["feature"]) == 8
+    again = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert out[0]["feature"] == again[0]["feature"]
+
+
+def test_frame_sample_plan_only_videos(media):
+    out = frame_sample_plan(media, every_n=10).collect()
+    assert {r["media_id"] for r in out} == {1}
+    idx = sorted(r["frame_index"] for r in out)
+    assert idx[0] == 0 and all(i % 10 == 0 for i in idx)
+
+
+def test_resize_images_only_images(media):
+    out = resize_images(media, 32, 32).collect()
+    assert [r["media_id"] for r in out] == [0]
+    assert out[0]["width"] == 32
