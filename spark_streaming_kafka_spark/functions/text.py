@@ -123,6 +123,18 @@ def langid(text: Column, default: str = "und") -> Column:
     return F.when(best > 0, pred).otherwise(F.lit(default))
 
 
+# --- normalization ------------------------------------------------------
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fuzzy-exact dedup: lowercase, strip everything
+    but [a-z0-9 ], collapse runs of spaces, trim. Pure column algebra;
+    patterns chosen to behave identically under Java regex and RE2."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
 # --- document fingerprint ----------------------------------------------
 
 def doc_fingerprint(text: Column, p: int = MERSENNE_P) -> Column:

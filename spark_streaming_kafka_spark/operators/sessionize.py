@@ -1,0 +1,60 @@
+"""Event sessionization (batch form of the streaming session semantics).
+
+Two session notions ship with the engine:
+
+- :func:`sessionize_by_gap` — classic inactivity-gap sessions: a new
+  session starts when a user's inter-event gap exceeds ``gap``. One
+  window shuffle on user_id; session ids via lag + running sum —
+  no state, no UDFs, scales with the window shuffle. (The streaming
+  equivalent is ``F.session_window`` on event time with a watermark.)
+- ``streaming.sessions`` — the reference's sentinel-bounded sessions
+  (``slot == 'm3'`` flush, ``spark_kafka.py:92-94``), stateful form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize_by_gap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Tag every event with a per-user ``session_idx`` (0-based).
+
+    lag + cumulative sum over one window: a single hash-partition
+    shuffle on ``user_col``; AQE splits skewed users at runtime.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    ms = F.unix_millis(F.col(ts_col))
+    new_session = F.when(
+        ms - F.lag(ms).over(w) > gap_ms, F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn(
+        "session_idx", F.sum(new_session).over(running).cast("long")
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session-level rollup: (user, session_idx) → event count, start/end
+    epoch-ms, duration. Same partitioning as sessionize_by_gap ⇒ the agg
+    reuses the shuffle under AQE."""
+    return sessions.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_millis(F.min(ts_col)).alias("start_ms"),
+        F.unix_millis(F.max(ts_col)).alias("end_ms"),
+        (F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))).alias("duration_ms"),
+    )

@@ -784,6 +784,205 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, k=5, n_planes=8, dim=64)
 
 
+# =====================================================================
+# Sessionization / streaming-parity batch semantics
+# =====================================================================
+
+@register(
+    "sessionize_by_gap",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+    FROM tagged
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30 min) — lag + running sum in one
+    window shuffle, ordered by (ts, event_id) on both engines."""
+    from .operators.sessionize import sessionize_by_gap
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_by_gap(ev).select("user_id", "event_id", "session_idx")
+
+
+@register(
+    "session_stats",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM tagged
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session rollup: count + bounds + duration per inactivity session."""
+    from .operators.sessionize import session_stats, sessionize_by_gap
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(sessionize_by_gap(ev))
+
+
+@register(
+    "sentinel_flush",
+    """
+    SELECT e.user_id, e.event_id, e.event_type FROM events e
+    WHERE EXISTS (SELECT 1 FROM events s
+                  WHERE s.user_id = e.user_id AND s.event_type = 'purchase')
+    """,
+)
+def q_sentinel_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4's batch semantics (flush_complete_sessions) on the testdata:
+    'purchase' plays the reference's 'm3' sentinel role — emit all events
+    of users whose stream contains the sentinel."""
+    from .streaming.sessions import flush_complete_sessions
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("userid"), F.col("event_type").alias("slot"), "event_id"
+    )
+    out = flush_complete_sessions(ev, sentinel="purchase")
+    return out.select(
+        F.col("userid").alias("user_id"), "event_id", F.col("slot").alias("event_type")
+    )
+
+
+# =====================================================================
+# Message formatting (F5) + vocab + histogram + normalized dedup
+# =====================================================================
+
+@register(
+    "message_format",
+    """
+    SELECT event_id,
+           concat_ws(',', CAST(user_id AS VARCHAR), event_type, printf('%.2f', value)) AS msg
+    FROM events
+    """,
+)
+def q_message_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — Kafka-style message building as columns (the reference built
+    'user,rating' strings driver-side, kafka_streaming.py:15). printf
+    formatting pins float rendering across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.format_string("%.2f", F.col("value")),
+        ).alias("msg"),
+    )
+
+
+@register(
+    "ngram_vocab",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM tok, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+    )
+    SELECT shingle, count(*) AS df
+    FROM sh GROUP BY shingle ORDER BY df DESC, shingle ASC LIMIT 50
+    """,
+)
+def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocab building: top-50 3-gram shingles by document
+    frequency — the pruning table a production jaccard pass would use
+    as its stop-shingle list (max_df)."""
+    sh = dd.doc_shingles(_t(spark, sf_dir, "documents"))
+    return top_k(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")),
+        [F.col("df").desc(), F.col("shingle").asc()],
+        50,
+    )
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(floor(length(text) / 100.0) AS BIGINT) AS bucket, count(*) AS n
+    FROM documents GROUP BY bucket
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile — 100-char buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.floor(F.length("text") / 100.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "dedup_normalized",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS text_hash,
+           min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup: hash of normalized text (case/punct/whitespace
+    insensitive) — catches trivially-reformatted copies that byte-exact
+    dedup misses, at identical cost."""
+    from .functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(normalize_text(F.col("text"))).alias("text_hash"), F.col("doc_id")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# =====================================================================
+# ML (rows-only: ALS is not SQL-expressible — driver records the weaker
+# rows/schema check, per the contract)
+# =====================================================================
+
+@register("als_recommend_topk", None)
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2/W2 — seeded ALS on a deterministic lineitem-derived rating
+    sample (supplier→part affinities), then top-5 per user. Rows-only:
+    matrix factorization has no SQL oracle; determinism pinned by seed.
+    """
+    from .recommend import RecommendationEngine
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    ratings = li.select(
+        F.col("l_suppkey").cast("int").alias("user_id"),
+        F.col("l_partkey").cast("int").alias("song_id"),
+        (F.col("l_quantity") / 10.0).alias("rating"),
+    )
+    eng = RecommendationEngine(
+        spark, ratings, rank=4, max_iter=5, min_ratings=1
+    )
+    eng.retrain()
+    return eng.recommend_for_all_users(5)
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

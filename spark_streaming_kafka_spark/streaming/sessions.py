@@ -94,8 +94,8 @@ def sentinel_sessions_stateful(parsed: DataFrame) -> DataFrame:
     )
 
 
-def flush_complete_sessions(events: DataFrame) -> DataFrame:
+def flush_complete_sessions(events: DataFrame, sentinel: str = SENTINEL) -> DataFrame:
     """Batch semantics: rows of users whose accumulated events include
     the sentinel slot (left_semi — no driver lists, no multiplicity)."""
-    done = events.filter(F.col("slot") == SENTINEL).select("userid").distinct()
+    done = events.filter(F.col("slot") == sentinel).select("userid").distinct()
     return events.join(done, "userid", "left_semi")
