@@ -1,0 +1,51 @@
+"""Skew-resilient large×large joins (salting).
+
+AQE's skew-join splitting handles most skew automatically (enabled in
+session.py); salting is the explicit fallback for the cases AQE can't
+fix — e.g. one key holding >5% of a 100 TB fact table, or skew in the
+BUILD side of an aggregate-after-join.
+
+Mechanism: the skewed ("big") side gets a random-ish salt in
+[0, factor); the other side is exploded ×factor so every salted key
+still finds its match. The join key becomes (key, salt) — the hot key's
+rows now spread over ``factor`` reducers. Cost: other-side rows
+duplicated ×factor (choose the SMALLER side to explode), so factor is a
+dial between skew relief and shuffle inflation.
+
+The salt must be deterministic for retry-safety (Spark may recompute a
+partition after failure; a nondeterministic salt would double-join some
+rows and drop others): derived from stable row columns via xxhash64,
+never rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    factor: int = 8,
+    salt_from: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``key`` with ``big`` salted
+    ``factor`` ways and ``small`` exploded to match.
+
+    ``salt_from``: columns of ``big`` that determine the salt (defaults
+    to all of big's columns) — deterministic per row, uniform enough to
+    spread a hot key.
+    """
+    salt_cols = salt_from if salt_from is not None else big.columns
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(factor)).cast("int"),
+    )
+    exploded_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    )
+    out = salted_big.join(exploded_small, [key, "__salt"], how)
+    return out.drop("__salt")

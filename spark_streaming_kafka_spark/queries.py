@@ -89,7 +89,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
            round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
            round(avg(l_quantity), 6)                                   AS avg_qty,
            round(avg(l_extendedprice), 6)                              AS avg_price,
            round(avg(l_discount), 6)                                   AS avg_disc,
@@ -109,7 +109,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -954,6 +954,35 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "salted_bigjoin_revenue",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS lineitem_revenue,
+           count(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+)
+def q_salted_bigjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large join via explicit salting (operators/skew.py): the
+    fact side salted 8 ways, the other side exploded ×8, so a hot
+    orderkey spreads over 8 reducers. Results must be IDENTICAL to the
+    plain join — the oracle is the unsalted SQL, which is exactly the
+    property that makes salting a safe drop-in at 100 TB."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "o_orderkey", factor=8)
+    return joined.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("lineitem_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
     )
 
 
