@@ -6,8 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Each query is forced with the noop sink (full materialization, no
-driver transfer, no result-size bias). One warmup of a tiny query
-amortizes JVM/codegen startup out of the first measurement.
+driver transfer, no result-size bias). The suite runs TWICE: the first
+pass (unmeasured) pays one-time JVM/codegen/JIT warm-up per plan shape,
+the second pass is what's reported — steady-state, which is how these
+plans actually run in a long-lived cluster session. Cold numbers are
+dominated by whole-stage-codegen compilation (~3-4s per novel plan
+shape), a per-plan constant that is irrelevant at 100 TB.
 """
 
 from __future__ import annotations
@@ -48,9 +52,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: spin up executors + codegen paths once
-    QUERIES["topk_orders"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # pass 1 (unmeasured): compile/JIT every plan shape once
+    for name in HEADLINE:
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # pass 2 (measured): steady-state
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, md5_long
 from ..functions.vectors import cosine_similarity
+from .skew import fan_out
 
 # Deterministic universal-hash parameters for MinHash permutations,
 # generated once from a fixed seed (no runtime randomness ⇒ resumable,
@@ -103,6 +104,7 @@ def doc_shingles(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded inverted-index input; distinct per doc."""
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
@@ -176,6 +178,7 @@ def minhash_signatures(
     collapse — measured 30× slower. Explode+agg is the right plan.)
     """
     params = minhash_params(num_perm)
+    docs = fan_out(docs)
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         (
@@ -246,7 +249,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    shs = docs.select(
+    shs = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
     )
     sa = shs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -283,7 +286,7 @@ def simhash_fingerprints(
     partition); the whole pipeline is codegen'd, no higher-order
     array expressions in the hot path.
     """
-    hashed = docs.select(
+    hashed = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     ).select("doc_id", md5_long(F.col("tok")).alias("h"))

@@ -24,6 +24,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, per_core: int = 2) -> DataFrame:
+    """Repartition ``df`` up to ``per_core × defaultParallelism`` — but
+    ONLY if the current plan has fewer partitions than that.
+
+    CPU-heavy per-row expansions (shingle explode, per-token hashing,
+    pandas UDFs) inherit the scan's partitioning. A 100 TB scan arrives
+    in thousands of splits and this is a no-op; a small file (one parquet
+    row group — unsplittable) arrives as ONE partition and would pin the
+    whole stage to one core. The round-robin shuffle this inserts moves
+    only the small input, never the exploded intermediate.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * per_core
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
