@@ -11,11 +11,11 @@ Two tiers:
   deterministically from md5 so results are reproducible anywhere
   (including the DuckDB oracle).
 
-For 100 TB-scale vector volumes the pattern generalizes to IVF: cluster
-centroids (pyspark.ml KMeans) → assign each vector to nearest centroid
-(broadcast centroids, one map) → search only matching cells. The LSH
-variant here IS that shape with hash-buckets as cells, so the plumbing
-(bucket column, co-partitioned self-join) is identical.
+- :func:`ivf_topk` — IVF cells: assign every vector to its nearest
+  codebook centroid (:func:`ivf_assign`, shuffle-free column algebra),
+  probe only the ``nprobe`` nearest cells per query. The scale path for
+  100 TB vector volumes; codebook pluggable (deterministic sample here,
+  ``pyspark.ml.clustering.KMeans`` in production).
 
 A numpy ``pandas_udf`` dot-product variant is provided for very wide
 vectors (>2k dims) where per-element Catalyst expression trees get
@@ -156,6 +156,110 @@ def lsh_cosine_topk(
         scored = scored.withColumn("cosine", F.round("cosine", round_digits))
     return per_group_top_k(
         scored.select("query_id", "neighbor_id", "cosine"),
+        "query_id",
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def centroid_similarities(
+    vec: Column, centroids: list[tuple[int, list[float]]], round_digits: int = 6
+) -> list[tuple[int, Column]]:
+    """(centroid_id, rounded cosine(vec, centroid)) column pairs.
+    Centroids are baked into the expression as literals — the broadcast
+    of a trained IVF codebook, in column-algebra form."""
+    out = []
+    for cid, cvec in centroids:
+        cos = cosine_similarity(vec, F.array(*[F.lit(float(c)) for c in cvec]))
+        out.append((cid, F.round(cos, round_digits)))
+    return out
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, centroid
+    id as tiebreak) — the IVF cell index.
+
+    Pure per-row column algebra (array_min over (−cos, cid) structs):
+    ZERO shuffle, one streaming pass, exactly how a 100 TB corpus gets
+    cell-indexed once and bucketed for all later probes. ``centroids``
+    is the trained codebook; here derivable deterministically (see
+    :func:`ivf_topk`), in production from ``pyspark.ml.clustering
+    .KMeans`` — the assignment plumbing is identical.
+    """
+    structs = [
+        F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid"))
+        for cid, cos in centroid_similarities(F.col(vec_col), centroids)
+    ]
+    best = F.array_min(F.array(*structs))
+    return emb.withColumn(out_col, best["cid"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_centroids`` cells,
+    then answer each query by scoring only the ``nprobe`` nearest cells.
+
+    Deterministic codebook: the vectors with the ``n_centroids`` lowest
+    ids (a seeded-sample stand-in for KMeans centroids — swap in
+    ``pyspark.ml.clustering.KMeans().fit`` offline; everything after the
+    codebook is identical). Collecting the codebook is a bounded
+    driver transfer (n_centroids·dim floats), the same way a trained
+    model ships to executors.
+
+    Work: corpus indexing is shuffle-free (:func:`ivf_assign`); the
+    probe join broadcasts |Q|·nprobe rows against the cell-bucketed
+    corpus, so each query touches ~nprobe/n_centroids of the data —
+    the recall/latency dial of classic IVF.
+    """
+    from .windows import per_group_top_k
+
+    centroids = [
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    cells = ivf_assign(emb, centroids, vec_col)
+
+    sims = centroid_similarities(F.col(vec_col), centroids)
+    probe_arr = F.array_sort(
+        F.array(
+            *[
+                F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid"))
+                for cid, cos in sims
+            ]
+        )
+    )
+    probes = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(F.slice(probe_arr, 1, nprobe)).alias("p"),
+        )
+        .select("query_id", "q_vec", F.col("p.cid").alias("centroid_id"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
+        )
+    )
+    return per_group_top_k(
+        scored.select("query_id", F.col(id_col).alias("neighbor_id"), "cosine"),
         "query_id",
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,

@@ -784,6 +784,171 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_cosine_topk(emb, k=5, n_planes=8, dim=64)
 
 
+@register(
+    "ann_topk_ivf",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_vec::DOUBLE[]), 6) DESC,
+                        c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.c_vec::DOUBLE[]), 6) DESC,
+                        c.cid ASC) AS rn
+      FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.q_vec::DOUBLE[], cl.embedding::DOUBLE[]), 6) AS cosine
+      FROM (SELECT query_id, q_vec, cid FROM probes WHERE rn <= 2) p
+      JOIN cells cl ON cl.cid = p.cid AND cl.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rn
+          FROM scored) WHERE rn <= 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN: shuffle-free cell assignment (broadcast codebook as
+    column literals), nprobe=2 of 16 cells per query. The oracle runs
+    the identical deterministic codebook, so recall differences vs
+    brute force are pinned, not flaky."""
+    return sim.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), n_centroids=16, nprobe=2, k=10, n_queries=5
+    )
+
+
+# =====================================================================
+# Temporal joins / event-time windows (events table)
+# =====================================================================
+
+@register(
+    "asof_click_view",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+           round(c.value, 4) AS value,
+           epoch_ms(v.ts) AS view_ts_ms, round(v.view_value, 4) AS view_value
+    FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's most recent view
+    at or before it. Union + fill-forward window (operators/asof.py) —
+    one shuffle on user_id; the DuckDB ASOF JOIN oracle pins the exact
+    backward-inclusive semantics."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, views, "user_id", right_cols=["value"], prefix="view_")
+    return out.filter(F.col("view_ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+        F.unix_millis("view_ts").alias("view_ts_ms"),
+        F.round("view_value", 4).alias("view_value"),
+    )
+
+
+@register(
+    "band_join_click_error",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           epoch_ms(e.ts) - epoch_ms(c.ts) AS dt_ms
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND abs(epoch_ms(e.ts) - epoch_ms(c.ts)) <= 300000
+    """,
+)
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: (click, error) pairs of the same user within ±5 min.
+    Interval bucketing (operators/asof.py::band_join) turns the oracle's
+    theta-join into an equi-join on (user, bucket) — shuffle-bound, not
+    O(n·m), which is the difference between running and not running at
+    100 TB."""
+    from .operators.asof import band_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    out = band_join(clicks, errors, "user_id", 300000, left_ts="c_ts", right_ts="e_ts")
+    return out.select(
+        "click_id",
+        "error_id",
+        "user_id",
+        (F.unix_millis("e_ts") - F.unix_millis("c_ts")).alias("dt_ms"),
+    )
+
+
+@register(
+    "tumbling_hourly_stats",
+    """
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type — one hash agg,
+    key space = hours × types. Spark windows are epoch-aligned so the
+    oracle is pure epoch-millis arithmetic. Same operator runs
+    incrementally under a watermark in streaming (streaming/windows.py)."""
+    from .operators.timewindows import hourly_type_stats
+
+    return hourly_type_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT ((epoch_ms(ts) // 1800000) - k) * 1800000 AS window_start_ms,
+           count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events CROSS JOIN unnest(range(0, 2)) t(k)
+    GROUP BY 1
+    """,
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h wide, 30 min slide): every event in exactly 2
+    windows. Row multiplication happens BEFORE the partial combine, so
+    the shuffle still carries one row per (window) key per partition."""
+    from .operators.timewindows import sliding_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_counts(ev, "1 hour", "30 minutes").select(
+        "window_start_ms", "n", "avg_value"
+    )
+
+
 # =====================================================================
 # Sessionization / streaming-parity batch semantics
 # =====================================================================

@@ -1,0 +1,127 @@
+"""As-of join, band join, event-time windows (batch + streaming), IVF ANN."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pyspark.sql.functions as F
+
+from spark_streaming_kafka_spark.operators.asof import asof_join, band_join
+from spark_streaming_kafka_spark.operators.timewindows import windowed_agg
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "l1"), (1, _ts(10), "l2"), (2, _ts(3), "l3")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(7), 200.0), (2, _ts(4), 300.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = {
+        r["tag"]: (r["m_ts"], r["m_v"])
+        for r in asof_join(left, right, "k", prefix="m_").collect()
+    }
+    assert out["l1"] == (_ts(5), 100.0)  # equal ts matches (inclusive)
+    assert out["l2"] == (_ts(7), 200.0)  # most recent prior, not first
+    assert out["l3"] == (None, None)  # no right row at/before → left-join NULLs
+
+
+def test_band_join_pairs_once_within_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10))], "k int, lid int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, _ts(12)), (1, 21, _ts(16)), (1, 22, _ts(10))],
+        "k int, rid int, rts timestamp",
+    )
+    out = band_join(left, right, "k", 300_000, left_ts="lts", right_ts="rts")
+    rids = sorted(r["rid"] for r in out.collect())
+    assert rids == [20, 22]  # ±5 min inclusive; 6-min row excluded, no dup pairs
+
+
+def test_windowed_agg_epoch_alignment(spark):
+    ev = spark.createDataFrame(
+        [(_ts(0), 1.0), (_ts(59, 59), 2.0), (dt.datetime(2024, 1, 1, 1, 0), 4.0)],
+        "ts timestamp, value double",
+    )
+    rows = windowed_agg(
+        ev, "ts", "1 hour", [F.sum("value").alias("s")]
+    ).collect()
+    by_start = {r["window_start_ms"]: r["s"] for r in rows}
+    h0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert by_start[h0] == 3.0 and by_start[h0 + 3_600_000] == 4.0
+
+
+def test_sliding_window_double_counts(spark):
+    ev = spark.createDataFrame([(_ts(40), 1.0)], "ts timestamp, value double")
+    rows = windowed_agg(
+        ev, "ts", "1 hour", [F.count(F.lit(1)).alias("n")], slide="30 minutes"
+    ).collect()
+    assert len(rows) == 2  # event belongs to exactly width/slide windows
+    assert all(r["n"] == 1 for r in rows)
+
+
+def test_ivf_assign_no_shuffle_and_probe_recall(spark):
+    from spark_streaming_kafka_spark.operators.similarity import ivf_assign, ivf_topk
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = [
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    ]
+    assigned = ivf_assign(emb, centroids)
+    # zero-shuffle assignment: no Exchange in the plan
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # every vector lands in a valid cell
+    cells = {r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()}
+    assert cells <= {0, 1, 2, 3}
+    # self-query: each query's own cell contains it, so rank-1 neighbor
+    # must share its cell and have the max cosine there
+    top = ivf_topk(emb, n_centroids=4, nprobe=2, k=3, n_queries=2)
+    rows = top.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_windowed_stream_agg_with_watermark(spark):
+    from spark_streaming_kafka_spark.streaming.windows import windowed_stream_agg
+
+    spark.sql("DROP TABLE IF EXISTS win_out")
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    agg = windowed_stream_agg(
+        stream,
+        "timestamp",
+        "2 seconds",
+        [F.count(F.lit(1)).alias("n")],
+        watermark="0 seconds",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM win_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 2
+        assert all(
+            r["window_end_ms"] - r["window_start_ms"] == 2000 and r["n"] >= 1
+            for r in rows
+        )
+    finally:
+        q.stop()
