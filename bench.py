@@ -40,8 +40,14 @@ HEADLINE = [
     "dedup_simhash",          # fingerprints + banding
     "ann_topk_bruteforce",    # broadcast NLJ + vector fold + window
     "ann_topk_lsh",           # bucketed self-join ANN
+    "ann_topk_ivf",           # IVF cells: shuffle-free assign + probe
     "quality_scores",         # text feature extraction
     "doc_fingerprints",       # rolling-hash fingerprint
+    "asof_click_view",        # as-of join (union + fill-forward window)
+    "band_join_click_error",  # band join (interval bucketing)
+    "tumbling_hourly_stats",  # event-time window agg
+    "rollup_revenue",         # grouping-sets hash agg + joins
+    "corpus_clean_pipeline",  # dedup+quality composite cleaning pass
 ]
 
 

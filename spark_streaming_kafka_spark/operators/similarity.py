@@ -162,17 +162,24 @@ def lsh_cosine_topk(
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
-def centroid_similarities(
-    vec: Column, centroids: list[tuple[int, list[float]]], round_digits: int = 6
-) -> list[tuple[int, Column]]:
-    """(centroid_id, rounded cosine(vec, centroid)) column pairs.
-    Centroids are baked into the expression as literals — the broadcast
-    of a trained IVF codebook, in column-algebra form."""
-    out = []
-    for cid, cvec in centroids:
-        cos = cosine_similarity(vec, F.array(*[F.lit(float(c)) for c in cvec]))
-        out.append((cid, F.round(cos, round_digits)))
-    return out
+def _codebook_sims(
+    centroids: list[tuple[int, list[float]]],
+):
+    """(cids ndarray, unit-normalized codebook matrix) — plus a batch
+    scorer returning rounded cosines (rows × centroids)."""
+    import numpy as np
+
+    cids = np.array([c[0] for c in centroids])
+    assert (np.diff(cids) > 0).all(), "centroid ids must be ascending (tiebreak)"
+    cmat = np.array([c[1] for c in centroids], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def sims(vec_series) -> "np.ndarray":
+        mat = np.vstack(vec_series.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return np.round(mat @ cmat.T, 6)
+
+    return cids, sims
 
 
 def ivf_assign(
@@ -181,22 +188,39 @@ def ivf_assign(
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine, centroid
-    id as tiebreak) — the IVF cell index.
+    """Assign each vector to its nearest centroid (max rounded cosine,
+    lowest centroid id as tiebreak) — the IVF cell index.
 
-    Pure per-row column algebra (array_min over (−cos, cid) structs):
-    ZERO shuffle, one streaming pass, exactly how a 100 TB corpus gets
-    cell-indexed once and bucketed for all later probes. ``centroids``
-    is the trained codebook; here derivable deterministically (see
-    :func:`ivf_topk`), in production from ``pyspark.ml.clustering
-    .KMeans`` — the assignment plumbing is identical.
+    ZERO shuffle, one streaming pass: each Arrow batch is scored against
+    the codebook with one BLAS matmul inside ``mapInPandas`` — exactly
+    how a 100 TB corpus gets cell-indexed once and bucketed for all
+    later probes. This is the measured-right mechanism, not a
+    compromise: the same math as Catalyst expressions is either
+    interpreted per element (higher-order folds) or, fully unrolled,
+    produces a ~0.5 MB codegen source whose Janino compilation dominates
+    the job (20-50s) — codebook-sized linear algebra belongs in Arrow +
+    BLAS. ``centroids`` is the trained codebook; here derived
+    deterministically (see :func:`ivf_topk`), in production from
+    ``pyspark.ml.clustering.KMeans`` — the plumbing is identical.
     """
-    structs = [
-        F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid"))
-        for cid, cos in centroid_similarities(F.col(vec_col), centroids)
-    ]
-    best = F.array_min(F.array(*structs))
-    return emb.withColumn(out_col, best["cid"])
+    from collections.abc import Iterator
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids, sims = _codebook_sims(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            # argmax returns the FIRST max ⇒ lowest cid on rounded ties
+            out[out_col] = cids[np.argmax(sims(pdf[vec_col]), axis=1)]
+            yield out
+
+    schema = StructType(emb.schema.fields + [StructField(out_col, IntegerType())])
+    return emb.mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(
@@ -231,25 +255,36 @@ def ivf_topk(
         .select(id_col, vec_col)
         .collect()
     ]
-    cells = ivf_assign(emb, centroids, vec_col)
-
-    sims = centroid_similarities(F.col(vec_col), centroids)
-    probe_arr = F.array_sort(
-        F.array(
-            *[
-                F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid"))
-                for cid, cos in sims
-            ]
-        )
+    cells = ivf_assign(emb, centroids, vec_col).select(
+        id_col, vec_col, "centroid_id"
     )
-    probes = (
-        emb.filter(F.col(id_col) < n_queries)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(F.slice(probe_arr, 1, nprobe)).alias("p"),
-        )
-        .select("query_id", "q_vec", F.col("p.cid").alias("centroid_id"))
+
+    # Probe list per query: its nprobe nearest cells, same batch scorer.
+    # np.argsort is stable ⇒ rounded-cosine ties break to the lowest cid
+    # (cids ascending), matching the oracle's (cos DESC, cid ASC) order.
+    from collections.abc import Iterator
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids, sims = _codebook_sims(centroids)
+    np_ = nprobe
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            order = np.argsort(-sims(pdf["q_vec"]), axis=1, kind="stable")[:, :np_]
+            out = pdf.loc[pdf.index.repeat(np_)].copy()
+            out["centroid_id"] = cids[order].ravel()
+            yield out
+
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probes = q.mapInPandas(
+        probe,
+        schema=StructType(q.schema.fields + [StructField("centroid_id", IntegerType())]),
     )
     scored = (
         cells.join(F.broadcast(probes), "centroid_id")

@@ -1151,6 +1151,156 @@ def q_salted_bigjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(n_name, 'ALL') AS n_name,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation → priority → grand total) in ONE
+    aggregation pass — Spark expands grouping sets inside the same hash
+    agg, so the cost is one shuffle, not three queries. Dim joins
+    broadcast (nation: 25 rows)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        j.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "cube_event_stats",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(ub AS VARCHAR), 'ALL') AS user_bucket,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM (SELECT event_type, user_id % 10 AS ub, value FROM events)
+    GROUP BY CUBE (event_type, ub)
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (event_type, user bucket) — all 4 grouping sets in
+    one hash agg; the OLAP cross-tab primitive."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).cast("string").alias("ub"), "value"
+    )
+    return (
+        ev.cube("event_type", "ub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("ub", F.lit("ALL")).alias("user_bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH ft AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_sql_tokens()}, t -> list_contains({_STOP_SQL}, lower(t)))) AS BIGINT) AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+             round((least(n_tokens / 50.0, 1.0)
+                  + least((CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END) / 0.2, 1.0)
+                  + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END) * 5.0, 1.0))) / 3.0, 6) AS quality
+      FROM ft
+    ),
+    canon AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT s.doc_id, s.n_tokens, s.quality
+    FROM scored s JOIN canon c ON c.doc_id = s.doc_id
+    WHERE c.rn = 1 AND s.quality >= 0.5 AND s.n_tokens >= 10
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleaning pass: exact-dedup to the
+    canonical copy (window over text-hash — deterministic, unlike
+    dropDuplicates), then quality + length gates. One scan, one window
+    shuffle on the 16-byte text hash; the filters run before any wide
+    column survives the shuffle."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    ft = quality_features(F.col("text"))
+    w = W.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            ft["n_tokens"].alias("n_tokens"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1) & (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10)
+        )
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+@register(
+    "pivot_user_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide cross-tab) with an EXPLICIT value list: one
+    hash-agg pass, no extra distinct-values job, deterministic column
+    order — the only way to pivot an unbounded stream-scale table."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
 # =====================================================================
 # ML (rows-only: ALS is not SQL-expressible — driver records the weaker
 # rows/schema check, per the contract)

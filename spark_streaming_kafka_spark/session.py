@@ -72,6 +72,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Local mode runs every executor thread in the driver JVM; the 1g
+    # default heap OOMs under N-way parallel codegen + shuffle buffers.
+    # Only meaningful at session creation (ignored on getOrCreate reuse)
+    # and overridden by spark-submit on a real cluster.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

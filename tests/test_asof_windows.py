@@ -92,6 +92,48 @@ def test_ivf_assign_no_shuffle_and_probe_recall(spark):
     assert all(r["rank"] <= 3 for r in rows)
 
 
+def test_stream_stream_time_bounded_join(spark):
+    from spark_streaming_kafka_spark.streaming.joins import time_bounded_join
+
+    spark.sql("DROP TABLE IF EXISTS ssj_out")
+    base = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    clicks = base.select(
+        (F.col("value") % 10).alias("k"),
+        F.col("timestamp").alias("c_ts"),
+        F.col("value").alias("c_val"),
+    )
+    views = base.select(
+        (F.col("value") % 10).alias("k"),
+        F.col("timestamp").alias("v_ts"),
+        F.col("value").alias("v_val"),
+    )
+    joined = time_bounded_join(
+        clicks, views, key="k", left_ts="c_ts", right_ts="v_ts",
+        max_delay="5 seconds", watermark="0 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 40
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM ssj_out").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 5
+        for r in rows:
+            assert r["c_val"] % 10 == r["v_val"] % 10 == r["k"]
+            dt = (r["v_ts"] - r["c_ts"]).total_seconds()
+            assert 0 <= dt <= 5
+    finally:
+        q.stop()
+
+
 def test_windowed_stream_agg_with_watermark(spark):
     from spark_streaming_kafka_spark.streaming.windows import windowed_stream_agg
 
