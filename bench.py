@@ -48,6 +48,8 @@ HEADLINE = [
     "tumbling_hourly_stats",  # event-time window agg
     "rollup_revenue",         # grouping-sets hash agg + joins
     "corpus_clean_pipeline",  # dedup+quality composite cleaning pass
+    "dedup_clusters",         # near-dup pairs -> components (iterative)
+    "gap_fill_hourly",        # dense resample via sequence explode
 ]
 
 

@@ -363,6 +363,82 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one
+    ``(node, component)`` row per node appearing in any edge, where
+    ``component`` is the minimum node id in its component.
+
+    This is the step that turns near-duplicate PAIRS into duplicate
+    CLUSTERS (keep one doc per cluster — pairs alone under-delete:
+    A≈B, B≈C must collapse A,B,C together even when A≉C directly).
+
+    Pregel-style min-label propagation: each round every node takes the
+    min of its own label and its neighbours' labels; converges in
+    O(component diameter) rounds — near-dup clusters are shallow (2-4).
+    Each round is one shuffle join + hash agg; ``localCheckpoint``
+    truncates lineage so plan depth stays constant (without it the
+    DAG doubles per iteration and the driver dies re-optimizing it —
+    the classic iterative-DataFrame trap). Convergence is an exact
+    fixpoint test (count of changed labels), not an iteration guess.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate clusters from exact n-gram Jaccard pairs:
+    (doc_id, cluster_id) with cluster_id = min doc id in the cluster.
+    The deletion policy at scale: keep ``doc_id == cluster_id``."""
+    pairs = ngram_jaccard_pairs(docs, threshold, k, text_col, id_col)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -64,6 +64,36 @@ def hourly_type_stats(events: DataFrame) -> DataFrame:
     ).select("window_start_ms", "event_type", "n", "sum_value")
 
 
+def gap_fill_hourly(
+    df: DataFrame, key: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Resample to a dense per-key hourly grid: one row per (key, hour)
+    between each key's first and last event, zero-filled where no
+    events fell — the gap-fill step every downstream time-series model
+    assumes has happened.
+
+    Grid = per-key bounds (one agg) + ``sequence`` explode (rows ∝ key's
+    active span, generated executor-side — no driver loop), then a left
+    join against the hourly counts on (key, hour). Both joins/aggs hash
+    on the same key ⇒ AQE keeps it to two shuffles total at any scale.
+    """
+    ms = F.expr(f"unix_millis({ts_col}) div 3600000")
+    bounds = df.groupBy(key).agg(
+        F.min(ms).alias("h0"), F.max(ms).alias("h1")
+    )
+    grid = bounds.select(
+        key, F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    actual = df.groupBy(F.col(key), ms.alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return grid.join(actual, [key, "h"], "left").select(
+        key,
+        (F.col("h") * 3600000).alias("hour_ms"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
     """Sliding-window event counts (width 1h, slide 30m ⇒ every event
     counted in exactly 2 windows)."""

@@ -699,6 +699,59 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+_CC_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@register("dedup_clusters", _CC_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via connected components
+    (Pregel-style min-label propagation, lineage-checkpointed per
+    round). Pairs under-delete (A≈B≈C must collapse together even when
+    A≉C); the oracle computes the identical components with a recursive
+    transitive closure."""
+    return dd.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "gap_fill_hourly",
+    """
+    WITH bounds AS (
+      SELECT user_id, min(epoch_ms(ts)) // 3600000 AS h0,
+             max(epoch_ms(ts)) // 3600000 AS h1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+    actual AS (
+      SELECT user_id, epoch_ms(ts) // 3600000 AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.h * 3600000 AS hour_ms,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN actual a ON a.user_id = g.user_id AND a.h = g.h
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with zero-fill (executor-side sequence
+    explode — rows ∝ active span, no driver loop)."""
+    from .operators.timewindows import gap_fill_hourly
+
+    return gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
 @register(
     "embedding_near_dup",
     """

@@ -68,6 +68,42 @@ def test_sliding_window_double_counts(spark):
     assert all(r["n"] == 1 for r in rows)
 
 
+def test_connected_components_multi_hop(spark):
+    from spark_streaming_kafka_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 round) + disjoint pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_gap_fill_hourly_zero_fills(spark):
+    from spark_streaming_kafka_spark.operators.timewindows import gap_fill_hourly
+
+    ev = spark.createDataFrame(
+        [
+            (7, dt.datetime(2024, 1, 1, 0, 10)),
+            (7, dt.datetime(2024, 1, 1, 0, 50)),
+            (7, dt.datetime(2024, 1, 1, 3, 5)),  # hours 1 and 2 are gaps
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = sorted(
+        (r["hour_ms"], r["n_events"]) for r in gap_fill_hourly(ev).collect()
+    )
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert rows == [
+        (base, 2),
+        (base + 3_600_000, 0),
+        (base + 7_200_000, 0),
+        (base + 10_800_000, 1),
+    ]
+
+
 def test_ivf_assign_no_shuffle_and_probe_recall(spark):
     from spark_streaming_kafka_spark.operators.similarity import ivf_assign, ivf_topk
     from spark_streaming_kafka_spark.sources.readers import load_table
