@@ -187,13 +187,15 @@ def minhash_signatures(
     ).select(
         "doc_id", (md5_long(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
     )
+    # One F.expr per aggregate: building these with Column operators is
+    # hundreds of Py4J round-trips (~1s of driver time per call site).
     mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"m{i}")
+            F.expr(f"min(({a} * h + {b}) % {MERSENNE_P})").alias(f"m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
-    sig = F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+    sig = F.expr("array(" + ", ".join(f"m{i}" for i in range(num_perm)) + ")")
     return mins.select("doc_id", sig.alias("signature"))
 
 
@@ -219,21 +221,15 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
+    band_structs = ", ".join(
+        "named_struct('band', {i}, 'key', concat_ws('_', {items}))".format(
+            i=i,
+            items=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
+        )
+        for i in range(bands)
+    )
     bands_df = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col("signature").getItem(i * rows + j) for j in range(rows)]
-                        ).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -290,21 +286,24 @@ def simhash_fingerprints(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     ).select("doc_id", md5_long(F.col("tok")).alias("h"))
+    # F.expr strings, not Column-operator chains: the 60 conditional
+    # sums + 60-term reassembly cost ~3s of Py4J round-trips per call
+    # site when built operator-by-operator (measured), ~0.1s as SQL.
     votes = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1))
-                .otherwise(F.lit(-1))
+            F.expr(
+                f"sum(CASE WHEN (h & {1 << i}L) != 0 THEN 1 ELSE -1 END)"
             ).alias(f"c{i}")
             for i in range(SIMHASH_BITS)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"c{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return votes.select("doc_id", fp.alias("fingerprint"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return votes.select(
+        "doc_id", F.expr(f"CAST({fp_sql} AS BIGINT)").alias("fingerprint")
+    )
 
 
 def simhash_pairs(
@@ -389,7 +388,13 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=False)
+    # persist(), NOT localCheckpoint(): the edge set is static, so cache
+    # reuse is all that's needed — and DataFrame.localCheckpoint eagerly
+    # compiles the whole upstream plan into an RDD (measured ~11s on a
+    # deep dedup-pairs subtree) where persist+count pays only one
+    # normal execution.
+    sym = sym.distinct().persist()
+    sym.count()
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
@@ -419,6 +424,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()  # labels is checkpoint-materialized; edges not needed
     return labels
 
 
