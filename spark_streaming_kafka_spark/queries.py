@@ -1061,6 +1061,70 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_stats",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM tagged
+    )
+    SELECT user_id, epoch_ms(min(ts)) AS start_ms, count(*) AS n_events
+    FROM sess GROUP BY user_id, s
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (dynamic-gap merge inside one
+    aggregation — no window-function shuffle chain), oracle-checked
+    against the classic lag/cumsum gap-sessionization SQL: proves the
+    built-in's merge semantics equal the textbook construction. This is
+    also the streaming-native form (works under a watermark unchanged)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.unix_millis(F.min("ts")).alias("start_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "start_ms", "n_events")
+    )
+
+
+@register(
+    "full_outer_activity",
+    """
+    SELECT coalesce(e.user_id, c.c_custkey) AS id,
+           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+           coalesce(c.c_mktsegment, 'NONE') AS segment
+    FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+    FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join across partially-overlapping key domains (event
+    users ⋈ customer catalog) — the reconciliation-report join shape;
+    null sides normalized with sentinels for deterministic output."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ev.join(cust, ev.user_id == cust.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce("user_id", "c_custkey").alias("id"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("c_mktsegment", F.lit("NONE")).alias("segment"),
+    )
+
+
+@register(
     "sentinel_flush",
     """
     SELECT e.user_id, e.event_id, e.event_type FROM events e

@@ -170,6 +170,26 @@ def test_stream_stream_time_bounded_join(spark):
         q.stop()
 
 
+def test_temporal_join_plans_scale(spark):
+    """Scale discipline for the temporal joins: no nested-loop join may
+    appear (the naive theta-join formulation Spark would otherwise pick),
+    and the corpus pipeline's scan must prune to the used columns."""
+    from spark_streaming_kafka_spark.plans.inspect import (
+        explain_str,
+        scan_read_schema,
+    )
+    from spark_streaming_kafka_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for q in ["asof_click_view", "band_join_click_error", "gap_fill_hourly"]:
+        plan = explain_str(REGISTRY[q][0](spark, sf), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+    cols = set(scan_read_schema(REGISTRY["corpus_clean_pipeline"][0](spark, sf)))
+    assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned at scan
+
+
 def test_windowed_stream_agg_with_watermark(spark):
     from spark_streaming_kafka_spark.streaming.windows import windowed_stream_agg
 
