@@ -607,6 +607,81 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@register(
+    "hash_sample_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {duckdb_md5_long("concat('split_', doc_id)")} % 100 AS bucket
+          FROM documents)
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (80/10/10) — how
+    reproducible sampling is actually done at 100 TB: no RNG state, no
+    shuffle, any engine recomputes the same assignment from the key
+    alone (seeded ``randomSplit`` is partitioning-dependent; this
+    isn't). Salt prefix = the split 'seed'."""
+    from .functions.hashing import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.concat(F.lit("split_"), F.col("doc_id"))) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) rn
+          FROM scored) WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (smoothed idf). Term frequencies
+    and document frequencies are two hash aggs over one explode; the idf
+    join broadcasts (vocabulary ≪ corpus); final cut is the windowed
+    top-k. Rounding before ranking pins float-order ties."""
+    from .operators.windows import per_group_top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    ranked = per_group_top_k(
+        scored, "doc_id", [F.col("tfidf").desc(), F.col("term").asc()], 3
+    )
+    return ranked.select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+
+
 # =====================================================================
 # Deduplication
 # =====================================================================
