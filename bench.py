@@ -50,6 +50,7 @@ HEADLINE = [
     "corpus_clean_pipeline",  # dedup+quality composite cleaning pass
     "dedup_clusters",         # near-dup pairs -> components (iterative)
     "gap_fill_hourly",        # dense resample via sequence explode
+    "etl_ratings_pipeline",   # reference's full ETL (filters+W1+top-200)
 ]
 
 

@@ -360,6 +360,53 @@ def q_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_ratings_pipeline",
+    """
+    WITH trip AS (
+      SELECT o.o_custkey AS user_id, l.l_partkey AS song_id,
+             CAST(l.l_quantity AS BIGINT) AS listen_count
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    f1 AS (SELECT * FROM trip WHERE listen_count >= 2),
+    tot AS (SELECT user_id, sum(listen_count) AS total FROM f1 GROUP BY user_id),
+    f2 AS (SELECT f1.* FROM f1 JOIN tot USING (user_id) WHERE tot.total >= 20),
+    q AS (SELECT user_id, quantile_cont(listen_count, [0.2, 0.4, 0.6, 0.8]) AS qs
+          FROM f2 GROUP BY user_id),
+    rated AS (
+      SELECT f2.user_id, f2.song_id,
+             CASE WHEN listen_count >= qs[4] THEN 5.0
+                  WHEN listen_count >= qs[3] THEN 4.0
+                  WHEN listen_count >= qs[2] THEN 3.0
+                  WHEN listen_count >= qs[1] THEN 2.0
+                  ELSE 1.0 END AS rating
+      FROM f2 JOIN q USING (user_id)
+    ),
+    songtot AS (SELECT song_id, sum(listen_count) AS total FROM f2 GROUP BY song_id),
+    cat AS (SELECT song_id FROM songtot ORDER BY total DESC, song_id ASC LIMIT 200)
+    SELECT r.user_id, r.song_id, r.rating FROM rated r JOIN cat USING (song_id)
+    """,
+)
+def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL ETL (music_ETL.ipynb, SURVEY.md Phase 2) as
+    one declarative flow over etl.py: noise filter → active-user
+    semi-join → per-user exact-quantile bucketing (W1) → top-200 catalog
+    restriction. Customers stand in for users, parts for songs,
+    lineitem quantities for listen counts. The reference ran a pandas
+    quantile call per user on the driver; here it's three hash aggs and
+    two semi-joins at any scale."""
+    from .etl import build_ratings
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trip = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("song_id"),
+        F.col("l_quantity").cast("long").alias("listen_count"),
+    )
+    return build_ratings(trip)
+
+
+@register(
     "ntile_buckets",
     """
     SELECT o_orderkey, o_custkey,
