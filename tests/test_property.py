@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis): the custom operators against
+independent in-Python oracles on randomized inputs — the places where a
+hand-picked example could miss a tie/boundary case (equal timestamps,
+duplicate keys, singleton components, tolerance edges).
+
+Example counts are kept small: each example round-trips through Spark
+(~100 ms), so these buy breadth of INPUTS, not volume."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_streaming_kafka_spark.operators.asof import asof_join, band_join
+from spark_streaming_kafka_spark.operators.dedup import connected_components
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+
+
+# unique (key, ts) right sides — the operator's documented precondition
+right_rows = st.dictionaries(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), st.integers(0, 9),
+    min_size=1, max_size=12,
+).map(lambda d: [(k, t, float(v)) for (k, t), v in d.items()])
+left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+)
+
+
+@given(left=left_rows, right=right_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t) in enumerate(left)],
+        "k int, ts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in right], "k int, ts timestamp, v double"
+    )
+    got = {
+        r["lid"]: (r["m_ts"], r["m_v"])
+        for r in asof_join(ldf, rdf, "k", prefix="m_").collect()
+    }
+
+    lpd = pd.DataFrame(
+        {"k": [k for k, _ in left], "ts": [_ts(t) for _, t in left],
+         "lid": range(len(left))}
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(
+        {"k": [k for k, _, _ in right], "ts": [_ts(t) for _, t, _ in right],
+         "v": [v for _, _, v in right]}
+    ).sort_values("ts", kind="stable")
+    exp = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        # matched value per pandas; matched ts = max right ts <= left ts
+        got_ts, got_v = got[row["lid"]]
+        if pd.isna(row["v"]):
+            assert got_v is None and got_ts is None
+        else:
+            assert got_v == row["v"]
+            cands = rpd[(rpd["k"] == row["k"]) & (rpd["ts"] <= row["ts"])]
+            assert got_ts == cands["ts"].max().to_pydatetime()
+
+
+@given(left=left_rows, right=left_rows, tol=st.sampled_from([1000, 5000, 20000]))
+@settings(**_SETTINGS)
+def test_band_join_matches_bruteforce(spark, left, right, tol):
+    ldf = spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t) in enumerate(left)],
+        "k int, lts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), i) for i, (k, t) in enumerate(right)],
+        "k int, rts timestamp, rid int",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in band_join(ldf, rdf, "k", tol, "lts", "rts").collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and abs(lt - rt) * 1000 <= tol
+    )
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=20
+    )
+)
+@settings(**{**_SETTINGS, "max_examples": 8})  # each example iterates jobs
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
