@@ -169,6 +169,43 @@ def q_top_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "serving_top_ratings",
+    """
+    WITH ca AS (
+      SELECT l_partkey AS song_id, count(*) AS n_ratings,
+             round(avg(l_quantity), 6) AS predicted_rating
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_name AS title, ca.predicted_rating, ca.n_ratings, ca.song_id
+    FROM ca JOIN part p ON p.p_partkey = ca.song_id
+    WHERE ca.n_ratings >= 25
+    ORDER BY ca.predicted_rating DESC, ca.song_id ASC
+    LIMIT 25
+    """,
+)
+def q_serving_top_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's serving query VERBATIM (engine.py:73-81
+    get_top_ratings: counts-and-averages → min-25-ratings filter →
+    title join → top-25), parts standing in for the song catalog and
+    mean rating for the model score. One hash agg + one broadcast join
+    + TakeOrderedAndProject — the per-batch driver loop of
+    spark_streaming_kafka.py:58 reduced to three operators."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "song_id")
+    ca = counts_and_averages(li, "song_id", "l_quantity").select(
+        "song_id", "n_ratings", F.round("avg_rating", 6).alias("predicted_rating")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("song_id"), F.col("p_name").alias("title")
+    )
+    served = ca.filter(F.col("n_ratings") >= 25).join(F.broadcast(part), "song_id")
+    return top_k(
+        served.select("title", "predicted_rating", "n_ratings", "song_id"),
+        [F.col("predicted_rating").desc(), F.col("song_id").asc()],
+        25,
+    )
+
+
+@register(
     "topk_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -68,6 +68,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def socket_stream_source(
+    spark: SparkSession, host: str = "localhost", port: int = 9999
+) -> DataFrame:
+    """Socket text stream (S7 — the reference's
+    ``ssc.socketTextStream('localhost', 9999)`` at
+    ``kafka_streaming.py:30``). Debug/demo source: not replayable, no
+    offsets — use Kafka for anything that must survive a restart."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All testdata tables keyed by name (TESTDATA.md)."""
     from ..schemas import TESTDATA_TABLES
