@@ -32,6 +32,8 @@ Scale analysis (the reason each exists):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -245,23 +247,49 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    shs = fan_out(docs).select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
-    )
-    sa = shs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Exact-Jaccard verification, candidate-bounded: fetch the two texts
+    # per candidate pair (cand is tiny — both joins broadcast it) and
+    # shingle+compare in an Arrow-batched pandas UDF. The previous
+    # formulation re-ran the interpreted word_shingles expression over
+    # the WHOLE corpus twice (~2× corpus scans of higher-order lambda
+    # evaluation); this does Python set-ops on |candidates| rows only.
+    da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    jac = _jaccard_text_udf(k)
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-        )
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _py_shingles(text: str, k: int) -> set[str]:
+    """Python twin of :func:`word_shingles` — identical tokenization
+    (split on single spaces, drop empties) and k-gram construction, so
+    UDF-verified Jaccard equals the column-algebra/oracle value."""
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard_text_udf(k: int):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ta, tb):
+            sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            out.append(inter / union if union else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return jac
 
 
 #: SimHash fingerprint width. 60 bits = what md5_long provides; plenty
