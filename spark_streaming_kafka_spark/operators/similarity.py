@@ -136,6 +136,8 @@ def lsh_cosine_topk(
     """
     from .windows import per_group_top_k
 
+    from collections.abc import Iterator
+
     b = signature_buckets(emb, n_planes, dim, vec_col)
     left = b.select(
         F.col(id_col).alias("query_id"),
@@ -147,15 +149,41 @@ def lsh_cosine_topk(
         F.col(vec_col).alias("n_vec"),
         F.col("bucket"),
     )
-    scored = (
-        left.join(right, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("n_vec")))
+    pairs = left.join(right, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    if round_digits is not None:
-        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
+
+    digits = round_digits
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # row-wise cosine via one vectorized einsum per Arrow batch —
+        # the interpreted zip_with fold costs ~64 interpreter steps per
+        # pair; candidate volume is n²/2^planes, so this is the hot loop
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.vstack(pdf["q_vec"].to_numpy()).astype(np.float64)
+            c = np.vstack(pdf["n_vec"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", a, c) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(c, axis=1)
+            )
+            if digits is not None:
+                cos = np.round(cos, digits)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
     return per_group_top_k(
-        scored.select("query_id", "neighbor_id", "cosine"),
+        scored,
         "query_id",
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
