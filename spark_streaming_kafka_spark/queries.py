@@ -692,6 +692,29 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "normalize_text_regex",
+    """
+    SELECT doc_id,
+           regexp_replace(substr(text, 1, 60), '[aeiou]', '_', 'g') AS masked,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+def q_normalize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — regexp_replace normalization (the reference escaped quotes
+    by string replace before SQL-concatenating, rating_data_to_longdb
+    .txt:48 — made obsolete by parameterized writes, kept as the generic
+    text-normalization scalar). Spark replaces globally by default;
+    DuckDB needs the 'g' flag — pinned here."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 60), "[aeiou]", "_").alias("masked"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long").alias("n_spaces"),
+    )
+
+
+@register(
     "hash_sample_split",
     f"""
     SELECT doc_id,
