@@ -169,6 +169,27 @@ def q_top_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_by_month",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup (date_trunc + format) — the date-scalar
+    family the reference never had; partition-pruning-friendly key shape
+    for date-partitioned lakes."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
     "serving_top_ratings",
     """
     WITH ca AS (
