@@ -128,6 +128,62 @@ def test_ivf_assign_no_shuffle_and_probe_recall(spark):
     assert all(r["rank"] <= 3 for r in rows)
 
 
+def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Stop a stateful streaming query mid-run and restart it from its
+    checkpoint: the restored query must CONTINUE the aggregation (counts
+    at least what the first run reached), not reset — the durability
+    contract the reference's receiver-based DStreams never had."""
+    from spark_streaming_kafka_spark.streaming.wordcount import streaming_word_count
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        spark.sql("DROP TABLE IF EXISTS ckpt_out")
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+            .withColumn("value", F.concat(F.lit("w"), (F.col("value") % 2).cast("string")))
+        )
+        return (
+            streaming_word_count(stream, "value")
+            .writeStream.format("memory")
+            .queryName("ckpt_out")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def totals():
+        return {r["word"]: r["count"] for r in spark.sql("SELECT * FROM ckpt_out").collect()}
+
+    q = start()
+    try:
+        deadline = time.time() + 30
+        t1 = {}
+        while time.time() < deadline:
+            t1 = totals()
+            if sum(t1.values()) >= 100:
+                break
+            time.sleep(0.5)
+        assert sum(t1.values()) >= 100
+    finally:
+        q.stop()
+
+    q2 = start()
+    try:
+        deadline = time.time() + 30
+        t2 = {}
+        while time.time() < deadline:
+            t2 = totals()
+            if t2 and sum(t2.values()) >= sum(t1.values()):
+                break
+            time.sleep(0.5)
+        # restored state: totals continue from (>=) the first run's
+        assert sum(t2.values()) >= sum(t1.values())
+        assert set(t2) >= set(t1)
+    finally:
+        q2.stop()
+
+
 def test_stream_stream_time_bounded_join(spark):
     from spark_streaming_kafka_spark.streaming.joins import time_bounded_join
 
