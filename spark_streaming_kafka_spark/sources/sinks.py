@@ -114,3 +114,34 @@ def mongo_write(df: DataFrame, **kwargs) -> None:
 def console_sink(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
     """S18 — batch peek."""
     df.show(n, truncate)
+
+
+def mongo_read(spark, uri: str, database: str, collection: str) -> DataFrame:
+    """S15 — distributed Mongo scan via the Spark Mongo connector
+    (replaces the reference's driver-side ``music.find()`` cursor,
+    ``lyric.ipynb#cell1``). Requires the ``mongodb`` connector JAR on
+    the classpath; raises Spark's DATA_SOURCE error otherwise."""
+    return (
+        spark.read.format("mongodb")
+        .option("spark.mongodb.read.connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .load()
+    )
+
+
+def redis_hget_client(
+    key: str, field: str, host: str = "localhost", port: int = 6379
+):
+    """S13 — the reference's LINE-bot read path (``line_music.ipynb
+    #cell1``: ``r.hget('music', userid)`` + ``eval``) as a safe client:
+    values are stored as JSON by redis_hset_partition, decoded with
+    ``json.loads`` — never ``eval``. Driver/test-harness utility, not a
+    distributed read (Redis hashes don't partition a Spark scan)."""
+    import json
+
+    import redis  # lazy: not installed in this container
+
+    r = redis.Redis(host=host, port=port)
+    raw = r.hget(key, field)
+    return None if raw is None else json.loads(raw)
