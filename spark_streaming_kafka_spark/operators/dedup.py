@@ -423,11 +423,9 @@ def connected_components(
     # normal execution.
     sym = sym.distinct().persist()
     sym.count()
-    # init = one propagation hop pre-folded (min of self and direct
-    # neighbours): diameter-2 components — the common near-dup case —
-    # then converge in a single verification round.
-    labels = sym.groupBy(F.col("a").alias("node")).agg(
-        F.least(F.min("b"), F.first("a")).alias("component")
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
     )
     for _ in range(max_iter):
         neigh = (
