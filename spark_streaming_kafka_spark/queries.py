@@ -707,8 +707,12 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting — position-weighted rolling hash,
-    portable across engines via the md5-prefix integer hash."""
-    docs = _t(spark, sf_dir, "documents")
+    portable across engines via the md5-prefix integer hash. fan_out
+    spreads the per-token hashing across cores when the scan arrives
+    as a single row group (no-op on a many-split scan at scale)."""
+    from .operators.skew import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
