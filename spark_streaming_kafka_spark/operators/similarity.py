@@ -127,67 +127,95 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate all-pairs top-k: score only same-bucket pairs.
 
-    Bucketed self-join shuffles on ``bucket`` — candidate volume is
-    Σ_bucket |bucket|², i.e. n²/2^planes for balanced buckets. Tune
-    ``n_planes`` so the expected bucket size fits the executor
-    (8 planes ⇒ 256 buckets). Recall is per-pair (cos θ angle-dependent);
-    raise recall by unioning rotations (multiple plane sets) — same
-    plumbing, deterministic planes indexed by set id.
+    Two Arrow stages, ONE shuffle whose volume is O(n) rows (each vector
+    travels once, keyed by bucket) — NOT the O(n²/2^planes) pair join a
+    naive bucketed self-join would ship:
+
+    1. ``mapInPandas`` bucketing — all ``n_planes`` sign bits from one
+       BLAS matmul per batch (the interpreted per-element fold costs
+       planes×dim interpreter steps per row).
+    2. ``groupBy(bucket).applyInPandas`` — the whole bucket lands in one
+       pandas frame; the full in-bucket cosine matrix is a single gemm
+       (B·Bᵀ of unit rows) and the per-query top-k is two stable
+       argsorts. Candidate scoring work is still Σ|bucket|² but it runs
+       at BLAS speed with zero pair materialization.
+
+    Tune ``n_planes`` so the expected bucket (n/2^planes rows) fits one
+    task's memory — that is the operator's scale knob; skewed buckets
+    ⇒ add planes (or band the signature like MinHash-LSH). Recall is
+    per-pair (cos θ angle-dependent); raise recall by unioning rotations
+    (multiple plane sets) — same plumbing, deterministic planes indexed
+    by set id.
     """
-    from .windows import per_group_top_k
+    import numpy as np
 
     from collections.abc import Iterator
 
-    b = signature_buckets(emb, n_planes, dim, vec_col)
-    left = b.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("bucket"),
-    )
-    right = b.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        F.col("bucket"),
-    )
-    pairs = left.join(right, "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-
+    planes = np.array(
+        [hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    )  # (planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
     digits = round_digits
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # row-wise cosine via one vectorized einsum per Arrow batch —
-        # the interpreted zip_with fold costs ~64 interpreter steps per
-        # pair; candidate volume is n²/2^planes, so this is the hot loop
-        import numpy as np
-
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            a = np.vstack(pdf["q_vec"].to_numpy()).astype(np.float64)
-            c = np.vstack(pdf["n_vec"].to_numpy()).astype(np.float64)
-            cos = np.einsum("ij,ij->i", a, c) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(c, axis=1)
-            )
-            if digits is not None:
-                cos = np.round(cos, digits)
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ planes.T) >= 0.0
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cosine": cos,
+                    "vec_id": pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "bucket": bits @ weights,
                 }
             )
 
-    scored = pairs.mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double"
+    # NB: no fan_out here — the bucketing matmul is trivial relative to
+    # the vector bytes an extra round-robin shuffle would move (measured
+    # ~30% slower with it at sf0.1); the groupBy below already spreads
+    # the heavy per-bucket stage across cores.
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"vec_id long, vec {emb.schema[vec_col].dataType.simpleString()}, bucket long"
     )
-    return per_group_top_k(
-        scored,
-        "query_id",
-        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
-        k,
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int32"),
+            }
+        )
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        if digits is not None:
+            sims = np.round(sims, digits)
+        np.fill_diagonal(sims, -np.inf)  # exclude self-matches
+        # rank: cosine desc, neighbor_id asc — two stable sorts
+        col_order = np.argsort(ids, kind="stable")
+        sims = sims[:, col_order]
+        order = np.argsort(-sims, axis=1, kind="stable")
+        kk = min(k, m - 1)
+        top = order[:, :kk]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, kk),
+                "neighbor_id": ids[col_order][top].ravel(),
+                "cosine": np.take_along_axis(sims, top, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), m),
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        bucket_topk, schema="query_id long, neighbor_id long, cosine double, rank int"
+    )
 
 
 def _codebook_sims(
