@@ -39,7 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",      # signatures + banding + verify
     "dedup_simhash",          # fingerprints + banding
     "ann_topk_bruteforce",    # broadcast NLJ + vector fold + window
-    "ann_topk_lsh",           # bucketed self-join ANN
+    "ann_topk_lsh",           # sign-LSH buckets + per-bucket BLAS top-k
     "ann_topk_ivf",           # IVF cells: shuffle-free assign + probe
     "quality_scores",         # text feature extraction
     "doc_fingerprints",       # rolling-hash fingerprint
@@ -66,9 +66,16 @@ def main() -> None:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # pass 2 (measured): steady-state
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        # drop blocks orphaned by the PREVIOUS query (iterative ops
+        # localCheckpoint per round; the RDD blocks are only released
+        # when Python refs die) so they can't distort this measurement
+        spark.catalog.clearCache()
+        gc.collect()
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

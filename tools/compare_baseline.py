@@ -45,9 +45,13 @@ def main() -> None:
     spark = get_spark("compare_baseline")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import gc
+
     out: dict[str, dict[str, float]] = {}
     for name in bench.HEADLINE:
         fn, sql = REGISTRY[name]
+        spark.catalog.clearCache()  # release blocks orphaned upstream
+        gc.collect()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
