@@ -46,28 +46,65 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k nearest neighbours (cosine) for each query vector.
 
-    ``queries`` is a small DataFrame (query_id, vector) — broadcast to
-    every executor, so the big side streams once with no shuffle; the
-    per-query top-k heap is a window over rounded cosine with vec_id
-    tiebreak (rounding pins ordering against float associativity noise).
-    Self-matches are excluded by id when query ids live in the corpus.
+    ``queries`` is small (the serving set) — collected once and shipped
+    in the task closure, exactly like a broadcast dim. The corpus then
+    streams ONCE through ``mapInPandas``: each Arrow batch is scored
+    against all queries with a single BLAS matmul and cut to a per-batch
+    partial top-k, so the shuffle into the final ranking window carries
+    ≤ k·|queries| rows per batch instead of n·|queries| scored pairs —
+    the map-side-combine shape that keeps a 100 TB corpus scan-bound.
+    (The previous formulation — broadcast nested-loop join + per-pair
+    interpreted zip_with fold — burned planes×dim interpreter steps per
+    pair and shipped every scored row to the window.)
+
+    Rounding before ranking pins order against float-fold noise;
+    self-matches are excluded by id when query ids live in the corpus.
     """
+    import numpy as np
+
+    from collections.abc import Iterator
+
     from .windows import per_group_top_k
 
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    digits = round_digits
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (batch, nq)
+            if digits is not None:
+                sims = np.round(sims, digits)
+            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
+            # per-batch partial top-k per query, same order as the final
+            # ranking (cosine desc, neighbor id asc) — keeping k per
+            # batch provably retains every global top-k row
+            row_order = np.argsort(ids, kind="stable")
+            s = sims[row_order].T  # (nq, batch), neighbor-id ascending
+            kk = min(k, s.shape[1])
+            top = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            cos = np.take_along_axis(s, top, axis=1).ravel()
+            keep = np.isfinite(cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk)[keep],
+                    "neighbor_id": ids[row_order][top].ravel()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
     )
-    scored = (
-        emb.alias("e")
-        .join(F.broadcast(q), F.col("query_id") != F.col(id_col))
-        .withColumn(
-            "cosine", cosine_similarity(F.col("q_vec"), F.col(vec_col))
-        )
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("cosine", F.round("cosine", round_digits))
     ranked = per_group_top_k(
-        scored.select("query_id", F.col(id_col).alias("neighbor_id"), "cosine"),
+        scored,
         "query_id",
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
