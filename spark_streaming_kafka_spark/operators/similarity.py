@@ -3,13 +3,13 @@
 Two tiers:
 
 - :func:`cosine_topk` — exact brute-force top-k per query vector. The
-  correctness baseline; O(|Q|·n·d) with everything in JVM column algebra
-  (``zip_with``/``aggregate`` dot products — no Python exchange).
+  correctness baseline; O(|Q|·n·d) as one Arrow/BLAS streaming pass with
+  map-side partial top-k (the corpus is scanned once, never joined).
 - :func:`lsh_cosine_topk` — random-hyperplane (sign) LSH bucketing: only
-  pairs agreeing on all ``n_planes`` sign bits are scored. Sub-linear
-  candidate sets at the cost of recall; hyperplanes are derived
-  deterministically from md5 so results are reproducible anywhere
-  (including the DuckDB oracle).
+  pairs agreeing on all ``n_planes`` sign bits are scored, via a
+  per-bucket BLAS cosine matrix. Sub-linear candidate sets at the cost
+  of recall; hyperplanes are derived deterministically from md5 so
+  results are reproducible anywhere (including the DuckDB oracle).
 
 - :func:`ivf_topk` — IVF cells: assign every vector to its nearest
   codebook centroid (:func:`ivf_assign`, shuffle-free column algebra),
@@ -17,9 +17,13 @@ Two tiers:
   100 TB vector volumes; codebook pluggable (deterministic sample here,
   ``pyspark.ml.clustering.KMeans`` in production).
 
-A numpy ``pandas_udf`` dot-product variant is provided for very wide
-vectors (>2k dims) where per-element Catalyst expression trees get
-clumsy; at 64 dims the pure-SQL fold wins (no Arrow round-trip).
+Vector math here deliberately lives in Arrow + BLAS (``mapInPandas`` /
+``applyInPandas``), not Catalyst expressions: per-element higher-order
+folds run interpreted (~dim steps per pair) and fully-unrolled column
+trees cost more to codegen-compile than to run — measured on the IVF
+codebook (see :func:`ivf_assign`) and re-confirmed at 64 dims for both
+ANN paths. A ``pandas_udf`` dot-product (:func:`..functions.vectors`)
+remains for ad-hoc wide-vector scoring.
 """
 
 from __future__ import annotations
