@@ -120,3 +120,27 @@ def test_numpy_scorer_matches_column_algebra(spark, emb):
         nid, cos = approx_top[(r["query_id"], r["rank"])]
         assert nid == r["neighbor_id"]
         assert cos == pytest.approx(r["cosine"], abs=1e-6)
+
+
+def test_ann_plans_stream_once_no_pair_join(spark, emb):
+    """Scale discipline for the ANN paths: the corpus must stream once
+    through Arrow (no nested-loop / cartesian pair join materializing
+    vector pairs), and the LSH path's only exchange is the one hash
+    partition on bucket feeding the per-bucket scorer."""
+    import re
+
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = explain_str(sim.cosine_topk(emb, queries, k=5), "simple")
+    assert "BroadcastNestedLoopJoin" not in bf
+    assert "CartesianProduct" not in bf
+    assert "MapInPandas" in bf
+
+    lsh = explain_str(sim.lsh_cosine_topk(emb, k=5), "simple")
+    assert "BroadcastNestedLoopJoin" not in lsh
+    assert "CartesianProduct" not in lsh
+    assert "SortMergeJoin" not in lsh and "BroadcastHashJoin" not in lsh
+    assert len(re.findall(r"Exchange hashpartitioning\(bucket", lsh)) == 1
