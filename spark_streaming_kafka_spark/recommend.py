@@ -36,7 +36,13 @@ from pyspark.ml.recommendation import ALS, ALSModel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.relational import anti_join, counts_and_averages, top_k, union_ratings
+from .operators.relational import (
+    anti_join,
+    counts_and_averages,
+    semi_join,
+    top_k,
+    union_ratings,
+)
 
 _CHECKPOINT_EVERY = 10
 
@@ -136,6 +142,41 @@ class RecommendationEngine:
             [F.col("predicted_rating").desc(), F.col("song_id").asc()],
             k,
         )
+
+    def get_top_ratings_for_users(self, users: DataFrame, k: int = 25) -> DataFrame:
+        """Batch form of :meth:`get_top_ratings`: top-k unrated songs for
+        EVERY user in ``users`` (a one-column user_id DataFrame) in ONE
+        distributed job.
+
+        Same semantics per user as the single-user path (candidates =
+        supported catalog − user's rated songs; order by predicted_rating
+        desc, song_id asc), but the anti-join, ALS transform, context
+        joins, and per-user top-k all happen batch-wide: a micro-batch
+        with 10k distinct users is still one Spark job, not 10k jobs with
+        a 10k-deep union plan (reference served one user per request,
+        ``engine.py:73-81``).
+        """
+        self._require_model()
+        from .operators.windows import per_group_top_k
+
+        users = users.select("user_id").distinct()
+        support = self.rating_counts.filter(
+            F.col("n_ratings") >= self.min_ratings
+        ).select("song_id")
+        # candidate grid: batch users × supported songs (support is the
+        # small side — broadcast); minus each user's rated history.
+        cand = users.crossJoin(F.broadcast(support))
+        rated = semi_join(
+            self.ratings.select("user_id", "song_id"), users, "user_id"
+        )
+        cand = anti_join(cand, rated, ["user_id", "song_id"])
+        scored = self._with_context(self.model.transform(cand))
+        return per_group_top_k(
+            scored,
+            "user_id",
+            [F.col("predicted_rating").desc(), F.col("song_id").asc()],
+            k,
+        ).drop("rank")
 
     def recommend_for_all_users(self, k: int = 25) -> DataFrame:
         """All-users top-k in one distributed pass — the generalization

@@ -56,11 +56,11 @@ class StreamingRecommender:
         self.engine.add_ratings(
             batch_df.select("user_id", "song_id", "rating"), retrain=retrain
         )
-        users = [r["user_id"] for r in batch_df.select("user_id").distinct().collect()]
-        recs = None
-        for uid in users:  # each is a narrow distributed job; typically
-            user_recs = self.engine.get_top_ratings(uid, self.top_k)  # few users/batch
-            recs = user_recs if recs is None else recs.unionByName(user_recs)
+        # One serve plan for the whole batch — no per-user driver loop
+        # (a batch with 10k distinct users is one job, not 10k).
+        recs = self.engine.get_top_ratings_for_users(
+            batch_df.select("user_id"), self.top_k
+        )
         if recs is not None and self.sink is not None:
             self.sink(recs, batch_id)
         return recs

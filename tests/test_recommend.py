@@ -46,6 +46,34 @@ def test_top_ratings_excludes_rated(engine, ratings):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_batch_serving_matches_per_user_path(spark, engine):
+    """get_top_ratings_for_users == per-user get_top_ratings for every
+    user, and the batch plan is ONE job with no per-user Union chain
+    (the round-1 streaming loop launched one job per distinct user)."""
+    users = spark.createDataFrame([(3,), (5,), (7,)], "user_id int")
+    batch = engine.get_top_ratings_for_users(users, k=10)
+    assert "Union" not in batch._jdf.queryExecution().optimizedPlan().toString()
+    got = {
+        u: [(r["song_id"], round(r["predicted_rating"], 4)) for r in rows]
+        for u, rows in _by_user(batch.collect()).items()
+    }
+    for uid in (3, 5, 7):
+        want = [
+            (r["song_id"], round(r["predicted_rating"], 4))
+            for r in engine.get_top_ratings(uid, k=10).collect()
+        ]
+        assert got[uid] == want
+
+
+def _by_user(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["user_id"], []).append(r)
+    for u in out:
+        out[u].sort(key=lambda r: (-r["predicted_rating"], r["song_id"]))
+    return out
+
+
 def test_recommend_for_all_users_shape(engine):
     recs = engine.recommend_for_all_users(k=3)
     counts = recs.groupBy("user_id").count().collect()
