@@ -390,6 +390,28 @@ def simhash_pairs(
     )
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of RDDs currently persisted in this SparkContext."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdds(sc, rdd_ids: set[int]) -> None:
+    """Explicitly free persisted RDD blocks by id (non-blocking).
+
+    ``DataFrame.localCheckpoint`` persists an internal RDD that
+    ``DataFrame.unpersist()`` does NOT release — without this, every
+    iteration of an iterative op leaves its superseded checkpoint blocks
+    resident until Python GC + ContextCleaner get around to them, which
+    measurably destabilizes long sessions (a warm `dedup_clusters` pass
+    swung 4.7 s ↔ 29 s under the accumulated block-manager pressure).
+    """
+    live = sc._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = live.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -427,12 +449,15 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
     )
+    sc = edges.sparkSession.sparkContext
+    prev_ckpt_ids: set[int] = set()
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
+        pre_ids = _persistent_rdd_ids(sc)
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
@@ -441,8 +466,9 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: materialized before old blocks go
         )
+        new_ckpt_ids = _persistent_rdd_ids(sc) - pre_ids
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -450,6 +476,11 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        # The previous round's checkpoint is now unreachable by any plan
+        # — free its blocks NOW instead of waiting for GC (see
+        # _unpersist_rdds; only the final labels checkpoint survives).
+        _unpersist_rdds(sc, prev_ckpt_ids)
+        prev_ckpt_ids = new_ckpt_ids
         if changed == 0:
             break
     sym.unpersist()  # labels is checkpoint-materialized; edges not needed
@@ -462,11 +493,37 @@ def dedup_clusters(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidates: str = "minhash",
+    max_df: int | None = None,
+    num_perm: int = 32,
+    bands: int = 16,
 ) -> DataFrame:
-    """Near-duplicate clusters from exact n-gram Jaccard pairs:
-    (doc_id, cluster_id) with cluster_id = min doc id in the cluster.
-    The deletion policy at scale: keep ``doc_id == cluster_id``."""
-    pairs = ngram_jaccard_pairs(docs, threshold, k, text_col, id_col)
+    """Near-duplicate clusters: (doc_id, cluster_id) with cluster_id =
+    min doc id in the cluster. The deletion policy at scale: keep
+    ``doc_id == cluster_id``.
+
+    ``candidates`` selects pair generation:
+
+    - ``"minhash"`` (default) — MinHash-LSH candidates, each verified
+      with EXACT Jaccard (``minhash_lsh_pairs(verify=True)``): the edge
+      set is exact Jaccard on the surviving candidates, and candidate
+      volume is ≈ true-pair volume — sub-quadratic by construction.
+      A stop-shingle shared by 1M docs contributes nothing unless the
+      band signatures also collide.
+    - ``"exact"`` — the inverted-index self-join, optionally capped with
+      ``max_df``. Unbounded (``max_df=None``) is only safe as a small-
+      corpus oracle/verifier; its join volume is Σ_shingle df².
+    """
+    if candidates == "minhash":
+        pairs = minhash_lsh_pairs(
+            docs, threshold, num_perm, bands, k, text_col, id_col, verify=True
+        )
+    elif candidates == "exact":
+        pairs = ngram_jaccard_pairs(
+            docs, threshold, k, text_col, id_col, max_df=max_df
+        )
+    else:
+        raise ValueError(f"unknown candidates strategy: {candidates!r}")
     cc = connected_components(pairs.select("id_a", "id_b"))
     return cc.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
@@ -478,18 +535,126 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_below: int = 50_000,
+    n_planes: int = 8,
+    n_rotations: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Semantic near-dup: pairs with cosine ≥ threshold.
 
-    Exact all-pairs — O(n²)·d, fine to ~10⁴–10⁵ vectors. Beyond that,
-    bucket first with :func:`..operators.similarity.signature_buckets`
-    (random-hyperplane LSH) and run this inside buckets.
+    Size-gated plan:
+
+    - corpus ≤ ``exact_below`` rows → exact all-pairs (O(n²)·d) — the
+      small-corpus / oracle-verifiable path.
+    - larger → random-hyperplane sign-LSH bucketing (the machinery of
+      :func:`..operators.similarity.lsh_cosine_topk`): each vector is
+      bucketed per rotation by its ``n_planes`` sign bits, and cosine is
+      computed only inside buckets with one BLAS gemm per bucket.
+      Per-pair recall is 1−(1−(1−θ/π)^planes)^rotations — raise
+      ``n_rotations`` for recall, ``n_planes`` for smaller buckets
+      (expected bucket = n/2^planes rows must fit one task). Shuffle is
+      O(n·rotations) vector rows, never O(n²) pairs.
+
+    Force a path with ``exact_below=0`` (always bucketed) or a huge
+    value (always exact).
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if emb.count() <= exact_below:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    return _bucketed_near_dup_pairs(
+        emb, threshold, id_col, vec_col, n_planes, n_rotations, dim
+    )
+
+
+def _bucketed_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_rotations: int,
+    dim: int,
+) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs (the >exact_below path).
+
+    Stage 1 (``mapInPandas``): one BLAS matmul per Arrow batch computes
+    all rotations' sign bits; each vector is emitted once per rotation
+    keyed by (rotation, bucket). Stage 2 (``groupBy.applyInPandas``):
+    the in-bucket cosine matrix is one gemm; pairs ≥ threshold are
+    emitted with id_a < id_b. Cross-rotation duplicates are collapsed
+    with ``dropDuplicates`` — cosine values are bit-identical across
+    rotations (same float pipeline), so the pair key suffices.
+    """
+    import numpy as np
+
+    from .similarity import hyperplane
+
+    planes = np.array(
+        [
+            [hyperplane(dim, r * n_planes + p) for p in range(n_planes)]
+            for r in range(n_rotations)
+        ],
+        dtype=np.float64,
+    )  # (rotations, planes, dim)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    n_rot = n_rotations
+    thr = threshold
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for r in range(n_rot):
+                bits = (m @ planes[r].T) >= 0.0
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col],
+                        "vec": pdf[vec_col],
+                        "rot": r,
+                        "bucket": bits @ weights,
+                    }
+                )
+
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"vec_id long, vec {vec_type}, rot int, bucket long"
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= thr
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": sims[ia, ib][keep],
+            }
+        )
+
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        bucketed.groupBy("rot", "bucket")
+        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -68,6 +68,65 @@ def test_simhash_bands_guard():
         dd.simhash_pairs(None, max_hamming=5, bands=4)
 
 
+def test_dedup_clusters_minhash_default_matches_exact(docs):
+    """Default (sub-quadratic MinHash-LSH candidates + exact verify)
+    must produce the same clusters as the unbounded exact path."""
+    approx = {(r["doc_id"], r["cluster_id"])
+              for r in dd.dedup_clusters(docs, threshold=0.5).collect()}
+    exact = {(r["doc_id"], r["cluster_id"])
+             for r in dd.dedup_clusters(docs, threshold=0.5, candidates="exact").collect()}
+    assert approx == exact
+    assert {(0, 0), (1, 0), (3, 0)} <= approx  # 0≈1, 0=3 collapse together
+
+
+def test_dedup_clusters_default_has_no_unbounded_shingle_join(docs):
+    """Guard against the stop-shingle explosion: a corpus where every doc
+    shares one common shingle but only planted pairs are near-dups must
+    not blow candidate generation up to all-pairs. With the MinHash
+    default, LSH candidates stay ≈ true pairs (the exact inverted-index
+    join would touch n²/2 pairs through the shared shingle)."""
+    spark = docs.sparkSession
+    common = "the quick fox"  # one shared 3-shingle across ALL docs
+    rows = [
+        (i, common + " " + " ".join(f"u{i}x{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    rows += [(100, f"{common} planted pair text that is long enough alpha"),
+             (101, f"{common} planted pair text that is long enough beta")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = dd.minhash_lsh_pairs(corpus, threshold=0.5, verify=False)
+    n_cand = cand.count()
+    # band-collision odds at jaccard ≈ 1/28 are ~1e-2 per pair: candidates
+    # stay ≈ true pairs; the exact inverted index would join all 42·41/2
+    # = 861 pairs through the shared shingle
+    assert n_cand <= 50
+    clusters = dd.dedup_clusters(corpus, threshold=0.5)
+    by_cluster = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert by_cluster.get(100) == {100, 101}
+
+
+def test_cc_loop_frees_superseded_checkpoints(spark):
+    """Each CC iteration must free the previous round's localCheckpoint
+    blocks; only the final labels checkpoint may stay resident."""
+    from spark_streaming_kafka_spark.operators.dedup import (
+        _persistent_rdd_ids,
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    # chain of diameter 5 ⇒ several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges)
+    assert {r["component"] for r in labels.collect()} == {0}
+    leaked = _persistent_rdd_ids(sc) - before
+    assert len(leaked) <= 1  # final labels checkpoint only
+
+
 @pytest.fixture(scope="module")
 def emb(tables):
     return tables["embeddings"]
@@ -120,6 +179,37 @@ def test_numpy_scorer_matches_column_algebra(spark, emb):
         nid, cos = approx_top[(r["query_id"], r["rank"])]
         assert nid == r["neighbor_id"]
         assert cos == pytest.approx(r["cosine"], abs=1e-6)
+
+
+def test_embedding_near_dup_bucketed_path_no_self_join(spark):
+    """Above the size gate, embedding_near_dup_pairs must route through
+    sign-LSH buckets: no join operator at all (pairs come from in-bucket
+    gemms), and near-identical pairs are still found."""
+    import math
+
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+
+    dim = 16
+    rows = []
+    for c in range(20):  # 20 clusters × 3 near-identical vectors
+        base = [math.sin(0.7 * (c + 1) * (i + 1)) for i in range(dim)]
+        for j in range(3):
+            rows.append((c * 10 + j, [v + 0.0005 * j * ((i % 3) - 1)
+                                      for i, v in enumerate(base)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    bucketed = dd.embedding_near_dup_pairs(
+        vecs, threshold=0.999, exact_below=0, n_planes=6, n_rotations=4, dim=dim
+    )
+    plan = explain_str(bucketed, "simple")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+    exact = dd.embedding_near_dup_pairs(vecs, threshold=0.999, exact_below=10**9)
+    got = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert want  # fixture really contains near-dup pairs
+    assert got == want  # θ≈0 pairs collide in some rotation w.p. ≈ 1
 
 
 def test_ann_plans_stream_once_no_pair_join(spark, emb):
