@@ -256,9 +256,13 @@ def minhash_lsh_pairs(
     da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
     jac = _jaccard_text_udf(k)
+    # Explicit broadcast: cand (and cand+text_a, still candidate-bounded)
+    # must be the build side of both joins — AQE usually infers this
+    # locally, but with stale stats on a cluster a sort-merge of the full
+    # corpus against a few-thousand-row candidate set is the failure mode.
+    with_a = da.join(F.broadcast(cand), "id_a")
     return (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
+        db.join(F.broadcast(with_a), "id_b")
         .withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -458,24 +462,29 @@ def connected_components(
             .agg(F.min("component").alias("nmin"))
         )
         pre_ids = _persistent_rdd_ids(sc)
+        # Min-propagation is monotone (labels only decrease), so the
+        # convergence flag is computable INLINE — no second join against
+        # the old labels, and the lazy checkpoint is materialized by the
+        # same count that reads the flag: ONE Spark job per iteration
+        # (was three: eager checkpoint + join + count). On shallow
+        # near-dup graphs the loop is scheduling-bound, so jobs ≈ time.
+        newc = F.least(
+            F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+        )
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+                newc.alias("new_component"),
+                (newc < F.col("component")).alias("chg"),
             )
-            .localCheckpoint()  # eager: materialized before old blocks go
+            .localCheckpoint(eager=False)
         )
+        changed = new_labels.filter("chg").count()  # materializes checkpoint
         new_ckpt_ids = _persistent_rdd_ids(sc) - pre_ids
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        labels = new_labels.select(
+            "node", F.col("new_component").alias("component")
         )
-        labels = new_labels
         # The previous round's checkpoint is now unreachable by any plan
         # — free its blocks NOW instead of waiting for GC (see
         # _unpersist_rdds; only the final labels checkpoint survives).

@@ -416,7 +416,7 @@ def cosine_topk_numpy(
     """
     import numpy as np
 
-    qids = np.array([q[0] for q in queries])
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = np.array([q[1] for q in queries], dtype=np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     kk = k
@@ -425,22 +425,27 @@ def cosine_topk_numpy(
         for pdf in batches:
             if pdf.empty:
                 continue
+            ids = pdf[id_col].to_numpy()
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = qnorm @ mat.T  # |Q| × batch
-            for qi, qid in enumerate(qids):
-                row = sims[qi]
-                take = min(kk, len(row))
-                idx = np.argpartition(-row, take - 1)[:take]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": pdf[id_col].to_numpy()[idx],
-                        "cosine": row[idx],
-                    }
-                )
+            sims = mat @ qnorm.T  # batch × |Q|
+            # Self-matches masked BEFORE the per-batch cut — otherwise the
+            # query's own vector (cosine 1.0) occupies a top-k slot and a
+            # genuine global neighbor can be silently dropped.
+            sims[ids[:, None] == qids[None, :]] = -np.inf
+            row_order = np.argsort(ids, kind="stable")  # deterministic ties
+            s = sims[row_order].T  # (|Q|, batch), neighbor-id ascending
+            take = min(kk, s.shape[1])
+            top = np.argsort(-s, axis=1, kind="stable")[:, :take]
+            cos = np.take_along_axis(s, top, axis=1).ravel()
+            keep = np.isfinite(cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take)[keep],
+                    "neighbor_id": ids[row_order][top].ravel()[keep],
+                    "cosine": cos[keep],
+                }
+            )
 
     out_schema = "query_id long, neighbor_id long, cosine double"
-    return emb.mapInPandas(score, schema=out_schema).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    return emb.mapInPandas(score, schema=out_schema)

@@ -81,6 +81,54 @@ def test_recommend_for_all_users_shape(engine):
     assert len(counts) == 60
 
 
+def test_als_factors_reconstruct_predictions(spark, engine):
+    """Factor-level pin: model.transform must equal the numpy dot product
+    of the persisted user/item factor matrices — the factors are real and
+    the serving path uses exactly them (reference persists rank-4 factors
+    under music_lens_als/data/{user,product})."""
+    import numpy as np
+
+    m = engine.model
+    uf = {r["id"]: np.array(r["features"], dtype=np.float64)
+          for r in m.userFactors.collect()}
+    vf = {r["id"]: np.array(r["features"], dtype=np.float64)
+          for r in m.itemFactors.collect()}
+    assert all(len(v) == 4 for v in uf.values())  # rank pinned
+    pairs = spark.createDataFrame(
+        [(u, s) for u in range(5) for s in range(8)], "user_id int, song_id int"
+    )
+    preds = m.transform(pairs).collect()
+    assert len(preds) == 40
+    for r in preds:
+        want = float(uf[r["user_id"]] @ vf[r["song_id"]])
+        assert r["prediction"] == pytest.approx(want, abs=1e-5)
+
+
+def test_als_recovers_block_structure(engine):
+    """Prediction-level pin: on the parity-block fixture (same-parity
+    user/song pairs rated ~4.0, cross-parity ~2.0) the seeded model must
+    rank same-parity songs on top for the large majority of users."""
+    recs = engine.recommend_for_all_users(3).collect()
+    assert len(recs) == 180
+    agree = sum(1 for r in recs if r["user_id"] % 2 == r["song_id"] % 2)
+    assert agree / len(recs) > 0.8
+
+
+def test_als_same_seed_reproduces_topk(spark, ratings):
+    """Determinism pin: two independent trainings with the same seed and
+    data must serve identical top-k lists (what makes the rows-only
+    als_recommend_topk driver check meaningful)."""
+    outs = []
+    for _ in range(2):
+        eng = RecommendationEngine(spark, ratings, rank=4, min_ratings=1)
+        eng.retrain()
+        outs.append(sorted(
+            (r["user_id"], r["rank"], r["song_id"])
+            for r in eng.recommend_for_all_users(5).collect()
+        ))
+    assert outs[0] == outs[1]
+
+
 def test_add_ratings_extends_history(spark, engine):
     n0 = engine.ratings.count()
     new = spark.createDataFrame([(999, 1, 5.0), (999, 2, 4.0)],

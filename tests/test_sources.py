@@ -9,11 +9,6 @@ import pyspark.sql.functions as F
 import pytest
 
 from spark_streaming_kafka_spark.operators.json_ops import extract_json_fields
-from spark_streaming_kafka_spark.operators.multimodal import (
-    extract_media_features,
-    frame_sample_plan,
-    resize_images,
-)
 from spark_streaming_kafka_spark.schemas import (
     LISTEN_TRIPLETS,
     RATING_EVENT_A,
@@ -99,41 +94,3 @@ def test_kafka_record_shaping(spark):
     rec = to_kafka_records(df, F.col("user_id"), ["title", "pred"]).first()
     assert rec["key"] == "1"
     assert json.loads(rec["value"]) == {"title": "t", "pred": 4.5}
-
-
-# --- multimodal plumbing ------------------------------------------------
-
-@pytest.fixture(scope="module")
-def media(spark):
-    rows = [
-        (0, "image", bytearray(b"imgbytes-0"), "image/png", {"src": "a"}),
-        (1, "video", bytearray(b"vidbytes-1"), "video/mp4", {"src": "b"}),
-        (2, "audio", None, "audio/wav", {}),
-    ]
-    from spark_streaming_kafka_spark.schemas import MEDIA
-
-    return spark.createDataFrame(rows, MEDIA)
-
-
-def test_media_feature_extraction_deterministic(media):
-    out = {r["media_id"]: r for r in extract_media_features(media).collect()}
-    assert len(out) == 3
-    assert out[0]["n_frames"] == 1 and out[0]["duration_s"] == 0.0
-    assert out[1]["n_frames"] >= 1
-    assert out[2]["width"] == 0  # null payload contract
-    assert len(out[0]["feature"]) == 8
-    again = {r["media_id"]: r for r in extract_media_features(media).collect()}
-    assert out[0]["feature"] == again[0]["feature"]
-
-
-def test_frame_sample_plan_only_videos(media):
-    out = frame_sample_plan(media, every_n=10).collect()
-    assert {r["media_id"] for r in out} == {1}
-    idx = sorted(r["frame_index"] for r in out)
-    assert idx[0] == 0 and all(i % 10 == 0 for i in idx)
-
-
-def test_resize_images_only_images(media):
-    out = resize_images(media, 32, 32).collect()
-    assert [r["media_id"] for r in out] == [0]
-    assert out[0]["width"] == 32
