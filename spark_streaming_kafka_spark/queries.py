@@ -1625,6 +1625,58 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                  ELSE 'audio' END AS kind,
+             md5(text) AS hx
+      FROM documents
+    )
+    SELECT media_id, kind,
+           64 + (('0x' || substr(hx, 1, 2))::INT % 192) AS width,
+           64 + (('0x' || substr(hx, 3, 2))::INT % 192) AS height,
+           CASE WHEN kind = 'image' THEN 1
+                ELSE 1 + ('0x' || substr(hx, 5, 2))::INT % 300 END AS n_frames,
+           CASE WHEN kind = 'image' THEN 0.0
+                ELSE round((1 + ('0x' || substr(hx, 5, 2))::INT % 300) / 30.0, 3)
+           END AS duration_s
+    FROM m
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end-to-end: documents become
+    binary media rows (payload = utf-8 bytes, kind cycled by id), then
+    ``extract_media_features`` streams them through the Arrow decode
+    pass (operators/multimodal.py). The codecs are the documented
+    deterministic stubs (md5-derived dims), which is exactly what makes
+    the full mapInPandas path SQL-reproducible: the oracle recomputes
+    the same dims from md5 hex — so schema, batching, and UDF plumbing
+    are value-verified even though real decoders need PIL/ffmpeg."""
+    from .operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' "
+            "ELSE 'audio' END"
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    out = extract_media_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.round("duration_s", 3).alias("duration_s"),
+    )
+
+
 # =====================================================================
 # ML (rows-only: ALS is not SQL-expressible — driver records the weaker
 # rows/schema check, per the contract)

@@ -5,7 +5,12 @@ given scale factor and compares row count, column names/types, and an
 order-insensitive value comparison (exact, after each query's own
 rounding — the queries are designed to be bit-deterministic).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the queries under a bare
+``SparkSession.builder.getOrCreate()`` — no engine conf at all — which
+is exactly the grading driver's environment (the round-1 failure mode:
+queries depending on session-build configs).
 """
 
 from __future__ import annotations
@@ -19,8 +24,10 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_ARGS = [a for a in sys.argv[1:] if a != "--vanilla"]
+VANILLA = "--vanilla" in sys.argv[1:]
+SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
+ONLY = set(_ARGS[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -43,9 +50,20 @@ def normalize(rows, cols):
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from spark_streaming_kafka_spark import get_spark
 
-    spark = get_spark("correctness-check")
+    if VANILLA:
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("correctness-check-vanilla")
+            .master(f"local[{cpus}]")
+            .getOrCreate()
+        )
+    else:
+        from spark_streaming_kafka_spark import get_spark
+
+        spark = get_spark("correctness-check")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
