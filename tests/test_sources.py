@@ -89,6 +89,51 @@ def test_load_table_events_self_heals_without_session_conf(spark, sf_dir):
         spark.conf.set(_NANOS_CONF, "true")
 
 
+def test_kafka_rest_producer_roundtrip(spark):
+    """S10: the REST produce client posts real JSON records (never
+    str(dict) payloads) with the vnd.kafka.json.v2 content type —
+    verified against a live local HTTP server."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from spark_streaming_kafka_spark.sources.kafka import KafkaRestProducer
+
+    captured = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            captured["path"] = self.path
+            captured["ctype"] = self.headers["Content-Type"]
+            captured["body"] = self.rfile.read(int(self.headers["Content-Length"]))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/vnd.kafka.v2+json")
+            self.end_headers()
+            self.wfile.write(b'{"offsets": [{"partition": 0, "offset": 0}]}')
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        prod = KafkaRestProducer(f"http://127.0.0.1:{srv.server_port}")
+        df = spark.createDataFrame(
+            [(7, "song a", 4.5)], "userid int, music string, rating double"
+        )
+        resp = prod.send_rows(df, "music_test1", key_col="userid")
+        assert resp["offsets"][0]["partition"] == 0
+        assert captured["path"] == "/topics/music_test1"
+        assert captured["ctype"] == "application/vnd.kafka.json.v2+json"
+        body = json.loads(captured["body"])
+        rec = body["records"][0]
+        assert rec["key"] == 7
+        # a real JSON object — parseable fields, not an eval-able str(dict)
+        assert rec["value"] == {"music": "song a", "rating": 4.5}
+    finally:
+        srv.shutdown()
+
+
 def test_kafka_record_shaping(spark):
     df = spark.createDataFrame([(1, "t", 4.5)], "user_id int, title string, pred double")
     rec = to_kafka_records(df, F.col("user_id"), ["title", "pred"]).first()
