@@ -320,6 +320,29 @@ def ivf_assign(
     return emb.mapInPandas(assign, schema=schema)
 
 
+def kmeans_codebook(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 5,
+    max_iter: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Train a real IVF codebook with ``pyspark.ml.clustering.KMeans``
+    (distributed Lloyd's over the corpus) and return it in the
+    ``(centroid_id, components)`` shape :func:`ivf_assign`/:func:`ivf_topk`
+    consume — the production path the deterministic-sample codebook
+    stands in for. Train once offline per corpus generation; the
+    codebook (n_centroids·dim floats) then ships like any model."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="fv").fit(feat)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+
 def ivf_topk(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -328,16 +351,19 @@ def ivf_topk(
     n_queries: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: str | list[tuple[int, list[float]]] = "sample",
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into ``n_centroids`` cells,
     then answer each query by scoring only the ``nprobe`` nearest cells.
 
-    Deterministic codebook: the vectors with the ``n_centroids`` lowest
-    ids (a seeded-sample stand-in for KMeans centroids — swap in
-    ``pyspark.ml.clustering.KMeans().fit`` offline; everything after the
-    codebook is identical). Collecting the codebook is a bounded
-    driver transfer (n_centroids·dim floats), the same way a trained
-    model ships to executors.
+    ``codebook`` selects centroid training: ``"sample"`` (default) takes
+    the vectors with the ``n_centroids`` lowest ids — deterministic and
+    SQL-reproducible, which is what the oracle checks; ``"kmeans"`` runs
+    :func:`kmeans_codebook` (real distributed Lloyd's — the production
+    choice); or pass a pre-trained ``[(cid, components), ...]`` directly.
+    Everything after the codebook is identical. Collecting the codebook
+    is a bounded driver transfer (n_centroids·dim floats), the same way
+    a trained model ships to executors.
 
     Work: corpus indexing is shuffle-free (:func:`ivf_assign`); the
     probe join broadcasts |Q|·nprobe rows against the cell-bucketed
@@ -346,12 +372,17 @@ def ivf_topk(
     """
     from .windows import per_group_top_k
 
-    centroids = [
-        (int(r[0]), list(r[1]))
-        for r in emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    if codebook == "sample":
+        centroids = [
+            (int(r[0]), list(r[1]))
+            for r in emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+    elif codebook == "kmeans":
+        centroids = kmeans_codebook(emb, n_centroids, vec_col)
+    else:
+        centroids = codebook
     cells = ivf_assign(emb, centroids, vec_col).select(
         id_col, vec_col, "centroid_id"
     )

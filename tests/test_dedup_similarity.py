@@ -212,6 +212,31 @@ def test_embedding_near_dup_bucketed_path_no_self_join(spark):
     assert got == want  # θ≈0 pairs collide in some rotation w.p. ≈ 1
 
 
+def test_ivf_kmeans_codebook_recall(spark, emb):
+    """IVF with a REAL KMeans codebook (the production path the
+    deterministic sample stands in for): k rows per query, and recall
+    vs exact brute-force stays useful at nprobe=4/16."""
+    ivf = sim.ivf_topk(emb, n_centroids=8, nprobe=4, k=5, n_queries=3,
+                       codebook="kmeans")
+    rows = ivf.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2} and all(len(v) == 5 for v in by_q.values())
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        len(by_q[q] & exact_by_q[q]) for q in exact_by_q
+    ) / sum(len(v) for v in exact_by_q.values())
+    assert recall >= 0.5  # half the cells probed ⇒ well above chance
+
+
 def test_ann_plans_stream_once_no_pair_join(spark, emb):
     """Scale discipline for the ANN paths: the corpus must stream once
     through Arrow (no nested-loop / cartesian pair join materializing
