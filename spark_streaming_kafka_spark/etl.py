@@ -42,7 +42,10 @@ def bucket_ratings(triplets: DataFrame) -> DataFrame:
     count quantiles (exact pandas-interpolation parity; see
     operators/percentile.py)."""
     out = quantile_buckets(
-        triplets, "user_id", "listen_count", (0.2, 0.4, 0.6, 0.8), out="level"
+        triplets, "user_id", "listen_count", (0.2, 0.4, 0.6, 0.8), out="level",
+        # MSD-shaped user base (~1M ⇒ ~40 MB of quantile rows): broadcast
+        # the per-user boundaries instead of shuffling the fact side.
+        broadcast_quantiles=True,
     )
     return out.withColumn("level", F.col("level").cast("double"))
 

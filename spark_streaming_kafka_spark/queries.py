@@ -413,7 +413,11 @@ def q_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (music_ETL.ipynb#cell9) with exact pandas-style interpolation,
     customers standing in for users, order totals for listen counts."""
     orders = _t(spark, sf_dir, "orders")
-    out = quantile_buckets(orders, "o_custkey", "o_totalprice")
+    # customer cardinality is bounded (dimension-sized) ⇒ broadcast the
+    # per-customer quantile boundaries; see quantile_buckets docstring
+    out = quantile_buckets(
+        orders, "o_custkey", "o_totalprice", broadcast_quantiles=True
+    )
     return out.select("o_orderkey", "o_custkey", "level")
 
 
