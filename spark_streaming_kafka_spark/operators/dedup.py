@@ -448,13 +448,34 @@ def connected_components(
     # deep dedup-pairs subtree) where persist+count pays only one
     # normal execution.
     sym = sym.distinct().persist()
-    sym.count()
+    n_edges = sym.count()
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
     )
-    sc = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    # Size the loop's shuffles from the MEASURED edge count instead of
+    # inheriting the session default: under an untuned session (200
+    # partitions) a 50-edge graph otherwise runs 200-task stages per
+    # iteration, and the loop is pure scheduling overhead. ~100k edge
+    # rows per partition; large graphs keep large counts. The session
+    # conf is restored after the loop — the returned labels are already
+    # checkpoint-materialized, so nothing downstream replans under the
+    # temporary value.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    loop_parts = max(2, min(int(prev_shuffle), n_edges // 100_000 + 2))
     prev_ckpt_ids: set[int] = set()
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _cc_loop(sym, labels, sc, max_iter, prev_ckpt_ids)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    sym.unpersist()  # labels is checkpoint-materialized; edges not needed
+    return labels
+
+
+def _cc_loop(sym, labels, sc, max_iter: int, prev_ckpt_ids: set[int]):
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -492,7 +513,6 @@ def connected_components(
         prev_ckpt_ids = new_ckpt_ids
         if changed == 0:
             break
-    sym.unpersist()  # labels is checkpoint-materialized; edges not needed
     return labels
 
 

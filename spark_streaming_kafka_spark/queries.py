@@ -937,6 +937,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+_SEMANTIC_CC_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@register("semantic_dedup_clusters", _SEMANTIC_CC_SQL)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup pairs → duplicate clusters:
+    the composition an LLM-corpus cleaner actually runs (keep one doc
+    per cluster of mutually-paraphrased documents). Pairs come from the
+    size-gated embedding_near_dup_pairs (exact here; sign-LSH bucketed
+    above the gate), clusters from the same one-job-per-iteration
+    min-label propagation as dedup_clusters; oracle is the recursive
+    transitive closure over exact cosine pairs."""
+    pairs = dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+    cc = dd.connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
 @register(
     "gap_fill_hourly",
     """
