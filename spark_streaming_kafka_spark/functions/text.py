@@ -185,3 +185,50 @@ def sentiment_pandas_udf(texts: pd.Series) -> pd.Series:
         return float(sum(lex.get(w, 0) for w in t.lower().split()))
 
     return texts.map(score)
+
+
+def load_afinn_lexicon(path: str) -> dict[str, int]:
+    """Parse a standard AFINN wordlist (``word<TAB>score`` per line —
+    the distribution format of AFINN-111/AFINN-165; obtain the file from
+    its upstream repo, it is not vendored here). The result plugs into
+    :func:`make_sentiment_udf` to reproduce the reference's Afinn
+    scoring (``lyric.ipynb#cell10``) exactly."""
+    lex: dict[str, int] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            word, _, score = line.rpartition("\t")
+            lex[word] = int(score)
+    return lex
+
+
+def make_sentiment_udf(lexicon: dict[str, int | float]):
+    """Build an Arrow-batched sentiment UDF over ANY ``{term: weight}``
+    valence lexicon — pass :func:`load_afinn_lexicon` output for real
+    AFINN behavior, or any domain lexicon. Multi-word AFINN terms are
+    matched as phrases first (longest-first), remaining tokens scored
+    singly — the same strategy as the ``afinn`` package."""
+    phrases = sorted(
+        (t for t in lexicon if " " in t), key=len, reverse=True
+    )
+
+    @pandas_udf(DoubleType())
+    def scorer(texts: pd.Series) -> pd.Series:
+        def score(t: str | None) -> float:
+            if not t:
+                return 0.0
+            t = t.lower()
+            total = 0.0
+            for ph in phrases:
+                n = t.count(ph)
+                if n:
+                    total += n * lexicon[ph]
+                    t = t.replace(ph, " ")
+            total += sum(lexicon.get(w, 0) for w in t.split())
+            return float(total)
+
+        return texts.map(score)
+
+    return scorer

@@ -64,3 +64,28 @@ def test_fingerprint_order_sensitive(spark):
     out = {r["doc_id"]: r["f"] for r in df.select("doc_id", T.doc_fingerprint(F.col("text")).alias("f")).collect()}
     assert out[0] == out[2]
     assert out[0] != out[1]
+
+
+def test_make_sentiment_udf_custom_lexicon(spark, tmp_path):
+    """Pluggable lexicon path (the slot real AFINN drops into): an
+    AFINN-format file round-trips through load_afinn_lexicon and scores
+    phrases-before-tokens like the afinn package."""
+    from spark_streaming_kafka_spark.functions.text import (
+        load_afinn_lexicon,
+        make_sentiment_udf,
+    )
+
+    p = tmp_path / "AFINN-custom.txt"
+    p.write_text("cool\t1\nnot good\t-2\ngood\t3\nterrible\t-3\n")
+    lex = load_afinn_lexicon(str(p))
+    assert lex == {"cool": 1, "not good": -2, "good": 3, "terrible": -3}
+
+    udf = make_sentiment_udf(lex)
+    df = spark.createDataFrame(
+        [(0, "good and cool"), (1, "not good weather"), (2, "TERRIBLE stuff")],
+        "id int, text string",
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", udf("text").alias("s")).collect()}
+    assert got[0] == 4.0   # good(3) + cool(1)
+    assert got[1] == -2.0  # phrase beats token: 'not good' = -2, not +3
+    assert got[2] == -3.0  # case-insensitive
