@@ -643,6 +643,78 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unigram_logprob_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(f.c * 1.0 / tot.n)), 6) AS avg_logprob
+    FROM tok t JOIN freq f USING (term), tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document — the
+    perplexity-style quality filter (CCNet-shaped: drop documents whose
+    tokens are improbable under the corpus LM). Two hash aggs over one
+    explode + a broadcast join of the vocabulary; the per-doc score is
+    avg ln p(token). At 100 TB the vocabulary stays dimension-sized, so
+    the scoring pass is scan-bound with a broadcast LM."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c")).collect()[0][0]  # scalar: corpus size
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.lit(float(total)))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@register(
+    "type_token_ratio",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+           round(count(DISTINCT term) * 1.0 / count(*), 6) AS ttr
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document (type/token ratio) — the
+    Gopher-style repetition filter (near-zero TTR = boilerplate or
+    looped generation). One explode + one hash agg with a distinct
+    count; partial aggregation keeps the shuffle one row per
+    (doc, term)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("term")
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_distinct("term").cast("long").alias("n_types"),
+        F.round(F.count_distinct("term") / F.count(F.lit(1)), 6).alias("ttr"),
+    )
+
+
 def _langid_sql() -> str:
     score_cols = []
     for lang, markers in LANG_MARKERS.items():
