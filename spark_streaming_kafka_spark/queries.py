@@ -507,6 +507,77 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "running_revenue_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_total,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+           ) AS INTEGER) AS order_seq
+    FROM orders
+    """,
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate (running revenue per customer in
+    order-date order) — the classic time-ordered running-sum shape.
+    ROWS (not RANGE) framing + a unique tiebreaker (o_orderkey) make
+    the prefix sums deterministic under any partitioning; one shuffle
+    on the partition key serves both the sum and the sequence number."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            4,
+        ).alias("running_total"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+@register(
+    "order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(coalesce(date_diff('day',
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC, o_orderkey ASC),
+             o_orderdate), -1) AS BIGINT) AS gap_days
+    FROM orders
+    """,
+)
+def q_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap per customer (days since previous order;
+    -1 marks the first order). The per-key sequential-difference shape
+    that drives churn/recency features — one shuffle on the key, gaps
+    computed inside the sorted window, no self-join."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+            F.lit(-1),
+        ).cast("long").alias("gap_days"),
+    )
+
+
+@register(
     "group_quantiles",
     """
     SELECT event_type,
