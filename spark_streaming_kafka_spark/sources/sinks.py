@@ -145,3 +145,30 @@ def redis_hget_client(
     r = redis.Redis(host=host, port=port)
     raw = r.hget(key, field)
     return None if raw is None else json.loads(raw)
+
+
+def idempotent_parquet_sink(base_path: str, partition_col: str = "_batch_id"):
+    """foreachBatch parquet sink with EXACTLY-ONCE output under replay.
+
+    Structured Streaming guarantees at-least-once delivery to
+    foreachBatch: after a crash the last uncommitted micro-batch is
+    REPLAYED with the same batch_id. A plain append sink duplicates that
+    batch's rows; this sink stamps rows with the batch id and
+    dynamically overwrites only that batch's partition, so a replay
+    rewrites the same partition instead of appending — idempotent
+    without any external transaction log. (Same mechanism production
+    jobs use before reaching for a table format with upserts.)
+    """
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn(partition_col, F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(base_path)
+        )
+
+    return sink
