@@ -1,0 +1,42 @@
+"""Streaming deduplication — the streaming twin of
+``operators/dedup.py::exact_dedup``.
+
+An unbounded ingest stream (crawl results, event feeds) re-delivers
+identical payloads: at-least-once sources, retried producers, and
+literal duplicate documents. Batch exact-dedup cannot run on a stream
+(no end to group over); the streaming form is Spark's watermarked
+``dropDuplicates``: state holds one entry per key seen within the
+watermark horizon, and keys older than the watermark are dropped from
+state — bounded memory on an unbounded stream, which is the whole
+constraint. Exactly the semantics a 100 TB/day ingest dedup needs:
+duplicates arriving within the horizon are suppressed; a re-crawl
+months later is a new version, not a duplicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Drop payload-identical rows within the watermark horizon.
+
+    Dedup key = md5(text) (+ ``extra_keys``): state carries the 32-byte
+    hash, never the document body — same shuffle discipline as the batch
+    operator. The watermark is the state-size dial: horizon × unique-key
+    rate bounds the state store.
+    """
+    keys = ["__text_hash", *(extra_keys or [])]
+    return (
+        stream.withColumn("__text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(keys)
+        .drop("__text_hash")
+    )

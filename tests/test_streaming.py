@@ -214,3 +214,37 @@ def test_idempotent_parquet_sink_replay_safe(spark, tmp_path):
     assert out.count() == 3  # no duplicates from the replay
     assert {r["id"] for r in out.collect()} == {1, 2, 3}
     assert {r["_batch_id"] for r in out.select("_batch_id").distinct().collect()} == {0, 1}
+
+
+def test_streaming_exact_dedup_suppresses_redelivery(spark, tmp_path):
+    """Streaming twin of exact_dedup: payload-identical rows delivered
+    again within the watermark are suppressed; distinct payloads pass."""
+    from spark_streaming_kafka_spark.streaming.dedup import streaming_exact_dedup
+
+    rows = [
+        ("2026-01-01 10:00:00", "doc one text"),
+        ("2026-01-01 10:00:05", "doc one text"),   # redelivery → dropped
+        ("2026-01-01 10:00:10", "doc two text"),
+        ("2026-01-01 10:00:20", "doc one text"),   # still in horizon → dropped
+    ]
+    src = spark.createDataFrame(rows, "ts_s string, text string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+    data_dir = tmp_path / "docs_in"
+    src.coalesce(1).write.mode("overwrite").parquet(str(data_dir))
+    stream = spark.readStream.schema(src.schema).parquet(str(data_dir))
+    spark.sql("DROP TABLE IF EXISTS dedup_out")
+    q = (
+        streaming_exact_dedup(stream, "ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        rows_out = _await_rows(spark, "dedup_out", 2)
+        assert sorted(r["text"] for r in rows_out) == ["doc one text", "doc two text"]
+        assert len(rows_out) == 2
+    finally:
+        q.stop()
