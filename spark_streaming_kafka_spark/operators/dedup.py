@@ -671,16 +671,29 @@ def _bucketed_near_dup_pairs(
         ids = ids[order]
         mat = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= thr
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cosine": sims[ia, ib][keep],
-            }
-        )
+        m = len(ids)
+        # Chunked upper-triangle scoring: peak memory is chunk×m doubles,
+        # not m×m — an oversized bucket degrades to more gemm calls
+        # instead of an executor OOM (near-dup pairs are sparse, so the
+        # kept-pair output stays small either way).
+        chunk = 2048
+        parts = []
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = mat[lo:hi] @ mat.T  # (hi-lo, m)
+            ia, ib = np.nonzero(sims >= thr)
+            keep = (ia + lo) < ib  # upper triangle only (a < b)
+            if keep.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia[keep] + lo],
+                            "id_b": ids[ib[keep]],
+                            "cosine": sims[ia[keep], ib[keep]],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return (
         bucketed.groupBy("rot", "bucket")
