@@ -235,24 +235,36 @@ def lsh_cosine_topk(
         ids = pdf["vec_id"].to_numpy()
         mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        if digits is not None:
-            sims = np.round(sims, digits)
-        np.fill_diagonal(sims, -np.inf)  # exclude self-matches
-        # rank: cosine desc, neighbor_id asc — two stable sorts
         col_order = np.argsort(ids, kind="stable")
-        sims = sims[:, col_order]
-        order = np.argsort(-sims, axis=1, kind="stable")
+        mat_sorted = mat[col_order]
+        ids_sorted = ids[col_order]
         kk = min(k, m - 1)
-        top = order[:, :kk]
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(ids, kk),
-                "neighbor_id": ids[col_order][top].ravel(),
-                "cosine": np.take_along_axis(sims, top, axis=1).ravel(),
-                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), m),
-            }
-        )
+        # Chunked over query rows: peak memory chunk×m, not m×m — a
+        # skewed bucket degrades to more gemm calls, never an OOM. Each
+        # query row's full sims row lives inside its chunk, so per-row
+        # top-k is exact.
+        chunk = 2048
+        parts = []
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = mat[lo:hi] @ mat_sorted.T  # (hi-lo, m) neighbor-sorted
+            if digits is not None:
+                sims = np.round(sims, digits)
+            sims[ids[lo:hi, None] == ids_sorted[None, :]] = -np.inf  # self
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids[lo:hi], kk),
+                        "neighbor_id": ids_sorted[top].ravel(),
+                        "cosine": np.take_along_axis(sims, top, axis=1).ravel(),
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int32), hi - lo
+                        ),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     return bucketed.groupBy("bucket").applyInPandas(
         bucket_topk, schema="query_id long, neighbor_id long, cosine double, rank int"
