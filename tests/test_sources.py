@@ -174,3 +174,25 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """write_parquet(partition_by=...) + a partition-key filter must
+    prune at the source: the scan's PartitionFilters carries the
+    predicate, and only the matching partition's rows are read — the
+    mechanism that turns a per-day query on a date-partitioned 100 TB
+    table into a one-directory scan."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+    from spark_streaming_kafka_spark.sources.readers import write_parquet
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("day")
+    )
+    path = str(tmp_path / "bydate")
+    write_parquet(df, path, partition_by=["day"])
+    got = spark.read.parquet(path).filter(F.col("day") == 3)
+    plan = explain_str(got, "formatted")
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    assert got.count() == len([i for i in range(1000) if i % 7 == 3])
