@@ -169,6 +169,48 @@ def q_top_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_nation_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped snowflake rollup: the biggest fact table through
+    THREE broadcast dims (supplier → nation → region) into one hash agg.
+    The lineitem scan reads only 3 columns and never shuffles for the
+    joins; the sole exchange is the final (region, nation) groupBy —
+    the canonical star-join discipline at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = join_facts_to_dims(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"),
+        [
+            (supplier, "s_suppkey"),
+            (nation.withColumnRenamed("n_nationkey", "s_nationkey"), "s_nationkey"),
+            (region.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey"),
+        ],
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.round(F.sum("__rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
     "orders_by_month",
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
