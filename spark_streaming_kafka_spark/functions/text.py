@@ -208,11 +208,17 @@ def make_sentiment_udf(lexicon: dict[str, int | float]):
     """Build an Arrow-batched sentiment UDF over ANY ``{term: weight}``
     valence lexicon — pass :func:`load_afinn_lexicon` output for real
     AFINN behavior, or any domain lexicon. Multi-word AFINN terms are
-    matched as phrases first (longest-first), remaining tokens scored
-    singly — the same strategy as the ``afinn`` package."""
-    phrases = sorted(
-        (t for t in lexicon if " " in t), key=len, reverse=True
-    )
+    matched as whole-word phrases first (longest-first), remaining
+    tokens scored singly — the same strategy as the ``afinn`` package.
+    Word boundaries are enforced (``\\b``): 'not good' never matches
+    inside 'cannot goodness', and phrase removal cannot splice adjacent
+    words into false new matches."""
+    import re
+
+    phrase_res = [
+        (re.compile(r"\b" + re.escape(t) + r"\b"), lexicon[t])
+        for t in sorted((t for t in lexicon if " " in t), key=len, reverse=True)
+    ]
 
     @pandas_udf(DoubleType())
     def scorer(texts: pd.Series) -> pd.Series:
@@ -221,11 +227,9 @@ def make_sentiment_udf(lexicon: dict[str, int | float]):
                 return 0.0
             t = t.lower()
             total = 0.0
-            for ph in phrases:
-                n = t.count(ph)
-                if n:
-                    total += n * lexicon[ph]
-                    t = t.replace(ph, " ")
+            for rx, w in phrase_res:
+                t, n = rx.subn(" \x00 ", t)  # \x00: never a lexicon token
+                total += n * w
             total += sum(lexicon.get(w, 0) for w in t.split())
             return float(total)
 

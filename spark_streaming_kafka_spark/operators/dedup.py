@@ -256,13 +256,16 @@ def minhash_lsh_pairs(
     da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
     jac = _jaccard_text_udf(k)
-    # Explicit broadcast: cand (and cand+text_a, still candidate-bounded)
-    # must be the build side of both joins — AQE usually infers this
-    # locally, but with stale stats on a cluster a sort-merge of the full
-    # corpus against a few-thousand-row candidate set is the failure mode.
+    # Explicit broadcast on cand ONLY (bounded: two ids per row) — AQE
+    # usually infers it locally, but with stale stats on a cluster a
+    # sort-merge of the full corpus against a few-thousand-row candidate
+    # set is the failure mode. The second join's small side (cand + one
+    # text each) is left to AQE: with 100 KB documents it can exceed the
+    # 8 GB broadcast hard limit, and a runtime-planned join degrades
+    # gracefully where a forced broadcast would fail the job.
     with_a = da.join(F.broadcast(cand), "id_a")
     return (
-        db.join(F.broadcast(with_a), "id_b")
+        db.join(with_a, "id_b")
         .withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -408,6 +411,14 @@ def _unpersist_rdds(sc, rdd_ids: set[int]) -> None:
     resident until Python GC + ContextCleaner get around to them, which
     measurably destabilizes long sessions (a warm `dedup_clusters` pass
     swung 4.7 s ↔ 29 s under the accumulated block-manager pressure).
+
+    Caveat: the caller attributes checkpoint RDDs to itself by diffing
+    the session-global persistent-RDD map around its own checkpoint
+    call, so the loop assumes no OTHER thread persists RDDs in the same
+    SparkContext during that window (true for this engine's batch
+    queries, which run one at a time per session). In a multi-threaded
+    driver, serialize iterative dedup ops or give them their own
+    session.
     """
     live = sc._jsc.getPersistentRDDs()
     for rid in rdd_ids:
@@ -464,13 +475,20 @@ def connected_components(
     # checkpoint-materialized, so nothing downstream replans under the
     # temporary value.
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    loop_parts = max(2, min(int(prev_shuffle), n_edges // 100_000 + 2))
     prev_ckpt_ids: set[int] = set()
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
+        # non-numeric on managed platforms (e.g. "auto") — skip tuning
+        loop_parts = max(2, min(int(prev_shuffle), n_edges // 100_000 + 2))
+    except ValueError:
+        loop_parts = None
+    if loop_parts is None:
         labels = _cc_loop(sym, labels, sc, max_iter, prev_ckpt_ids)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    else:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        try:
+            labels = _cc_loop(sym, labels, sc, max_iter, prev_ckpt_ids)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     sym.unpersist()  # labels is checkpoint-materialized; edges not needed
     return labels
 

@@ -783,7 +783,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("term")
     )
-    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # persist the vocabulary: the total-count scalar and the broadcast
+    # join otherwise each re-run the full corpus tokenize+agg (two extra
+    # 100 TB passes); the freq table itself is dimension-sized
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     total = freq.agg(F.sum("c")).collect()[0][0]  # scalar: corpus size
     return (
         tok.join(F.broadcast(freq), "term")
@@ -1153,7 +1156,10 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation as dedup_clusters; oracle is the recursive
     transitive closure over exact cosine pairs."""
     pairs = dd.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+        # exact pinned — same reasoning as embedding_near_dup: the
+        # recursive-closure oracle is exact, so the LSH gate must not
+        # flip under it at larger scale factors
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, exact_below=10**9
     )
     cc = dd.connected_components(pairs.select("id_a", "id_b"))
     return cc.select(
@@ -1199,8 +1205,13 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the testdata's
     cosine range; production thresholds ~0.95+ on real embeddings)."""
+    # exact path PINNED: this query's oracle is exact all-pairs, and at
+    # threshold 0.45 the sign-LSH scale path is deliberately low-recall
+    # (wide-angle pairs) — letting the size gate flip silently at a
+    # bigger SF would fail the gate. The bucketed path is exercised by
+    # its own plan/recall tests (tests/test_dedup_similarity.py).
     out = dd.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, exact_below=10**9
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

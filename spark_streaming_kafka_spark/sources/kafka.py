@@ -143,6 +143,10 @@ class KafkaRestProducer:
         import json
         import urllib.request
 
+        if keys is not None and len(keys) != len(values):
+            raise ValueError(
+                f"keys/values length mismatch: {len(keys)} != {len(values)}"
+            )
         records = [
             {"value": v} if keys is None else {"key": k, "value": v}
             for v, k in zip(values, keys or [None] * len(values))

@@ -34,9 +34,15 @@ def streaming_exact_dedup(
     rate bounds the state store.
     """
     keys = ["__text_hash", *(extra_keys or [])]
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with plain
+    # dropDuplicates on a key subset that excludes the event-time
+    # column, Spark never evicts state (one row per distinct payload
+    # forever — unbounded). The WithinWatermark variant expires each
+    # key once event time passes its arrival + watermark, which is the
+    # bounded-state contract this module promises.
     return (
         stream.withColumn("__text_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(keys)
+        .dropDuplicatesWithinWatermark(keys)
         .drop("__text_hash")
     )

@@ -89,3 +89,7 @@ def test_make_sentiment_udf_custom_lexicon(spark, tmp_path):
     assert got[0] == 4.0   # good(3) + cool(1)
     assert got[1] == -2.0  # phrase beats token: 'not good' = -2, not +3
     assert got[2] == -3.0  # case-insensitive
+
+    # word boundaries: 'not good' must NOT match inside 'cannot goodness'
+    df2 = spark.createDataFrame([(0, "cannot goodness prevail")], "id int, text string")
+    assert df2.select(udf("text").alias("s")).first()["s"] == 0.0
