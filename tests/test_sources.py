@@ -196,3 +196,48 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     plan = explain_str(got, "formatted")
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
     assert got.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_load_table_nanos_fallback_for_non_events_tables(spark, tmp_path):
+    """The schema-probe fallback: a TIMESTAMP(NANOS) parquet under any
+    OTHER table name must also self-heal (retry after setting the conf)
+    rather than surface PARQUET_TYPE_ILLEGAL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_spark.sources.readers import _NANOS_CONF, load_table
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000, 1_700_000_000_000_000_001],
+                           pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "nanotbl.parquet"))
+    spark.conf.unset(_NANOS_CONF)
+    try:
+        df = load_table(spark, str(tmp_path), "nanotbl")
+        assert df.count() == 2
+        assert dict(df.dtypes)["ts"] == "bigint"  # surfaced as nanos long
+    finally:
+        spark.conf.set(_NANOS_CONF, "true")
+
+
+def test_supplier_snowflake_plan_broadcasts_all_dims(spark, sf_dir):
+    """supplier_nation_revenue must plan 3 broadcast joins (no shuffle
+    for the dim chain) and prune the lineitem scan to its 3 used
+    columns."""
+    from spark_streaming_kafka_spark.plans.inspect import (
+        explain_str,
+        scan_read_schema,
+    )
+    from spark_streaming_kafka_spark.queries import REGISTRY
+
+    df = REGISTRY["supplier_nation_revenue"][0](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    cols = set(scan_read_schema(df))
+    assert {"l_suppkey", "l_extendedprice", "l_discount"} <= cols
+    assert "l_comment" not in cols and "l_orderkey" not in cols
