@@ -62,24 +62,61 @@ def build_ratings(
     min_count: int = 2,
     min_total: int = 20,
     catalog_size: int = 200,
+    probs: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8),
+    broadcast_users: bool = True,
 ) -> DataFrame:
     """Full pipeline → (user_id, song_id, rating) restricted to the
-    top-catalog (#cell16's 168,861-row shape on MSD input)."""
-    cleaned = filter_active_users(
-        filter_min_listens(triplets, min_count), min_total
+    top-catalog (#cell16's 168,861-row shape on MSD input).
+
+    Fused plan: the active-user filter keeps or drops WHOLE users, so a
+    retained user's listen-count quantiles over the pre-filter rows are
+    identical to its post-filter quantiles — which lets the per-user
+    total and the quantile vector come out of ONE hash aggregation over
+    the noise-filtered triplets. The ``total >= min_total`` filter and
+    the boundary join-back then collapse into a single join against that
+    dimension-sized aggregate. Shuffle count over fact-sized data: the
+    user aggregation and the song-totals aggregation (both map-side
+    partial), and nothing else — no fact-side semi-join shuffle, no
+    fact-sized checkpoint (the earlier formulation had both). At sf0.1
+    the two formulations measure within box noise of each other
+    (scheduling-floor dominated: ~10 jobs either way); the fused plan's
+    win is structural — one fewer full-fact shuffle and no fact-sized
+    materialization is what survives a 100 TB input.
+
+    ``broadcast_users``: the per-user row is ~50 bytes (id + 4 doubles);
+    a bounded user base (the reference's MSD corpus: ~1M users ⇒ ~50 MB)
+    broadcasts safely and turns both fact-side joins into shuffle-free
+    map joins. Set False for unbounded key spaces — the sort-merge join
+    degrades gracefully.
+    """
+    f1 = filter_min_listens(triplets, min_count)
+    arr = ", ".join(str(p) for p in probs)
+    n = len(probs)
+    per_user = f1.groupBy("user_id").agg(
+        F.sum("listen_count").alias("__total"),
+        F.expr(f"percentile(listen_count, array({arr}))").alias("__qs"),
     )
-    # `cleaned` feeds BOTH the quantile bucketing and the catalog top-k;
-    # without materialization the upstream join + user-totals semi-join
-    # runs twice (column pruning differs per branch, so Spark's
-    # ReusedExchange can't kick in). Lazy localCheckpoint materializes
-    # it once on first use (~20% measured at sf0.1; the bigger the
-    # upstream join, the bigger the saving). On a long-lived cluster
-    # job prefer df.persist(MEMORY_AND_DISK) + unpersist for
-    # fault-tolerant lineage; checkpoint blocks die with the executor.
-    cleaned = cleaned.localCheckpoint(eager=False)
-    rated = bucket_ratings(cleaned)
-    catalog = top_songs(cleaned, catalog_size).select("song_id")
-    return (
-        rated.join(F.broadcast(catalog), "song_id", "left_semi")
-        .select("user_id", "song_id", F.col("level").alias("rating"))
+    active = per_user.filter(F.col("__total") >= min_total).select(
+        "user_id", *[F.col("__qs").getItem(i).alias(f"__q{i}") for i in range(n)]
+    )
+    # `active` feeds BOTH the rating branch and the song-totals branch;
+    # it is dimension-sized, so materializing it once is near-free while
+    # the fact side stays a recomputed (cheap, pushed-down) scan. On a
+    # long-lived cluster job prefer persist(MEMORY_AND_DISK) +
+    # unpersist; checkpoint blocks die with the executor.
+    active = active.localCheckpoint(eager=False)
+    if broadcast_users:
+        active = F.broadcast(active)
+    f2 = f1.join(active, "user_id")  # filter + quantile boundaries in one
+    v = F.col("listen_count")
+    chain = F.when(v >= F.col(f"__q{n-1}"), F.lit(float(n + 1)))
+    for i in range(n - 2, -1, -1):
+        chain = chain.when(v >= F.col(f"__q{i}"), F.lit(float(i + 2)))
+    rated = f2.withColumn("rating", chain.otherwise(F.lit(1.0)))
+    songtot = grouped_sum(f2, "song_id", "listen_count", "total")
+    catalog = top_k(
+        songtot, [F.col("total").desc(), F.col("song_id").asc()], catalog_size
+    ).select("song_id")
+    return rated.join(F.broadcast(catalog), "song_id", "left_semi").select(
+        "user_id", "song_id", "rating"
     )
