@@ -605,7 +605,7 @@ def embedding_near_dup_pairs(
     Force a path with ``exact_below=0`` (always bucketed) or a huge
     value (always exact).
     """
-    if emb.count() <= exact_below:
+    if exact_below > 0 and emb.count() <= exact_below:
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
         return (

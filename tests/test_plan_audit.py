@@ -33,3 +33,20 @@ def test_no_cartesian_product_in_plan(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{name} plans a nested-loop join (unpushable predicate?)"
     )
+
+
+def test_embedding_lsh_query_is_bucketed(spark, sf_dir):
+    """The driver-visible production near-dup path must stay out of the
+    all-pairs allowlist AND plan the per-bucket gemm, not a self-join:
+    its sibling `embedding_near_dup` pins exact semantics; this one pins
+    the scale plan."""
+    assert "embedding_near_dup_lsh" not in ALL_PAIRS_BY_DESIGN
+    fn, _ = REGISTRY["embedding_near_dup_lsh"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-(rotation, bucket) scoring runs as grouped pandas, and the only
+    # join in the plan is dropDuplicates' aggregation — no SortMergeJoin
+    # of the corpus against itself.
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
