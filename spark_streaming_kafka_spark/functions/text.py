@@ -11,11 +11,16 @@ zero shuffle — these run as a wide ``select`` over the corpus scan, so a
   reference used TextBlob/Afinn in driver pandas, ``lyric.ipynb#cell9``),
   the shape you swap a real model into.
 
-The AFINN-style lexicon here is a tiny illustrative word list (written
-for this repo, not copied); mechanism, not lexicography, is the point.
+Lexicons: ``SENTIMENT_LEXICON`` is the 20-word stand-in the oracle twin
+recomputes; ``data/afinn_core.txt`` (see :func:`default_afinn_path`) is
+a shipped ~800-term AFINN-format lexicon with multi-word phrases for
+realistic scoring; the verbatim upstream AFINN-111 drops into
+:func:`load_afinn_lexicon` unchanged for strict reference parity.
 """
 
 from __future__ import annotations
+
+import os
 
 import pandas as pd
 
@@ -187,12 +192,38 @@ def sentiment_pandas_udf(texts: pd.Series) -> pd.Series:
     return texts.map(score)
 
 
+#: Shipped AFINN-format lexicon (see :func:`default_afinn_path`).
+_AFINN_CORE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "afinn_core.txt",
+)
+
+
+def default_afinn_path() -> str:
+    """Path of the vendored AFINN-format valence lexicon
+    (``data/afinn_core.txt``: ~800 English terms scored −5..5, including
+    multi-word phrases, in the ``word<TAB>score`` distribution format of
+    AFINN-111). It is a core lexicon assembled for this repo following
+    the public AFINN conventions — NOT the verbatim AFINN-111 file; for
+    strict reference parity (``lyric.ipynb#cell10``, the ``afinn``
+    package) download AFINN-111 from its upstream repository and pass
+    that path to :func:`load_afinn_lexicon` instead — same format, same
+    loader, same UDF."""
+    return _AFINN_CORE
+
+
+def load_default_afinn() -> dict[str, int]:
+    """:func:`load_afinn_lexicon` over the vendored core lexicon."""
+    return load_afinn_lexicon(default_afinn_path())
+
+
 def load_afinn_lexicon(path: str) -> dict[str, int]:
     """Parse a standard AFINN wordlist (``word<TAB>score`` per line —
-    the distribution format of AFINN-111/AFINN-165; obtain the file from
-    its upstream repo, it is not vendored here). The result plugs into
-    :func:`make_sentiment_udf` to reproduce the reference's Afinn
-    scoring (``lyric.ipynb#cell10``) exactly."""
+    the distribution format of AFINN-111/AFINN-165). A vendored core
+    file ships at :func:`default_afinn_path`; the upstream AFINN-111
+    drops in unchanged. The result plugs into :func:`make_sentiment_udf`
+    to reproduce the reference's Afinn scoring (``lyric.ipynb#cell10``)."""
     lex: dict[str, int] = {}
     with open(path, encoding="utf-8") as fh:
         for line in fh:

@@ -93,3 +93,39 @@ def test_make_sentiment_udf_custom_lexicon(spark, tmp_path):
     # word boundaries: 'not good' must NOT match inside 'cannot goodness'
     df2 = spark.createDataFrame([(0, "cannot goodness prevail")], "id int, text string")
     assert df2.select(udf("text").alias("s")).first()["s"] == 0.0
+
+
+def test_shipped_afinn_lexicon_scores_lyrics(spark):
+    """The vendored AFINN-format lexicon (data/afinn_core.txt) loads and
+    scores reference-style lyric text end-to-end (lyric.ipynb#cell9-10's
+    Afinn flow: lyric lines -> valence sum), distributed via the
+    Arrow-batched UDF rather than driver pandas."""
+    from spark_streaming_kafka_spark.functions.text import (
+        default_afinn_path,
+        load_default_afinn,
+        make_sentiment_udf,
+    )
+    import os
+
+    assert os.path.exists(default_afinn_path())
+    lex = load_default_afinn()
+    assert len(lex) > 500
+    assert all(isinstance(v, int) and -5 <= v <= 5 for v in lex.values())
+    assert any(" " in term for term in lex)  # multi-word phrases present
+
+    udf = make_sentiment_udf(lex)
+    lyrics = [
+        (0, "I love you baby and it feels so good to win"),
+        (1, "my broken heart is lost in this terrible pain"),
+        (2, "la la la instrumental interlude"),
+        (3, "I can't stand the rain but I smile through the storm"),
+    ]
+    df = spark.createDataFrame(lyrics, "line_id int, text string")
+    got = {r["line_id"]: r["s"] for r in df.select("line_id", udf("text").alias("s")).collect()}
+    assert got[0] == lex["love"] + lex["good"] + lex["win"]
+    assert got[0] > 0
+    assert got[1] == lex["broken"] + lex["lost"] + lex["terrible"] + lex["pain"]
+    assert got[1] < 0
+    assert got[2] == 0.0  # no lexicon terms
+    # phrase "can't stand" scores as one unit, then 'smile' singly
+    assert got[3] == lex["can't stand"] + lex["smile"]
