@@ -1,0 +1,248 @@
+"""Real media codecs, stdlib-only: PNG (zlib/struct) and WAV (wave).
+
+The container has no PIL/ffmpeg, but PNG and WAV are simple enough to
+decode for real with the standard library — so the multimodal operators
+(operators/multimodal.py) get an honest-to-goodness decode path instead
+of only the md5 stubs. Scope (documented, asserted):
+
+- PNG: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth) on decode; encode writes filter-0 rows.
+  This covers everything Pillow's default ``Image.save(..., 'PNG')``
+  emits for small images and the overwhelming majority of PNGs in the
+  wild that are 8-bit non-interlaced.
+- WAV: PCM 16-bit via the stdlib ``wave`` module, any channel count.
+
+These run inside Arrow-batched pandas UDFs on executors; per-byte
+filter reconstruction is row-sequential by specification (each scanline
+filter references the previous scanline), so the Python loop is over
+rows, with numpy vectorization within a row where the filter allows.
+
+Reference parity note: the reference pipeline has no media path at all —
+this module exists for the LLM-training-pipeline surface (multimodal
+columns), per SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: channels per PNG color type (palette counts as 1 index byte pre-expansion)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def is_png(payload: bytes | None) -> bool:
+    return payload is not None and bytes(payload[:8]) == _PNG_SIG
+
+
+def is_wav(payload: bytes | None) -> bool:
+    return (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WAVE"
+    )
+
+
+# --- PNG decode -------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering → (height, width*bpp) uint8."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub: sequential in x
+            cur = out[y]
+            cur[:bpp] = line[:bpp]
+            for x in range(bpp, stride):
+                cur[x] = (int(line[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up: whole-row vectorizable
+            out[y] = line + prev
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype} at row {y}")
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (height, width, channels) uint8. Palette images are
+    expanded to RGB. Raises ValueError on non-PNG or unsupported
+    variants (16-bit, interlaced)."""
+    data = bytes(payload)
+    if not is_png(data):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        expect_crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != expect_crc:
+            raise ValueError(f"PNG: bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"PNG: only 8-bit supported, got depth {depth}")
+    if interlace != 0:
+        raise ValueError("PNG: interlaced images not supported")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"PNG: unknown color type {color_type}")
+    bpp = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    expect = height * (1 + width * bpp)
+    if len(raw) != expect:
+        raise ValueError(f"PNG: IDAT size {len(raw)} != expected {expect}")
+    mat = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        mat = plte[mat[:, :, 0]]
+    return mat
+
+
+# --- PNG encode -------------------------------------------------------
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W) or (H, W, {1,2,3,4}) uint8 → PNG bytes (filter-0 rows)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride_rows = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)], axis=1
+    )
+    idat = zlib.compress(stride_rows.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (the classic index-map formulation)."""
+    arr = np.asarray(pixels)
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+# --- WAV --------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 16000) -> bytes:
+    """(n_frames,) or (n_frames, channels) int16 → WAV (PCM16) bytes."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(arr.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((n_frames, channels) int16 samples, framerate).
+    PCM 16-bit only (the stdlib ``wave`` contract)."""
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"WAV: only PCM16 supported, width {wf.getsampwidth()}")
+        n = wf.getnframes()
+        rate = wf.getframerate()
+        ch = wf.getnchannels()
+        arr = np.frombuffer(wf.readframes(n), dtype=np.int16).reshape(-1, ch)
+    return arr, rate
+
+
+# --- real feature extraction -----------------------------------------
+
+
+def png_features(payload: bytes, dim: int = 8) -> tuple[int, int, int, float, list[float]]:
+    """Real image decode → (width, height, n_frames, duration_s,
+    feature). Feature = per-channel mean/std of actual pixels (scaled to
+    [0,1]) padded/truncated to ``dim`` — a deterministic stand-in for a
+    learned encoder that is nonetheless a function of the REAL pixels."""
+    mat = decode_png(payload).astype(np.float64) / 255.0
+    h, w = mat.shape[:2]
+    means = mat.reshape(-1, mat.shape[2]).mean(axis=0)
+    stds = mat.reshape(-1, mat.shape[2]).std(axis=0)
+    feat = [round(float(v), 6) for v in np.concatenate([means, stds])]
+    feat = (feat + [0.0] * dim)[:dim]
+    return w, h, 1, 0.0, feat
+
+
+def wav_features(payload: bytes, dim: int = 8) -> tuple[int, int, int, float, list[float]]:
+    """Real audio decode → (0, 0, n_frames, duration_s, feature).
+    Feature = RMS energy of ``dim`` equal time chunks (mono mixdown,
+    scaled to [0,1]) — the shape a CLAP-style encoder slot expects."""
+    arr, rate = decode_wav(payload)
+    n = arr.shape[0]
+    duration = round(n / float(rate), 3)
+    mono = arr.astype(np.float64).mean(axis=1) / 32768.0
+    chunks = np.array_split(mono, dim) if n >= dim else [mono] * 0
+    feat = [
+        round(float(np.sqrt(np.mean(c * c))), 6) if len(c) else 0.0 for c in chunks
+    ]
+    feat = (feat + [0.0] * dim)[:dim]
+    return 0, 0, n, duration, feat

@@ -2,11 +2,15 @@
 metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing here is real and tested (schemas, partitioning,
-UDF signatures, batch shapes — tests/test_multimodal.py); the actual
-codec calls are stubbed because this container has no image/audio
-libraries. Each stub is a deterministic fake clearly marked
-``_STUB_DECODERS`` — swap in PIL/torchaudio/decord implementations with
-identical signatures for production.
+UDF signatures, batch shapes — tests/test_multimodal.py), and so are
+the image/audio codecs: ``codec="real"`` decodes genuine PNG and PCM16
+WAV payloads with the stdlib-only codecs in operators/media_codecs.py
+(no PIL/ffmpeg in this container — PNG+zlib and WAV are simple enough
+to do for real without them). ``codec="stub"`` (the default via
+``_STUB_DECODERS``) keeps the md5-derived deterministic fakes, which is
+what makes the mapInPandas path SQL-reproducible for the driver oracle
+and what fake-byte corpora (like the testdata documents table) need.
+Video decode remains stub-only — swap in decord/ffprobe there.
 
 Scale doctrine for binary columns:
 
@@ -56,31 +60,78 @@ def _fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     return [round((h[i] - 128) / 128.0, 6) for i in range(dim)]
 
 
-_STUB_DECODERS = True  # flip + replace fakes when real codecs are present
+#: Default decode mode. "stub" = md5-derived deterministic fakes (the
+#: oracle-reproducible path); "real" = stdlib PNG/WAV codecs
+#: (operators/media_codecs.py). Per-call override via ``codec=``.
+_STUB_DECODERS = True
 
 
-def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+def _decode_row(
+    payload: bytes | None, kind: str, feature_dim: int
+) -> tuple[int, int, int, float, list[float]]:
+    """Real decode dispatch: PNG for images, WAV for audio. Video has no
+    stdlib codec, so it takes the documented stub path even in real
+    mode. Undecodable image/audio payloads raise — corrupt media should
+    fail the decode task loudly, not silently fake dimensions."""
+    from . import media_codecs as mc
+
+    if payload is None:
+        return (0, 0, 0, 0.0, [0.0] * feature_dim)
+    if mc.is_png(payload):
+        return mc.png_features(payload, feature_dim)
+    if mc.is_wav(payload):
+        return mc.wav_features(payload, feature_dim)
+    if kind == "video":
+        w, h, nf, dur = _fake_dims(payload, kind)
+        return (w, h, nf, dur, _fake_feature(payload, feature_dim))
+    raise ValueError(
+        f"cannot decode {kind!r} payload ({bytes(payload[:8])!r}...): "
+        "real codecs support PNG images and PCM16 WAV audio"
+    )
+
+
+def extract_media_features(
+    media: DataFrame, feature_dim: int = 8, codec: str | None = None
+) -> DataFrame:
     """media(media_id, kind, payload, mime, meta) → MEDIA_FEATURES rows.
 
     One ``mapInPandas`` pass: decode + dims + feature per Arrow batch.
-    Column pruning applies upstream — if a caller selects only
-    ``media_id``/``width``, parquet still must deliver ``payload`` here,
-    so run feature extraction ONCE and persist its (small) output
-    rather than re-decoding per query.
+    ``codec``: "stub" (md5-derived fakes, SQL-reproducible — what the
+    driver oracle checks) or "real" (stdlib PNG/WAV decode,
+    media_codecs.py — actual pixels/samples feed the feature vector);
+    defaults to the module flag ``_STUB_DECODERS``. Column pruning
+    applies upstream — if a caller selects only ``media_id``/``width``,
+    parquet still must deliver ``payload`` here, so run feature
+    extraction ONCE and persist its (small) output rather than
+    re-decoding per query.
     """
+    if codec is None:
+        codec = "stub" if _STUB_DECODERS else "real"
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
+    real = codec == "real"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [ _fake_dims(p, k) for p, k in zip(pdf["payload"], pdf["kind"]) ]
+            if real:
+                rows = [
+                    _decode_row(p, k, feature_dim)
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            else:
+                rows = [
+                    (*_fake_dims(p, k), _fake_feature(p, feature_dim))
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_frames": [d[2] for d in dims],
-                    "duration_s": [d[3] for d in dims],
-                    "feature": [_fake_feature(p, feature_dim) for p in pdf["payload"]],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [r[2] for r in rows],
+                    "duration_s": [r[3] for r in rows],
+                    "feature": [r[4] for r in rows],
                 }
             )
 
@@ -110,14 +161,30 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stub: passes payload through a pandas UDF batch with
-    the target dims recorded — the real implementation swaps the body
-    for PIL ``Image.resize`` and returns re-encoded bytes."""
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: str | None = None
+) -> DataFrame:
+    """Image resize. ``codec="real"``: decode PNG payloads, resample
+    nearest-neighbor (media_codecs.resize_nearest), re-encode PNG —
+    output payloads are genuine images at the target size. ``"stub"``
+    (default via ``_STUB_DECODERS``): pass payloads through with target
+    dims recorded — the plumbing-only mode for fake-byte corpora."""
+    if codec is None:
+        codec = "stub" if _STUB_DECODERS else "real"
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
+    real = codec == "real"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codecs as mc
+
         for pdf in batches:
-            if _STUB_DECODERS:
+            if real:
+                out_payload = [
+                    mc.encode_png(mc.resize_nearest(mc.decode_png(p), width, height))
+                    for p in pdf["payload"]
+                ]
+            else:
                 out_payload = pdf["payload"]  # no-op stand-in
             yield pd.DataFrame(
                 {
