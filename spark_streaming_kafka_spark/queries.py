@@ -2002,6 +2002,40 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.recommend_for_all_users(5)
 
 
+@register(
+    "als_recommend_topk_shape",
+    """
+    WITH users AS (
+      SELECT DISTINCT CAST(l_suppkey AS INTEGER) AS user_id
+      FROM lineitem WHERE l_orderkey % 20 = 0
+    )
+    SELECT user_id, CAST(r.range AS INTEGER) AS rec_rank,
+           TRUE AS monotone_nonincreasing
+    FROM users, range(1, 6) r
+    """,
+)
+def q_als_recommend_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable invariants of the ALS serving output — the
+    strongest SQL-expressible slice of a non-SQL-expressible operator.
+    The hash gate enforces: (a) recommendations cover EXACTLY the
+    deterministic training-user set, (b) each user gets a DENSE top-5
+    (rec_rank 1..5, no gaps/dupes), (c) predicted ratings are
+    NON-INCREASING in rank (encoded as an always-true boolean — any
+    violation flips a value and fails the hash). Factor values
+    themselves stay rows-only in `als_recommend_topk` (float
+    nondeterminism across BLAS builds has no SQL oracle)."""
+    recs = q_als_recommend(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("rank")
+    prev = F.lag("predicted_rating").over(w)
+    return recs.select(
+        "user_id",
+        F.col("rank").cast("int").alias("rec_rank"),
+        (prev.isNull() | (F.col("predicted_rating") <= prev)).alias(
+            "monotone_nonincreasing"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

@@ -18,7 +18,7 @@ ALL_PAIRS_BY_DESIGN = {
 }
 
 #: Trains ALS / collects at build time — planned but notably slower.
-SLOW_BUILD = {"als_recommend_topk"}
+SLOW_BUILD = {"als_recommend_topk", "als_recommend_topk_shape"}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
