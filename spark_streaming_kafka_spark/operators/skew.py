@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fan_out(df: DataFrame, per_core: int = 2) -> DataFrame:
+def fan_out(df: DataFrame, per_core: int = 1) -> DataFrame:
     """Repartition ``df`` up to ``per_core × defaultParallelism`` — but
     ONLY if the current plan has fewer partitions than that.
 
@@ -34,6 +34,12 @@ def fan_out(df: DataFrame, per_core: int = 2) -> DataFrame:
     row group — unsplittable) arrives as ONE partition and would pin the
     whole stage to one core. The round-robin shuffle this inserts moves
     only the small input, never the exploded intermediate.
+
+    ``per_core=1`` (one task per core): these stages are CPU-bound with
+    uniform per-row cost, so extra waves buy no balance and pay task
+    launch/deserialize overhead — 2 tasks/core measured ~20% slower on
+    the minhash signature stage (straggler insurance is AQE's job, and
+    an unsplittable small input has no stragglers to insure against).
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * per_core

@@ -117,14 +117,39 @@ def test_cc_loop_frees_superseded_checkpoints(spark):
 
     sc = spark.sparkContext
     before = _persistent_rdd_ids(sc)
-    # chain of diameter 5 ⇒ several propagation rounds
+    # chain of diameter 5 ⇒ several propagation rounds; force the
+    # distributed loop (the driver-finish gate would shortcut it)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "id_a long, id_b long"
     )
-    labels = connected_components(edges)
+    labels = connected_components(edges, driver_finish_below=0)
     assert {r["component"] for r in labels.collect()} == {0}
     leaked = _persistent_rdd_ids(sc) - before
     assert len(leaked) <= 1  # final labels checkpoint only
+
+
+def test_cc_driver_finish_matches_distributed_loop(spark):
+    """The size-gated driver union-find must produce the identical
+    (node, component=min id) labeling as the Pregel loop, including on
+    graphs with multiple components, chains, and isolated-pair edges."""
+    import random
+
+    from spark_streaming_kafka_spark.operators.dedup import connected_components
+
+    rnd = random.Random(11)
+    # several chains + stars + disjoint pairs over a sparse id space
+    edge_list = []
+    base = 0
+    for size in (2, 3, 7, 1, 5):
+        ids = [base + i * 3 for i in range(size + 1)]
+        edge_list += list(zip(ids, ids[1:]))  # chain
+        base += 1000
+    edge_list += [(5000 + rnd.randrange(50), 5000 + rnd.randrange(50)) for _ in range(30)]
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+
+    fast = connected_components(edges)  # gate takes the driver path
+    slow = connected_components(edges, driver_finish_below=0)  # forced loop
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
 
 @pytest.fixture(scope="module")
