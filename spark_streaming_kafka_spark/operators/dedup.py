@@ -786,8 +786,13 @@ def _bucketed_near_dup_pairs(
                 )
         return pd.concat(parts, ignore_index=True) if parts else empty
 
+    # Explicit repartition before the grouped pandas stage: AQE's
+    # byte-sized coalescing serializes Python workers on small inputs
+    # (see similarity.lsh_cosine_topk); an explicit count is exempt.
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
     return (
-        bucketed.groupBy("rot", "bucket")
+        bucketed.repartition(n_parts, "rot", "bucket")
+        .groupBy("rot", "bucket")
         .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -266,8 +266,23 @@ def lsh_cosine_topk(
             )
         return pd.concat(parts, ignore_index=True)
 
-    return bucketed.groupBy("bucket").applyInPandas(
-        bucket_topk, schema="query_id long, neighbor_id long, cosine double, rank int"
+    # Explicit hash-repartition on the group key BEFORE the grouped
+    # pandas stage: AQE coalesces post-shuffle partitions by BYTE size,
+    # but a pandas stage's cost is per-row compute (gemm) — byte-sized
+    # coalescing serializes the Python workers (measured: 2 partitions
+    # for 2000 vectors ⇒ one ~1s two-worker stage). A user repartition
+    # with an explicit count is exempt from AQE coalescing, and the
+    # grouped shuffle is satisfied by the existing distribution, so the
+    # stage runs at full core parallelism at exactly one extra no-op
+    # exchange of O(n) rows. defaultParallelism scales with the cluster.
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    return (
+        bucketed.repartition(n_parts, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(
+            bucket_topk,
+            schema="query_id long, neighbor_id long, cosine double, rank int",
+        )
     )
 
 
