@@ -399,17 +399,36 @@ def ivf_topk(
     """
     from .windows import per_group_top_k
 
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # Queries are bounded (n_queries rows) and, with the "sample"
+    # codebook, a SUBSET of the codebook collect — so one bounded driver
+    # transfer serves both, and the per-query probe cells are computed
+    # in driver numpy instead of spinning a Python-worker stage to
+    # produce |Q|·nprobe rows. (A trained model ships driver→executor
+    # the same way; queries-at-scale would instead arrive as their own
+    # DataFrame and probe via mapInPandas — that path is ivf_assign's.)
     if codebook == "sample":
-        centroids = [
+        pool = [
             (int(r[0]), list(r[1]))
-            for r in emb.filter(F.col(id_col) < n_centroids)
+            for r in emb.filter(F.col(id_col) < max(n_centroids, n_queries))
             .select(id_col, vec_col)
             .collect()
         ]
-    elif codebook == "kmeans":
-        centroids = kmeans_codebook(emb, n_centroids, vec_col)
+        centroids = [(i, v) for i, v in pool if i < n_centroids]
+        qrows = [(i, v) for i, v in pool if i < n_queries]
     else:
-        centroids = codebook
+        if codebook == "kmeans":
+            centroids = kmeans_codebook(emb, n_centroids, vec_col)
+        else:
+            centroids = codebook
+        qrows = [
+            (int(r[0]), list(r[1]))
+            for r in emb.filter(F.col(id_col) < n_queries)
+            .select(id_col, vec_col)
+            .collect()
+        ]
     cells = ivf_assign(emb, centroids, vec_col).select(
         id_col, vec_col, "centroid_id"
     )
@@ -417,29 +436,24 @@ def ivf_topk(
     # Probe list per query: its nprobe nearest cells, same batch scorer.
     # np.argsort is stable ⇒ rounded-cosine ties break to the lowest cid
     # (cids ascending), matching the oracle's (cos DESC, cid ASC) order.
-    from collections.abc import Iterator
-
-    import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
     cids, sims = _codebook_sims(centroids)
-    np_ = nprobe
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            order = np.argsort(-sims(pdf["q_vec"]), axis=1, kind="stable")[:, :np_]
-            out = pdf.loc[pdf.index.repeat(np_)].copy()
-            out["centroid_id"] = cids[order].ravel()
-            yield out
-
-    q = emb.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    probes = q.mapInPandas(
-        probe,
-        schema=StructType(q.schema.fields + [StructField("centroid_id", IntegerType())]),
+    order = np.argsort(-sims(pd.Series([v for _, v in qrows])), axis=1, kind="stable")[
+        :, :nprobe
+    ]
+    probe_rows = [
+        (int(qid), list(qvec), int(cid))
+        for (qid, qvec), row in zip(qrows, order)
+        for cid in cids[row]
+    ]
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows,
+        schema=StructType(
+            [
+                StructField("query_id", LongType(), False),
+                StructField("q_vec", emb.schema[vec_col].dataType, False),
+                StructField("centroid_id", IntegerType(), False),
+            ]
+        ),
     )
     scored = (
         cells.join(F.broadcast(probes), "centroid_id")
