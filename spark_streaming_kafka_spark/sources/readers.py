@@ -93,8 +93,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raise
         _ensure_nanos_readable(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Newer testdata writes ts as naive micros (TIMESTAMP_NTZ). The
+        # engine contract is TIMESTAMP (instant semantics) with the naive
+        # wall clock read as UTC — to_utc_timestamp pins that mapping
+        # independent of the session timezone, so every downstream
+        # instant function (unix_millis, window, watermarks) works and
+        # results are byte-identical to the nanos-era reads.
+        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 

@@ -89,6 +89,37 @@ def test_load_table_events_self_heals_without_session_conf(spark, sf_dir):
         spark.conf.set(_NANOS_CONF, "true")
 
 
+def test_load_table_events_ntz_micros_normalized(spark, tmp_path):
+    """Regression (round-3 testdata): ``events.ts`` written as naive
+    micros (parquet timestamp[us] ⇒ TIMESTAMP_NTZ) must surface as the
+    same instant-typed TIMESTAMP the nanos-era reads produced — naive
+    wall clock pinned to UTC, independent of session timezone — so
+    unix_millis/window/watermark queries keep working unchanged."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    wall = datetime.datetime(2024, 3, 1, 12, 30, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([wall], pa.timestamp("us")),
+            "user_id": pa.array([5], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    ev = load_table(spark, str(tmp_path), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    ms = ev.select(F.unix_millis("ts").alias("ms")).first()["ms"]
+    assert ms == int(wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+
+
 def test_kafka_rest_producer_roundtrip(spark):
     """S10: the REST produce client posts real JSON records (never
     str(dict) payloads) with the vnd.kafka.json.v2 content type —
