@@ -77,11 +77,21 @@ def build_ratings(
     dimension-sized aggregate. Shuffle count over fact-sized data: the
     user aggregation and the song-totals aggregation (both map-side
     partial), and nothing else — no fact-side semi-join shuffle, no
-    fact-sized checkpoint (the earlier formulation had both). At sf0.1
-    the two formulations measure within box noise of each other
-    (scheduling-floor dominated: ~10 jobs either way); the fused plan's
-    win is structural — one fewer full-fact shuffle and no fact-sized
-    materialization is what survives a 100 TB input.
+    fact-sized checkpoint (the earlier formulation had both); the fused
+    plan's win is structural — one fewer full-fact shuffle and no
+    fact-sized materialization is what survives a 100 TB input.
+
+    Small-SF floor (why sf0.1 can't reach single-process parity): the
+    algorithm is a serial dependency chain — percentile aggregate →
+    active-user broadcast → song-totals aggregate → top-k catalog
+    broadcast → final join — which AQE executes as ~5 dependent
+    exchange waves, each paying Spark's fixed stage cost (scheduling,
+    task launch, codegen dispatch ≈ 0.25-0.3 s). That ≈1.5 s floor is
+    volume-independent and algorithmic (each wave consumes the previous
+    wave's materialized result, so no two can overlap); DuckDB
+    pipelines the same chain in-process with zero per-stage cost. At
+    scale the fixed cost vanishes into per-wave data cost — the regime
+    this plan is shaped for.
 
     ``broadcast_users``: the per-user row is ~50 bytes (id + 4 doubles);
     a bounded user base (the reference's MSD corpus: ~1M users ⇒ ~50 MB)
@@ -99,12 +109,14 @@ def build_ratings(
     active = per_user.filter(F.col("__total") >= min_total).select(
         "user_id", *[F.col("__qs").getItem(i).alias(f"__q{i}") for i in range(n)]
     )
-    # `active` feeds BOTH the rating branch and the song-totals branch;
-    # it is dimension-sized, so materializing it once is near-free while
-    # the fact side stays a recomputed (cheap, pushed-down) scan. On a
-    # long-lived cluster job prefer persist(MEMORY_AND_DISK) +
-    # unpersist; checkpoint blocks die with the executor.
-    active = active.localCheckpoint(eager=False)
+    # `active` feeds BOTH the rating branch and the song-totals branch.
+    # No explicit materialization: the two branches reference the same
+    # canonicalized aggregate subplan, so AQE's ReuseExchange computes
+    # the percentile aggregation ONCE and shares its (broadcast)
+    # exchange — same sharing a localCheckpoint bought, minus the extra
+    # job barrier the checkpoint cost (measured ~20% of the query at
+    # sf0.1). Exchange reuse survives on a cluster; checkpoint blocks
+    # die with their executor.
     if broadcast_users:
         active = F.broadcast(active)
     f2 = f1.join(active, "user_id")  # filter + quantile boundaries in one
