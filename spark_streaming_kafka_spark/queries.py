@@ -2036,6 +2036,234 @@ def q_als_recommend_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Corpus-curation operators (operators/curation.py): decontamination,
+# PII scrubbing, stratified sampling, incremental manifest dedup, and
+# bloom-prefiltered joins — each oracle-exact.
+
+
+def _pii_scrub_sql(expr: str) -> str:
+    """DuckDB twin of curation.pii_scrub, built from the SAME
+    PII_PATTERNS constants so the two engines can never drift."""
+    from .operators.curation import PII_PATTERNS
+
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+_PII_SYNTH = (
+    "concat('contact user', doc_id, '@', source, '.org call 555-', "
+    "lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' from 10.0.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.7 ', substr(text, 1, 40))"
+)
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH synth AS (SELECT doc_id, {_PII_SYNTH} AS raw FROM documents)
+    SELECT doc_id, {_pii_scrub_sql('raw')} AS scrubbed FROM synth
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phones, IPv4) — a mandatory cleaning pass
+    on any web-scale training corpus. The synthetic docs carry no PII,
+    so deterministic PII is spliced in from (doc_id, source) and then
+    scrubbed: the oracle hash proves every planted email/phone/IP is
+    gone AND nothing else changed. Chained regexp_replace — codegen'd,
+    scan-bound, no UDF, no shuffle."""
+    from .operators.curation import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".org call 555-"),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 "),
+        F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", pii_scrub(raw).alias("scrubbed"))
+
+
+@register(
+    "per_source_stats",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(len({_sql_tokens()})), 6) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation dashboard: volume, exact-dup rate
+    (distinct content hashes vs rows), and length profile per origin —
+    the aggregate a crawl pipeline watches to catch a broken or spammy
+    source. One partial-agg shuffle keyed by source; the distinct-hash
+    count shuffles (source, md5) pairs, never bodies."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(dd.tokenize(F.col("text")))), 6).alias("avg_tokens"),
+    )
+
+
+@register(
+    "manifest_dedup_new",
+    """
+    WITH manifest AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 7 = 0
+    ),
+    nw AS (
+      SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 7 <> 0
+    ),
+    fresh AS (
+      SELECT nw.* FROM nw LEFT JOIN manifest m USING (text_hash)
+      WHERE m.text_hash IS NULL
+    )
+    SELECT min(doc_id) AS doc_id, text_hash, CAST(count(*) AS BIGINT) AS n_copies
+    FROM fresh GROUP BY text_hash
+    """,
+)
+def q_manifest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs at doc_id % 7 == 0 stand in for
+    the prior snapshot (hash-only manifest), the rest arrive as the new
+    batch; output keeps one doc per content hash never seen before.
+    The manifest is 16 B/doc, so a billion-doc history anti-joins on
+    hash alone — and the never-seen majority can skip even that via a
+    bloom prefilter (see bloom_prefilter_orders)."""
+    from .operators.curation import manifest_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    manifest = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0)
+    return manifest_dedup(new, manifest)
+
+
+@register(
+    "benchmark_contamination",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 3),
+                                          i -> array_to_string(w[i:i+4], ' '))) AS shs
+      FROM words
+    ),
+    flat AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    bench AS (SELECT DISTINCT shingle FROM flat WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT f.doc_id, count(*) AS n_hit
+      FROM flat f JOIN bench USING (shingle) GROUP BY f.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(shs) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           round(CASE WHEN len(shs) > 0
+                      THEN coalesce(h.n_hit, 0) * 1.0 / len(shs)
+                      ELSE 0.0 END, 6) AS contamination
+    FROM sh s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap check run before
+    training so eval data can't leak into the corpus. Docs at
+    doc_id % 97 == 0 stand in for the benchmark; every doc reports the
+    fraction of its distinct 5-word shingles that appear in it
+    (benchmark members self-report 1.0 — the built-in sanity check).
+    The benchmark's shingle set is BROADCAST; the corpus never
+    shuffles by shingle."""
+    from .operators.curation import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return benchmark_contamination(docs, bench, k=5)
+
+
+@register(
+    "stratified_sample_balanced",
+    f"""
+    WITH counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    m AS (SELECT min(n) AS mn FROM counts),
+    t AS (SELECT label, CAST(floor(mn * 1000000 / n) AS BIGINT) AS thresh
+          FROM counts, m)
+    SELECT e.vec_id, e.label
+    FROM embeddings e JOIN t USING (label)
+    WHERE {duckdb_md5_long("concat('strat_', vec_id)")} % 1000000 < thresh
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling to the minority class —
+    balanced training sets with no RNG state: whether a row survives is
+    recomputable from (id, class sizes) alone, identical across
+    engines, partitionings, and reruns. Per-class thresholds broadcast;
+    the fact side is a single filtered scan, no shuffle."""
+    from .operators.curation import stratified_sample
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return stratified_sample(emb, "label", "vec_id").select("vec_id", "label")
+
+
+@register(
+    "bloom_prefilter_orders",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 6) AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_custkey
+    """,
+)
+def q_bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with a Bloom prefilter — the 100 TB join-pruning
+    pattern: an 8 KiB bitmap built from the dimension side ships inside
+    the plan as a literal and culls fact rows scan-side (codegen'd bit
+    tests, no shuffle, no Python) BEFORE the exact semi-join sees them.
+    Bloom filters never false-negative, so prefilter + exact join ≡ the
+    plain semi-join — which is exactly what the oracle checks. At this
+    segment's ~20% selectivity the shuffle shrinks 5×; at 100 TB
+    that's the difference between shuffling 100 TB and 20 TB."""
+    from .operators.curation import bloom_bitmap, bloom_might_contain
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bitmap = bloom_bitmap(cust, "c_custkey")  # bounded: 1024 longs
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    pref = orders.filter(bloom_might_contain(bitmap, F.col("o_custkey")))
+    exact = pref.join(
+        F.broadcast(cust), pref.o_custkey == cust.c_custkey, "left_semi"
+    )
+    return exact.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

@@ -1,0 +1,114 @@
+"""Corpus-curation operators (operators/curation.py): decontamination,
+PII scrubbing, stratified sampling, manifest dedup, bloom prefilter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_spark.operators.curation import (
+    benchmark_contamination,
+    bloom_bitmap,
+    bloom_might_contain,
+    manifest_dedup,
+    pii_scrub,
+    stratified_sample,
+)
+
+
+def test_pii_scrub_redacts_all_planted_forms(spark):
+    cases = [
+        ("mail me at jane.doe+spam@sub.example.co.uk today", "<EMAIL>"),
+        ("call 555-867-5309 now", "<PHONE>"),
+        ("also 555.867.5309 works", "<PHONE>"),
+        ("server at 192.168.001.1 down", "<IP>"),
+        ("plain text stays untouched", None),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "i int, t string")
+    out = {r["i"]: r["s"] for r in df.select("i", pii_scrub(F.col("t")).alias("s")).collect()}
+    for i, (raw, marker) in enumerate(cases):
+        if marker is None:
+            assert out[i] == raw
+        else:
+            assert marker in out[i]
+            # no residual digits-or-@ from the planted PII form
+            assert "@" not in out[i].replace("<EMAIL>", "")
+    assert out[4] == "plain text stays untouched"
+
+
+def test_pii_scrub_email_not_half_eaten_as_phone(spark):
+    # an address with digit runs must become <EMAIL>, not <EMAIL>+<PHONE> debris
+    df = spark.createDataFrame([("x 555-123-4567@example.com y",)], "t string")
+    s = df.select(pii_scrub(F.col("t")).alias("s")).first()["s"]
+    assert s == "x <EMAIL> y"
+
+
+def test_benchmark_contamination_self_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # benchmark member
+            (1, "alpha beta gamma delta epsilon eta"),    # shares 2 of its shingles? -> partial
+            (2, "one two three four five six seven"),     # disjoint
+            (3, "tiny doc"),                              # < k words -> 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r for r in benchmark_contamination(docs, bench, k=5).collect()}
+    assert out[0]["contamination"] == 1.0          # benchmark self-reports 1.0
+    assert out[2]["n_contaminated"] == 0
+    assert out[3]["n_shingles"] == 0 and out[3]["contamination"] == 0.0
+    # doc 1: shingles {alpha..epsilon, beta..eta}; the first is in the benchmark
+    assert out[1]["n_shingles"] == 2 and out[1]["n_contaminated"] == 1
+    assert out[1]["contamination"] == 0.5
+
+
+def test_stratified_sample_balances_and_is_partition_invariant(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    kept = stratified_sample(df, "cls", "id").groupBy("cls").count().collect()
+    by = {r["cls"]: r["count"] for r in kept}
+    # expected kept per class ~= minority size (hash-uniform, not exact)
+    assert by["small"] == 40                      # minority keeps everything
+    assert 20 <= by["big"] <= 60                  # ~40 expected
+    a = {r["id"] for r in stratified_sample(df.repartition(1), "cls", "id").collect()}
+    b = {r["id"] for r in stratified_sample(df.repartition(7), "cls", "id").collect()}
+    assert a == b                                 # partitioning-independent
+
+
+def test_manifest_dedup_drops_seen_and_within_batch(spark):
+    manifest = spark.createDataFrame([("old doc",)], "text string").select(
+        F.md5("text").alias("text_hash")
+    )
+    new = spark.createDataFrame(
+        [(10, "old doc"), (11, "fresh"), (12, "fresh"), (13, "unique")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in manifest_dedup(new, manifest).collect()}
+    assert set(out) == {11, 13}                   # 10 seen before; 12 dups 11
+    assert out[11]["n_copies"] == 2
+    assert out[13]["n_copies"] == 1
+
+
+def test_bloom_never_false_negative_and_prunes(spark):
+    keys = spark.range(0, 300).select((F.col("id") * 17).alias("k"))
+    bitmap = bloom_bitmap(keys, "k")
+    members = keys.filter(bloom_might_contain(bitmap, F.col("k"))).count()
+    assert members == 300                         # zero false negatives, ever
+    probe = spark.range(100_000, 101_000).select(F.col("id").alias("k"))
+    fp = probe.filter(bloom_might_contain(bitmap, F.col("k"))).count()
+    # m=2^16, n=300, k=3 -> fp rate ~ (1-e^{-900/65536})^3 ~ 2.5e-6
+    assert fp <= 2
+
+
+def test_bloom_prefilter_is_scan_side_no_join(spark, sf_dir):
+    """The prefilter must be a Filter over the scan — no join, no
+    shuffle — so the pruning happens before any exchange."""
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").limit(50)
+    bitmap = bloom_bitmap(cust, "c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    pref = orders.filter(bloom_might_contain(bitmap, F.col("o_custkey")))
+    plan = explain_str(pref, "simple")
+    assert "Join" not in plan and "Exchange" not in plan
