@@ -68,10 +68,17 @@ def tokenize(text: Column, lowercase: bool = False) -> Column:
     return F.filter(F.split(t, " "), lambda x: x != "")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column — pure column algebra
-    (no explode): slide over the token array with ``transform`` +
-    ``slice`` and join each window with spaces."""
+def word_shingles(text: Column, k: int = 3, distinct: bool = True) -> Column:
+    """k-word shingles of a text column — pure column algebra (no
+    explode): slide over the token array with ``transform`` + ``slice``
+    and join each window with spaces.
+
+    ``distinct=False`` skips the ``array_distinct`` — it is O(len²)
+    string comparisons per document, and any MIN/MAX-style consumer
+    (MinHash signatures) is duplicate-invariant, so set-semantics there
+    is pure cost (~25% of the signature stage measured at sf0.1). Keep
+    the default for Jaccard/counting consumers, where set semantics is
+    the contract."""
     toks = tokenize(text)
     n = F.size(toks)
     # Guard: sequence(1, 0) would DESCEND in Spark, so short docs get an
@@ -80,7 +87,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -184,8 +191,12 @@ def minhash_signatures(
     docs = fan_out(docs)
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
+        # distinct=False: min() is duplicate-invariant, and per-doc
+        # array_distinct is O(len^2) pure overhead here
         (
-            F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+            F.explode(word_shingles(F.col(text_col), k, distinct=False)).alias(
+                "shingle"
+            )
         ),
     ).select(
         "doc_id", (md5_long(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
