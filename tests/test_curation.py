@@ -100,6 +100,20 @@ def test_bloom_never_false_negative_and_prunes(spark):
     assert fp <= 2
 
 
+def test_contamination_broadcasts_benchmark_never_shuffles_corpus_by_shingle(spark, sf_dir):
+    """The corpus side must reach the shingle join without an Exchange
+    (the benchmark side broadcasts); the only shuffle is the per-doc
+    hit-count aggregation."""
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = explain_str(benchmark_contamination(docs, bench), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan           # corpus never shuffles by shingle
+
+
 def test_bloom_prefilter_is_scan_side_no_join(spark, sf_dir):
     """The prefilter must be a Filter over the scan — no join, no
     shuffle — so the pruning happens before any exchange."""
