@@ -2264,6 +2264,49 @@ def q_bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SQL = (
+    "(least(len(" + _sql_tokens() + ") / 50.0, 1.0) "
+    "+ least((CASE WHEN len(" + _sql_tokens() + ") > 0 THEN "
+    "len(list_filter(" + _sql_tokens() + ", t -> list_contains(" + _STOP_SQL + ", lower(t)))) * 1.0 / len(" + _sql_tokens() + ") "
+    "ELSE 0.0 END) / 0.2, 1.0) "
+    "+ (1.0 - least((CASE WHEN length(text) > 0 THEN "
+    "len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text) "
+    "ELSE 0.0 END) * 5.0, 1.0))) / 3.0"
+)
+
+
+@register(
+    "quality_weighted_sample",
+    f"""
+    WITH q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents)
+    SELECT doc_id, round(quality, 6) AS quality
+    FROM q
+    WHERE {duckdb_md5_long("concat('wsamp_', doc_id)")} % 1000000
+          < CAST(round(quality * 1000000) AS BIGINT)
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: each doc survives with
+    probability equal to its quality score — how curation pipelines
+    keep a quality gradient instead of a hard cutoff. Deterministic
+    (hash vs score threshold, no RNG), partition-invariant, and a pure
+    scan-side filter: the score is column algebra and the threshold
+    needs no global aggregate because quality is bounded in [0, 1] by
+    construction. Completes the sampling family: uniform
+    (hash_sample_split), stratified (stratified_sample_balanced),
+    weighted (this)."""
+    from .functions.hashing import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    bucket = md5_long(F.concat(F.lit("wsamp_"), F.col("doc_id"))) % 1000000
+    return (
+        docs.select("doc_id", q.alias("__q"))
+        .filter(bucket < F.round(F.col("__q") * 1000000, 0).cast("long"))
+        .select("doc_id", F.round("__q", 6).alias("quality"))
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:
