@@ -2307,6 +2307,63 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {duckdb_md5_long("concat('pack_', doc_id)")} % 8 AS shard,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS cum_before
+      FROM t
+    )
+    SELECT doc_id, shard,
+           CAST(cum_before // 256 AS BIGINT) AS seq_id,
+           CAST(cum_before % 256 AS BIGINT) AS tok_offset,
+           n_tokens
+    FROM c
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): docs are hashed
+    into shards, each shard's documents concatenate in deterministic
+    (doc_id) order into one token stream, and the stream chunks every
+    256 tokens — each doc reports which packed sequence it starts in
+    and at what offset. This is the standard pretraining batch-prep
+    step (docs straddle chunk boundaries by design). Scale shape:
+    packing is embarrassingly parallel ACROSS shards — one window sort
+    per shard, shard count sized to the cluster — because a single
+    global stream would serialize; determinism comes from the hash
+    shard + id order, not from any partitioning accident."""
+    from .functions.hashing import md5_long
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (md5_long(F.concat(F.lit("pack_"), F.col("doc_id"))) % 8).alias("shard"),
+        F.size(dd.tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "shard",
+        F.expr("cum_before div 256").alias("seq_id"),
+        (F.col("cum_before") % 256).alias("tok_offset"),
+        "n_tokens",
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:
