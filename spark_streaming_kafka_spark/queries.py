@@ -79,6 +79,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _docs_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan with fan_out: the table often arrives as ONE
+    parquet split (a single row group), which would pin every
+    token/regex-heavy map phase to one core; fan_out round-robins the
+    (small) input up to defaultParallelism and is a no-op on many-split
+    scans at scale (operators/skew.py)."""
+    from .operators.skew import fan_out
+
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Relational core (SURVEY §2.2–2.7)
 # =====================================================================
@@ -396,7 +407,7 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/P10 — the reference's streaming word count as its batch
     equivalent over documents (streaming form in streaming/wordcount.py
     shares this function)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return word_count(docs, "text")
 
 
@@ -411,7 +422,7 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — top-N over an aggregate."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return top_k(word_count(docs, "text"), [F.col("count").desc(), F.col("word").asc()], 20)
 
 
@@ -708,7 +719,7 @@ def _sql_tokens(expr: str = "text") -> str:
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex pre-tokenizer. Pure
     scan-bound column work."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return docs.select(
         "doc_id",
         ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
@@ -743,7 +754,7 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/punctuation features + composite
     score, all JVM column algebra."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     ft = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -779,7 +790,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + a broadcast join of the vocabulary; the per-doc score is
     avg ln p(token). At 100 TB the vocabulary stays dimension-sized, so
     the scoring pass is scan-bound with a broadcast LM."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("term")
     )
@@ -820,7 +831,7 @@ def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     looped generation). One explode + one hash agg with a distinct
     count; partial aggregation keeps the shuffle one row per
     (doc, term)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("term")
     )
@@ -856,7 +867,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (actual, predicted) confusion table. The mechanism — per-language
     marker scores + deterministic argmax — is the production shape;
     plug real marker tables for real corpora."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return (
         docs.select("lang", langid(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
@@ -880,7 +891,7 @@ _LEX_CASE = "CASE " + " ".join(
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 — lexicon sentiment as column algebra (the pandas_udf twin is
     exercised in tests/test_text.py; identical outputs by construction)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return docs.select("doc_id", sentiment_expr(F.col("text")).alias("sentiment"))
 
 
@@ -923,7 +934,7 @@ def q_normalize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     .txt:48 — made obsolete by parameterized writes, kept as the generic
     text-normalization scalar). Spark replaces globally by default;
     DuckDB needs the 'g' flag — pinned here."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.regexp_replace(F.substring("text", 1, 60), "[aeiou]", "_").alias("masked"),
@@ -986,7 +997,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. Rounding before ranking pins float-order ties."""
     from .operators.windows import per_group_top_k
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("term")
     )
@@ -1698,7 +1709,7 @@ def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocab building: top-50 3-gram shingles by document
     frequency — the pruning table a production jaccard pass would use
     as its stop-shingle list (max_df)."""
-    sh = dd.doc_shingles(_t(spark, sf_dir, "documents"))
+    sh = dd.doc_shingles(_docs_fan(spark, sf_dir))
     return top_k(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")),
         [F.col("df").desc(), F.col("shingle").asc()],
@@ -1735,7 +1746,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup misses, at identical cost."""
     from .functions.text import normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return (
         docs.select(
             F.md5(normalize_text(F.col("text"))).alias("text_hash"), F.col("doc_id")
@@ -2077,7 +2088,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-bound, no UDF, no shuffle."""
     from .operators.curation import pii_scrub
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     raw = F.concat(
         F.lit("contact user"),
         F.col("doc_id"),
@@ -2112,7 +2123,7 @@ def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate a crawl pipeline watches to catch a broken or spammy
     source. One partial-agg shuffle keyed by source; the distinct-hash
     count shuffles (source, md5) pairs, never bodies."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("n_unique"),
@@ -2195,7 +2206,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles by shingle."""
     from .operators.curation import benchmark_contamination
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return benchmark_contamination(docs, bench, k=5)
 
@@ -2297,7 +2308,7 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted (this)."""
     from .functions.hashing import md5_long
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     q = quality_score(F.col("text"))
     bucket = md5_long(F.concat(F.lit("wsamp_"), F.col("doc_id"))) % 1000000
     return (
@@ -2343,7 +2354,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard + id order, not from any partitioning accident."""
     from .functions.hashing import md5_long
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_fan(spark, sf_dir)
     t = docs.select(
         "doc_id",
         (md5_long(F.concat(F.lit("pack_"), F.col("doc_id"))) % 8).alias("shard"),
