@@ -123,3 +123,56 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+# --- curation properties ---------------------------------------------
+
+bloom_keys = st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=40, unique=True)
+
+
+@given(keys=bloom_keys)
+@settings(**_SETTINGS)
+def test_bloom_no_false_negatives_property(spark, keys):
+    """Structural guarantee, checked over arbitrary key sets: every key
+    that went into the bitmap passes the membership test."""
+    from spark_streaming_kafka_spark.operators.curation import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bitmap = bloom_bitmap(df, "k", m_bits=1 << 12)
+    assert df.filter(
+        bloom_might_contain(bitmap, F.col("k"), m_bits=1 << 12)
+    ).count() == len(keys)
+
+
+strata = st.lists(
+    st.tuples(st.integers(0, 10**6), st.sampled_from(["a", "b", "c"])),
+    min_size=2, max_size=40, unique_by=lambda r: r[0],
+)
+
+
+@given(rows=strata)
+@settings(**_SETTINGS)
+def test_stratified_sample_subset_and_deterministic(spark, rows):
+    """The sample is a subset, keeps every minority-stratum row, and is
+    identical under different partitionings."""
+    from spark_streaming_kafka_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(rows, "id long, cls string")
+    ids = {r["id"] for r in stratified_sample(df, "cls", "id").collect()}
+    all_ids = {r[0] for r in rows}
+    assert ids <= all_ids
+    counts: dict[str, int] = {}
+    for _, c in rows:
+        counts[c] = counts.get(c, 0) + 1
+    mn = min(counts.values())
+    minority = {cls for cls, n in counts.items() if n == mn}
+    kept_minority = {r[0] for r in rows if r[1] in minority}
+    assert kept_minority <= ids  # threshold = scale exactly => all kept
+    again = {
+        r["id"]
+        for r in stratified_sample(df.repartition(5), "cls", "id").collect()
+    }
+    assert ids == again

@@ -248,3 +248,34 @@ def test_streaming_exact_dedup_suppresses_redelivery(spark, tmp_path):
         assert len(rows_out) == 2
     finally:
         q.stop()
+
+
+def test_streaming_pii_scrub_stateless_parity(spark):
+    """PII scrubbing is stateless column algebra, so the SAME pii_scrub
+    expression drops into a readStream→writeStream pipeline unchanged —
+    streaming/batch parity by construction, verified on a live
+    micro-batch: every planted email is redacted in the sink."""
+    from spark_streaming_kafka_spark.operators.curation import pii_scrub
+
+    spark.sql("DROP TABLE IF EXISTS pii_out")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("user"), F.col("value"), F.lit("@example.com said hi")
+            ),
+        )
+    )
+    q = (
+        stream.select("value", pii_scrub(F.col("text")).alias("scrubbed"))
+        .writeStream.format("memory")
+        .queryName("pii_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        rows = _await_rows(spark, "pii_out", 3)
+        assert all(r["scrubbed"] == "<EMAIL> said hi" for r in rows)
+    finally:
+        q.stop()
