@@ -139,7 +139,12 @@ def extract_media_features(
         "media_id long, kind string, width int, height int, "
         "n_frames int, duration_s double, feature array<float>"
     )
-    return media.mapInPandas(run, schema=schema)
+    # Decode is CPU-bound and embarrassingly parallel; a single-split
+    # input (one parquet row group) would otherwise pin the whole pass
+    # to one Python worker. No-op on many-split scans at scale.
+    from .skew import fan_out
+
+    return fan_out(media).mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
