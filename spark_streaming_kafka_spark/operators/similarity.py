@@ -104,7 +104,12 @@ def cosine_topk(
                 }
             )
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
+    # CPU-bound BLAS scan: fan a single-split input to core count
+    # (no-op on many-split scans); per-batch partial top-k makes the
+    # result partition-count invariant, so parallelism is free.
+    from .skew import fan_out
+
+    scored = fan_out(emb.select(id_col, vec_col)).mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
     ranked = per_group_top_k(
