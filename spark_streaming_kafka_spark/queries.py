@@ -2375,6 +2375,96 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repetition_scores",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, unnest(toks) AS term FROM d
+    ),
+    seq AS (
+      SELECT doc_id, pos, term,
+             lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+             lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+      FROM tok
+    ),
+    ntok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+    bc AS (
+      SELECT doc_id, term || ' ' || t2 AS bg, count(*) AS c
+      FROM seq WHERE t2 IS NOT NULL GROUP BY doc_id, bg
+    ),
+    bstats AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM bc GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id, pos, term || ' ' || t2 || ' ' || t3 AS tg
+      FROM seq WHERE t3 IS NOT NULL
+    ),
+    tcnt AS (SELECT doc_id, tg FROM tri GROUP BY doc_id, tg HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS cp FROM (
+        SELECT t.doc_id, unnest([t.pos, t.pos+1, t.pos+2]) AS p
+        FROM tri t JOIN tcnt c USING (doc_id, tg)
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n.n, 0) AS n_tokens,
+           round(CASE WHEN coalesce(b.tot, 0) > 0 THEN b.top_c * 1.0 / b.tot ELSE 0.0 END, 6) AS top_2gram_frac,
+           round(CASE WHEN coalesce(n.n, 0) > 0 THEN coalesce(c.cp, 0) * 1.0 / n.n ELSE 0.0 END, 6) AS dup_3gram_frac
+    FROM d LEFT JOIN ntok n USING (doc_id) LEFT JOIN bstats b USING (doc_id) LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    per document, the count share of its most frequent word bigram and
+    the fraction of token positions covered by duplicated trigrams —
+    the standard screens for boilerplate / looped generation. Both
+    metrics are (doc, gram) hash aggs over a within-row gram expansion;
+    partial aggregation keeps the shuffle at the distinct-gram set, and
+    no document body ever shuffles (operators/repetition.py)."""
+    from .operators.repetition import repetition_features
+
+    return repetition_features(_docs_fan(spark, sf_dir))
+
+
+@register(
+    "passage_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(toks) / 20.0) AS INT))) AS passage_idx,
+             unnest([ array_to_string(toks[i*20+1 : i*20+20], ' ')
+                      for i in range(0, CAST(ceil(len(toks) / 20.0) AS INT)) ]) AS passage
+      FROM d WHERE len(toks) > 0
+    ),
+    f AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(passage)
+                                ORDER BY doc_id, passage_idx) AS rn
+      FROM p
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS kept_frac
+    FROM f GROUP BY doc_id
+    """,
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (C4-style line dedup over fixed
+    20-token spans): every distinct passage keeps only its corpus-wide
+    first occurrence in (doc_id, position) order; each document reports
+    how much of it survives. Catches boilerplate embedded inside
+    otherwise-unique documents, which document-level MinHash/SimHash
+    cannot. The first-occurrence window shuffles (md5, doc_id, idx) —
+    uniform 16-byte keys, bodies stay put (operators/repetition.py)."""
+    from .operators.repetition import passage_dedup
+
+    return passage_dedup(_docs_fan(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

@@ -126,3 +126,52 @@ def test_bloom_prefilter_is_scan_side_no_join(spark, sf_dir):
     pref = orders.filter(bloom_might_contain(bitmap, F.col("o_custkey")))
     plan = explain_str(pref, "simple")
     assert "Join" not in plan and "Exchange" not in plan
+
+
+# --- repetition filters & passage dedup (operators/repetition.py) -----
+
+def test_repetition_features_known_values(spark):
+    from spark_streaming_kafka_spark.operators.repetition import repetition_features
+
+    rows = [
+        (1, "a b a b a b c"),  # bigrams: 'a b'x3,'b a'x2,'b c'x1 -> 3/6;
+                               # dup trigrams 'a b a'x2 @0,2 / 'b a b'x2 @1,3
+                               # cover positions 0..5 -> 6/7
+        (2, "x y z"),          # nothing repeats
+        (3, ""),               # degenerate: no tokens
+        (4, "q"),              # single token: no bigrams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert out[1]["n_tokens"] == 7
+    assert out[1]["top_2gram_frac"] == 0.5
+    assert abs(out[1]["dup_3gram_frac"] - 6 / 7) < 1e-6
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 0 and out[3]["top_2gram_frac"] == 0.0
+    assert out[4]["top_2gram_frac"] == 0.0 and out[4]["dup_3gram_frac"] == 0.0
+    assert len(out) == 4  # every document appears, even degenerate ones
+
+
+def test_passage_dedup_first_occurrence_and_empty_doc(spark):
+    from spark_streaming_kafka_spark.operators.repetition import (
+        passage_dedup,
+        passages,
+    )
+
+    rows = [
+        (1, "a b a b a b c"),  # passages (span=4): 'a b a b', 'a b c'
+        (2, "a b a b x y z w e"),  # first passage duplicates doc1's
+        (3, ""),               # token-less: no passages at all
+        (5, "a b a b a b c"),  # full duplicate of doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = {(r["doc_id"], r["passage_idx"]): r["passage"]
+         for r in passages(df, span=4).collect()}
+    assert p[(1, 0)] == "a b a b" and p[(1, 1)] == "a b c"
+    assert (3, 0) not in p  # empty doc contributes nothing
+
+    out = {r["doc_id"]: r for r in passage_dedup(df, span=4).collect()}
+    assert out[1]["n_kept"] == 2  # doc 1 is the first occurrence of both
+    assert out[2]["n_kept"] == 2 and out[2]["n_passages"] == 3
+    assert out[5]["n_kept"] == 0 and out[5]["kept_frac"] == 0.0
+    assert 3 not in out
