@@ -526,3 +526,68 @@ def cosine_topk_numpy(
 
     out_schema = "query_id long, neighbor_id long, cosine double"
     return emb.mapInPandas(score, schema=out_schema)
+
+
+# --- embedding quality control: per-label centroids & outliers ---------
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector: (label, centroid array<double>).
+
+    Relational formulation: posexplode the vectors into (label, pos,
+    val) and hash-aggregate avg per (label, pos) — partial aggregation
+    collapses each scan partition to |labels|·dim rows map-side, so the
+    shuffle is dimension-sized regardless of corpus size. The centroid
+    arrays are reassembled with a sort_array over (pos, avg) structs —
+    deterministic order, no window.
+
+    Values are cast to double BEFORE averaging: float accumulation
+    noise (~1e-7 relative) would break oracle round-to-6 parity; double
+    keeps associativity noise at ~1e-15, absorbed by rounding.
+    """
+    x = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    per_dim = x.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("centroid")
+    )
+
+
+def centroid_similarity(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-QC score: cosine similarity of every vector to its own
+    label's centroid — the standard screen for mislabeled / outlier
+    embeddings before they poison a training mix (low similarity =
+    the vector does not belong to its cluster).
+
+    The centroid table is |labels|×dim — broadcast by construction —
+    so the scoring pass is a broadcast hash join + zip_with dot
+    product inside codegen: scan-bound at any corpus size, no shuffle
+    of the vector column at all.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    cents = label_centroids(vectors, label_col, vec_col)
+    return (
+        vectors.select(id_col, F.col(label_col).alias("label"), vec_col)
+        .join(F.broadcast(cents), "label")
+        .select(
+            F.col(id_col),
+            "label",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("centroid")), 6
+            ).alias("centroid_sim"),
+        )
+    )

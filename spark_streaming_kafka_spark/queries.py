@@ -2465,6 +2465,41 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_docs_fan(spark, sf_dir))
 
 
+@register(
+    "embedding_centroid_outliers",
+    """
+    WITH x AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding)+1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c AS (SELECT label, pos, avg(val) AS cval FROM x GROUP BY label, pos),
+    j AS (
+      SELECT x.vec_id, x.label,
+             sum(x.val * c.cval) AS dot,
+             sum(x.val * x.val) AS nv,
+             sum(c.cval * c.cval) AS nc
+      FROM x JOIN c USING (label, pos)
+      GROUP BY x.vec_id, x.label
+    )
+    SELECT vec_id, label, round(dot / (sqrt(nv) * sqrt(nc)), 6) AS centroid_sim
+    FROM j
+    """,
+)
+def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: cosine of every vector to its own
+    label's centroid — the screen for mislabeled/outlier embeddings in
+    a training mix. Centroids come from one dimension-sized partial
+    aggregation (posexplode → avg per (label, pos)); scoring is a
+    broadcast join + codegen'd zip_with dot product, so the corpus
+    pass is scan-bound with no vector shuffle
+    (operators/similarity.py::centroid_similarity)."""
+    from .operators.similarity import centroid_similarity
+
+    return centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

@@ -284,3 +284,35 @@ def test_ann_plans_stream_once_no_pair_join(spark, emb):
     assert "CartesianProduct" not in lsh
     assert "SortMergeJoin" not in lsh and "BroadcastHashJoin" not in lsh
     assert len(re.findall(r"Exchange hashpartitioning\(bucket", lsh)) == 1
+
+
+def test_label_centroid_similarity_known_values(spark):
+    from spark_streaming_kafka_spark.operators.similarity import (
+        centroid_similarity,
+        label_centroids,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.0, 1.0]),   # label-0 centroid = [0.5, 0.5]
+        (3, 1, [3.0, 4.0]),   # singleton label: sim to own centroid = 1.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cents = {r["label"]: r["centroid"] for r in label_centroids(df).collect()}
+    assert cents[0] == [0.5, 0.5]
+    assert cents[1] == [3.0, 4.0]
+    sims = {r["vec_id"]: r["centroid_sim"] for r in centroid_similarity(df).collect()}
+    assert abs(sims[1] - 0.707107) < 1e-6  # cos([1,0],[.5,.5]) = 1/sqrt 2
+    assert abs(sims[2] - 0.707107) < 1e-6
+    assert sims[3] == 1.0
+
+
+def test_centroid_scoring_plan_broadcasts_centroids(spark, sf_dir):
+    from spark_streaming_kafka_spark.operators.similarity import centroid_similarity
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    out = centroid_similarity(load_table(spark, sf_dir, "embeddings"))
+    plan = explain_str(out, "formatted")
+    assert "BroadcastHashJoin" in plan  # scoring never shuffles vectors
+    assert "SortMergeJoin" not in plan
