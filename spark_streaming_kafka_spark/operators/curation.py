@@ -278,3 +278,94 @@ def bloom_might_contain(
         )
         cond = hit if cond is None else (cond & hit)
     return cond
+
+
+def mixture_rates(
+    docs: "DataFrame",
+    token_budget: int,
+    weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-source sampling rates for a token-budgeted training mixture:
+    (source, tokens_available, rate).
+
+    ``token_budget`` is the total token target; ``weights`` its split
+    across sources (default: equal). Each source's rate is
+    ``min(1, budget_s / tokens_s)`` — undersized sources keep all
+    their tokens (rate 1), oversized ones downsample. One hash
+    aggregate over the corpus (partial-agg, shuffle = |sources| rows);
+    the rate table is dimension-sized by construction.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import ws_token_count
+
+    tok = docs.select(
+        F.col(source_col).alias("source"),
+        ws_token_count(F.col(text_col)).cast("long").alias("__t"),
+    )
+    totals = tok.groupBy("source").agg(F.sum("__t").alias("tokens_available"))
+    if weights is None:
+        # equal split: budget / |sources| — computed relationally so the
+        # plan stays one aggregate even when sources are discovered at
+        # runtime (a window count over the dimension-sized rate table).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        budget_s = F.lit(float(token_budget)) / F.count(F.lit(1)).over(w)
+        rated = totals.withColumn("__budget", budget_s)
+    else:
+        from pyspark.sql.types import StringType
+
+        spark = docs.sparkSession
+        wdf = spark.createDataFrame(
+            [(s, float(v)) for s, v in weights.items()], "source string, __w double"
+        )
+        rated = totals.join(F.broadcast(wdf), "source").withColumn(
+            "__budget", F.lit(float(token_budget)) * F.col("__w")
+        )
+    return rated.select(
+        "source",
+        "tokens_available",
+        F.round(
+            F.least(F.lit(1.0), F.col("__budget") / F.col("tokens_available")), 6
+        ).alias("rate"),
+    )
+
+
+def mixture_sample(
+    docs: "DataFrame",
+    token_budget: int,
+    weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Deterministic token-budgeted mixture sample: keep each document
+    with its source's :func:`mixture_rates` probability, decided by the
+    document's own hash (no RNG, partition-invariant, reproducible
+    across runs and engines).
+
+    The rate table broadcasts; the corpus pass is scan + broadcast join
+    + hash filter — documents never shuffle. E[kept tokens per source]
+    = min(budget_s, tokens_s); exactness improves with corpus size
+    (hash uniformity), which is the regime the operator targets.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import md5_long
+    from ..functions.text import ws_token_count
+
+    rates = mixture_rates(docs, token_budget, weights, source_col, text_col)
+    bucket = md5_long(F.concat(F.lit("mix_"), F.col(id_col))) % 1000000
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(rates), "source")
+        .filter(bucket < F.round(F.col("rate") * 1000000, 0).cast("long"))
+        .select(id_col, "source", "n_tokens", "rate")
+    )

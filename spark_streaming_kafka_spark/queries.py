@@ -2500,6 +2500,42 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     return centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "mixture_budget_sample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_available
+      FROM tok GROUP BY source
+    ),
+    rates AS (
+      SELECT source, tokens_available,
+             round(least(1.0, (10000.0 / (SELECT count(*) FROM totals))
+                              / tokens_available), 6) AS rate
+      FROM totals
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, r.rate
+    FROM tok t JOIN rates r USING (source)
+    WHERE {duckdb_md5_long("concat('mix_', t.doc_id)")} % 1000000
+          < CAST(round(r.rate * 1000000) AS BIGINT)
+    """,
+)
+def q_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted data mixing: each source gets an equal share of a
+    10k-token budget, oversized sources downsample to their share via
+    deterministic per-document hash, undersized sources keep
+    everything — the standard pretraining mixture step. The rate table
+    is one dimension-sized aggregate and broadcasts; the corpus pass
+    is scan + broadcast join + hash filter, no document shuffle
+    (operators/curation.py::mixture_sample)."""
+    from .operators.curation import mixture_sample
+
+    return mixture_sample(_docs_fan(spark, sf_dir), token_budget=10000)
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

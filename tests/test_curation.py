@@ -175,3 +175,48 @@ def test_passage_dedup_first_occurrence_and_empty_doc(spark):
     assert out[2]["n_kept"] == 2 and out[2]["n_passages"] == 3
     assert out[5]["n_kept"] == 0 and out[5]["kept_frac"] == 0.0
     assert 3 not in out
+
+
+# --- token-budgeted mixture (operators/curation.py) -------------------
+
+def test_mixture_rates_equal_and_weighted(spark):
+    from spark_streaming_kafka_spark.operators.curation import mixture_rates
+
+    rows = (
+        # source A: 10 docs x 10 tokens = 100 tokens
+        [(i, "A", "t " * 9 + "t") for i in range(10)]
+        # source B: 2 docs x 5 tokens = 10 tokens
+        + [(100 + i, "B", "u u u u u") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    eq = {r["source"]: r for r in mixture_rates(df, token_budget=40).collect()}
+    assert eq["A"]["tokens_available"] == 100 and eq["A"]["rate"] == 0.2
+    assert eq["B"]["tokens_available"] == 10 and eq["B"]["rate"] == 1.0
+
+    wt = {
+        r["source"]: r
+        for r in mixture_rates(df, 40, weights={"A": 0.75, "B": 0.25}).collect()
+    }
+    assert wt["A"]["rate"] == 0.3  # 30-token share of a 100-token source
+    assert wt["B"]["rate"] == 1.0  # share exceeds availability -> keep all
+
+
+def test_mixture_sample_keeps_undersized_sources_whole(spark):
+    from spark_streaming_kafka_spark.operators.curation import mixture_sample
+
+    rows = [(i, "A", "t " * 9 + "t") for i in range(50)] + [
+        (100 + i, "B", "u u u u u") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mixture_sample(df, token_budget=100).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # B's 15 tokens fit inside its 50-token share: every B doc survives
+    assert len(by_src.get("B", [])) == 3
+    # A (500 tokens, 50-token share -> rate 0.1) must actually downsample
+    assert 0 < len(by_src.get("A", [])) < 50
+    # deterministic: a second run yields the identical id set
+    again = {r["doc_id"] for r in mixture_sample(df, token_budget=100).collect()}
+    assert again == {r["doc_id"] for r in out}
