@@ -156,6 +156,27 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative to parquet with the
+    same pushdown/pruning behavior (vectorized reader, min/max stats,
+    bloom filters). Interop surface for warehouses whose tables are
+    ORC-managed (classic Hive estates)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink, same partitioning contract as :func:`write_parquet`."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

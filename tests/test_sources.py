@@ -272,3 +272,29 @@ def test_supplier_snowflake_plan_broadcasts_all_dims(spark, sf_dir):
     cols = set(scan_read_schema(df))
     assert {"l_suppkey", "l_extendedprice", "l_discount"} <= cols
     assert "l_comment" not in cols and "l_orderkey" not in cols
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves schema+content, and a filter on the
+    ORC scan is pushed down (PushedFilters in the scan node) just like
+    parquet — the interop path for Hive-estate ORC tables."""
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+    from spark_streaming_kafka_spark.sources.readers import read_orc, write_orc
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orc_t")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    # file formats surface everything nullable; compare names + types
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert back.count() == 1000
+    assert back.exceptAll(df).isEmpty()
+
+    plan = explain_str(back.filter(F.col("k") == 3).select("id"), "formatted")
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:80]
