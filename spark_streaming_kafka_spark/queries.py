@@ -896,6 +896,40 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sentiment_by_group",
+    f"""
+    WITH s AS (
+      SELECT lang, source,
+             CAST(coalesce(list_sum(list_transform({_sql_tokens('lower(text)')}, t -> {_LEX_CASE})), 0) AS BIGINT) AS sentiment
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(sentiment), 6) AS avg_sentiment,
+           CAST(min(sentiment) AS BIGINT) AS min_sentiment,
+           CAST(max(sentiment) AS BIGINT) AS max_sentiment
+    FROM s GROUP BY lang, source
+    """,
+)
+def q_sentiment_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's lyric analysis shape (``lyric.ipynb#cell13-14``:
+    sentiment scored per lyric, then grouped by genre — here by
+    (lang, source)): score each document with the lexicon expression,
+    aggregate distribution stats per group. One scan, one partial-agg
+    hash aggregate — group count rows shuffle, never documents."""
+    docs = _docs_fan(spark, sf_dir)
+    s = docs.select(
+        "lang", "source", sentiment_expr(F.col("text")).alias("sentiment")
+    )
+    return s.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("sentiment"), 6).alias("avg_sentiment"),
+        F.min("sentiment").cast("long").alias("min_sentiment"),
+        F.max("sentiment").cast("long").alias("max_sentiment"),
+    )
+
+
+@register(
     "doc_fingerprints",
     f"""
     WITH tok AS (

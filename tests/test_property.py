@@ -176,3 +176,64 @@ def test_stratified_sample_subset_and_deterministic(spark, rows):
         for r in stratified_sample(df.repartition(5), "cls", "id").collect()
     }
     assert ids == again
+
+
+# --- repetition features & passage dedup vs Python oracles -------------
+
+doc_texts = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@given(texts=doc_texts)
+@settings(**_SETTINGS)
+def test_repetition_features_match_python_oracle(spark, texts):
+    from collections import Counter
+
+    from spark_streaming_kafka_spark.operators.repetition import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        bigrams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        top = max(Counter(bigrams).values()) / len(bigrams) if bigrams else 0.0
+        tris = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        dup = {g for g, c in Counter(tris).items() if c >= 2}
+        cov = {p for j, g in enumerate(tris) if g in dup for p in (j, j + 1, j + 2)}
+        frac = len(cov) / len(toks) if toks else 0.0
+        assert got[i]["n_tokens"] == len(toks)
+        assert abs(got[i]["top_2gram_frac"] - round(top, 6)) < 1e-9
+        assert abs(got[i]["dup_3gram_frac"] - round(frac, 6)) < 1e-9
+
+
+@given(texts=doc_texts, span=st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_passage_dedup_conservation_and_idempotence(spark, texts, span):
+    from spark_streaming_kafka_spark.operators.repetition import passage_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = passage_dedup(df, span=span).collect()
+    n_toks = {i: len([x for x in t.split(" ") if x]) for i, t in enumerate(texts)}
+    # docs with tokens appear exactly once; token-less docs not at all
+    assert {r["doc_id"] for r in rows} == {i for i, n in n_toks.items() if n > 0}
+    total_passages = sum(r["n_passages"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    assert total_passages == sum(-(-n // span) for n in n_toks.values() if n > 0)
+    # kept = number of DISTINCT passages corpus-wide (first-occurrence rule)
+    distinct = {
+        " ".join([x for x in t.split(" ") if x][j * span : (j + 1) * span])
+        for t in texts
+        for j in range(-(-len([x for x in t.split(" ") if x]) // span))
+    }
+    assert total_kept == len(distinct)
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_passages"]
