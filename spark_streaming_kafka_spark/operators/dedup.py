@@ -661,6 +661,49 @@ def dedup_clusters(
     )
 
 
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fuzzy string matching with blocking: pairs (id_a < id_b) whose
+    ``text_col`` values are within ``max_dist`` Levenshtein edits,
+    compared ONLY inside equal ``block_col`` groups.
+
+    The entity-resolution workhorse shape: edit distance is inherently
+    pairwise, so the scalable form is equi-join on a blocking key
+    (brand, sorted-token prefix, phonetic code, …) that caps each
+    block's size, then codegen'd ``levenshtein`` on the O(Σ|block|²)
+    in-block pairs — never the O(n²) corpus. Block-size skew is the
+    scale knob: pick keys so max |block| keeps |block|² per-task-sized,
+    exactly like LSH bucket sizing one module over. The self-join is an
+    equi-join on the block key (shuffle hash join — each block lands in
+    one task), with ``id_a < id_b`` de-duplicating mirror pairs.
+
+    Spark's ``levenshtein`` is the standard unit-cost edit distance —
+    the same function DuckDB exposes, so results verify exactly.
+    """
+    a = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__sa"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__sb"),
+    )
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("block", "id_a", "id_b", "edit_dist")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -1,0 +1,132 @@
+"""Dataset profiling / statistics operators.
+
+Training-data pipelines gate every ingest behind a profile pass: null
+rates, cardinalities, and per-key trend checks catch schema drift and
+broken upstream extracts before they poison a 100 TB mix. The reference
+has only ``df.count()`` prints (SURVEY §5 — `spark_kafka.py:28,46`);
+these operators are the engine-grade version of that practice.
+
+Scale notes:
+
+- :func:`column_profile` computes EVERY column's stats in ONE
+  aggregation pass over the scan (count + null-count + exact distinct
+  per column). Multiple ``count(distinct ...)`` in one agg plan via
+  Catalyst's Expand: the scan is read once and replicated
+  per-distinct-column map-side — one job regardless of column count.
+  For 100 TB profiles swap exact distincts for
+  ``approx_count_distinct`` (HyperLogLog++, no Expand blow-up) — same
+  call, ``exact=False``.
+- :func:`grouped_trend` is a pure hash aggregation: the least-squares
+  slope comes from the explicit-sums identity
+  ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` so both this engine
+  and any SQL oracle evaluate the identical closed form (no dependence
+  on an engine's internal covariance update order). Partial aggregation
+  combines the five sums map-side; the shuffle is one row per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Long-format per-column profile: one row per column with
+    ``(column, n_rows, n_nulls, n_distinct)``.
+
+    One aggregation job: all per-column stats evaluate in a single
+    ``agg`` (Expand-based multi-distinct when ``exact``), then the
+    single result row is unpivoted executor-side with ``stack`` — no
+    driver collect, no per-column jobs.
+
+    ``exact=False`` switches distinct counts to HyperLogLog++
+    (``approx_count_distinct``) — the 100 TB default, where an exact
+    multi-column distinct's Expand multiplies scan rows by the column
+    count. NULLs are excluded from distinct counts in both modes (SQL
+    semantics, matched by DuckDB's ``count(DISTINCT col)``).
+    """
+    cols = cols or df.columns
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nulls_{c}")
+        )
+        aggs.append(distinct(c).alias(f"__dist_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+def grouped_distinct_counts(
+    df: DataFrame, keys: list[str], distinct_cols: list[str]
+) -> DataFrame:
+    """Per-group exact COUNT(DISTINCT col) for several columns at once,
+    plus the plain row count.
+
+    One hash-aggregation job: Catalyst plans multi-distinct via Expand
+    (each input row fans to one replica per distinct column, tagged by
+    group id), then two-level partial aggregation — the shuffle carries
+    (keys, tag, value) rows already combined map-side. At 100 TB this
+    is the standard cardinality-report shape; for sketch-sized output
+    swap to ``approx_count_distinct`` per column (no Expand).
+
+    Output columns: ``*keys``, ``n_rows``, ``n_distinct_<col>`` per col.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count_distinct(F.col(c)).alias(f"n_distinct_{c}")
+        for c in distinct_cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def grouped_trend(
+    df: DataFrame,
+    key: str,
+    x_col: str,
+    y_col: str,
+    slope_alias: str = "slope",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key least-squares slope of ``y`` over ``x`` (simple linear
+    regression), from one hash aggregation of the five classic sums.
+
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``; keys with zero
+    x-variance (or a single point) yield NULL. The closed form — not
+    ``covar_pop/var_pop`` — so any external verifier evaluating the
+    same expression over doubles agrees to rounding; all five sums are
+    map-side combined, one output row per key.
+
+    The usual use is drift detection (is this user's/source's metric
+    trending?) — pair with a threshold filter downstream.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    g = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = F.when(denom != 0.0, num / denom)
+    return g.select(
+        F.col(key),
+        F.col("__n").cast("long").alias("n_points"),
+        F.round(slope, round_digits).alias(slope_alias),
+    )

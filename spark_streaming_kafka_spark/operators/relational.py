@@ -180,3 +180,19 @@ def split_train_val_test(
 ) -> list[DataFrame]:
     """U2 — seeded random split (reference ``randomSplit([6,2,2], 0)``)."""
     return df.randomSplit(list(weights), seed=seed)
+
+
+def intersect_keys(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-level INTERSECT (set semantics): distinct key tuples present
+    in BOTH inputs. Absent from the reference (SURVEY §2.6 — "no
+    intersect/except"); supported here via the built-in, which Catalyst
+    plans as a left-semi hash join over pre-aggregated keys — both
+    sides shuffle only their distinct key sets."""
+    return a.select(*keys).intersect(b.select(*keys))
+
+
+def except_keys(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-level EXCEPT (set semantics): distinct key tuples of ``a``
+    absent from ``b`` — planned as a left-anti hash join over distinct
+    keys, the scalable NOT-IN (same rewrite as P7's anti-join)."""
+    return a.select(*keys).subtract(b.select(*keys))

@@ -2570,6 +2570,196 @@ def q_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(_docs_fan(spark, sf_dir), token_budget=10000)
 
 
+@register(
+    "distinct_counts_monthly",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+           count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_distinct_o_custkey,
+           count(DISTINCT o_orderpriority) AS n_distinct_o_orderpriority
+    FROM orders GROUP BY 1
+    """,
+)
+def q_distinct_counts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month exact multi-column COUNT(DISTINCT) — the cardinality
+    report every ingest monitor runs. ONE job: Catalyst plans the two
+    distinct columns via Expand (each scan row fans out tagged per
+    distinct aggregate) + two-level partial aggregation, so the shuffle
+    carries already-combined (month, tag, value) rows — not raw scans.
+    At 100 TB the same call with ``approx_count_distinct`` (HLL++)
+    drops the Expand entirely (operators/profiling.py)."""
+    from .operators.profiling import grouped_distinct_counts
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "ym", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    )
+    return grouped_distinct_counts(
+        orders, ["ym"], ["o_custkey", "o_orderpriority"]
+    )
+
+
+@register(
+    "profile_orders",
+    """
+    WITH base AS (SELECT count(*) AS n FROM orders)
+    SELECT col AS column, n AS n_rows, n_nulls, n_distinct FROM base, (
+      SELECT 'o_custkey' AS col,
+             CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+    )
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile (null count + exact cardinality per
+    column, long format) — the schema-drift gate in front of a training
+    mix. All columns' stats evaluate in a SINGLE aggregation (Expand
+    multi-distinct), then the 1-row result unpivots executor-side with
+    ``stack``: one job for any column count, vs the oracle's one scan
+    per column. ``exact=False`` switches to HLL++ for the 100 TB path
+    (operators/profiling.py::column_profile)."""
+    from .operators.profiling import column_profile
+
+    return column_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+
+@register(
+    "user_value_trend",
+    """
+    WITH e AS (
+      -- x = fractional days since 2024-01-01, microsecond-exact: the
+      -- identical IEEE double pipeline as Spark's cast(ts AS DOUBLE).
+      -- Centering near the data epoch keeps sum(x*x) small enough that
+      -- partial-sum association noise stays ~1e-15 relative (raw epoch
+      -- days would push it past the round-6 boundary).
+      SELECT user_id,
+             (epoch_us(ts) / 1000000.0 - 1704067200.0) / 86400.0 AS x, value
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             count(*)::DOUBLE AS n,
+             sum(x) AS sx,
+             sum(value) AS sy,
+             sum(x * value) AS sxy,
+             sum(x * x) AS sxx
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           round(CASE WHEN n * sxx - sx * sx != 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope
+    FROM g
+    """,
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time (drift
+    detection). Slope from the explicit five-sums identity in ONE hash
+    aggregation — map-side partials, one row per user, no window and no
+    second pass; the closed form (not covar_pop/var_pop internals) is
+    what makes the oracle agree bit-for-bit to rounding
+    (operators/profiling.py::grouped_trend)."""
+    from .operators.profiling import grouped_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # days since 2024-01-01 (see oracle note: centering bounds the
+        # five-sums float noise far below the round-6 boundary)
+        ((F.col("ts").cast("double") - 1704067200.0) / 86400.0).alias(
+            "x_days"
+        ),
+        "value",
+    )
+    return grouped_trend(ev, "user_id", "x_days", "value")
+
+
+@register(
+    "fuzzy_part_names",
+    """
+    SELECT a.p_brand AS block, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking: near-identical part names (≤2
+    edits) compared only within the same brand. Edit distance is
+    inherently pairwise, so the scalable shape is equi-join on a
+    blocking key that caps block size + codegen'd ``levenshtein`` on
+    in-block pairs — Σ|block|² work, never corpus-quadratic; the same
+    bucket-sizing discipline as LSH (operators/dedup.py::
+    blocked_edit_distance_pairs)."""
+    part = _t(spark, sf_dir, "part")
+    out = dd.blocked_edit_distance_pairs(
+        part, "p_brand", "p_name", "p_partkey", max_dist=2
+    )
+    return out.withColumn("edit_dist", F.col("edit_dist").cast("int"))
+
+
+@register(
+    "purchase_retention",
+    """
+    WITH early AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
+    ),
+    late AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24'
+    )
+    SELECT user_id, 'retained' AS status FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+    UNION ALL
+    SELECT user_id, 'churned' FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+    UNION ALL
+    SELECT user_id, 'new' FROM (SELECT * FROM late EXCEPT SELECT * FROM early)
+    """,
+)
+def q_purchase_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention via the set operators the reference lacks
+    (SURVEY §2.6): purchasers active in week 1 ∩/− purchasers active in
+    the final week → retained / churned / new. INTERSECT plans as a
+    left-semi and EXCEPT as a left-anti hash join over the
+    pre-aggregated distinct key sets — only distinct user ids shuffle,
+    so the classification costs three dimension-sized joins at any
+    fact scale (operators/relational.py::intersect_keys/except_keys)."""
+    from .operators.relational import except_keys, intersect_keys
+
+    ev = _t(spark, sf_dir, "events")
+    early = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    )
+    late = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-24").cast("timestamp"))
+    )
+    retained = intersect_keys(early, late, ["user_id"]).withColumn(
+        "status", F.lit("retained")
+    )
+    churned = except_keys(early, late, ["user_id"]).withColumn(
+        "status", F.lit("churned")
+    )
+    new = except_keys(late, early, ["user_id"]).withColumn(
+        "status", F.lit("new")
+    )
+    return retained.unionByName(churned).unionByName(new)
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

@@ -1,0 +1,122 @@
+"""Profiling / set-op / fuzzy-match operators (operators/profiling.py,
+relational.intersect_keys/except_keys, dedup.blocked_edit_distance_pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_spark.operators.dedup import (
+    blocked_edit_distance_pairs,
+)
+from spark_streaming_kafka_spark.operators.profiling import (
+    column_profile,
+    grouped_distinct_counts,
+    grouped_trend,
+)
+from spark_streaming_kafka_spark.operators.relational import (
+    except_keys,
+    intersect_keys,
+)
+
+
+def test_column_profile_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.0), (3, "b", 2.0), (4, None, 2.0)],
+        "id long, cat string, val double",
+    )
+    rows = {r["column"]: r for r in column_profile(df).collect()}
+    assert rows["id"]["n_rows"] == 4
+    assert rows["id"]["n_nulls"] == 0 and rows["id"]["n_distinct"] == 4
+    assert rows["cat"]["n_nulls"] == 1 and rows["cat"]["n_distinct"] == 2
+    assert rows["val"]["n_nulls"] == 1 and rows["val"]["n_distinct"] == 2
+
+
+def test_column_profile_single_pass_expand(spark):
+    """All per-column exact distincts plan through ONE aggregate with
+    Expand — not one job per column."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("a"), (F.col("id") % 3).alias("b")
+    )
+    plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan") - plan.count("ReusedExchange") <= 1
+
+
+def test_column_profile_approx_close(spark):
+    """HLL++ mode (the 100 TB path) lands within the default 5% rsd of
+    exact on a 1k-cardinality column."""
+    df = spark.range(1000).select(F.col("id"))
+    exact = {
+        r["column"]: r["n_distinct"] for r in column_profile(df).collect()
+    }
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in column_profile(df, exact=False).collect()
+    }
+    assert abs(approx["id"] - exact["id"]) <= 0.1 * exact["id"]
+
+
+def test_grouped_distinct_counts(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, "x"), ("g1", 1, "y"), ("g1", 2, "y"), ("g2", 5, "x")],
+        "g string, u long, t string",
+    )
+    rows = {
+        r["g"]: r
+        for r in grouped_distinct_counts(df, ["g"], ["u", "t"]).collect()
+    }
+    assert rows["g1"]["n_rows"] == 3
+    assert rows["g1"]["n_distinct_u"] == 2 and rows["g1"]["n_distinct_t"] == 2
+    assert rows["g2"]["n_distinct_u"] == 1 and rows["g2"]["n_distinct_t"] == 1
+
+
+def test_grouped_trend_exact_line(spark):
+    """Points on y = 3x - 1 recover slope 3.0 exactly; a single point
+    and a zero-variance x both yield NULL."""
+    rows = [("a", float(x), 3.0 * x - 1.0) for x in range(10)]
+    rows += [("single", 5.0, 2.0)]
+    rows += [("flat", 4.0, 1.0), ("flat", 4.0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in grouped_trend(df, "k", "x", "y").collect()}
+    assert out["a"]["slope"] == 3.0 and out["a"]["n_points"] == 10
+    assert out["single"]["slope"] is None
+    assert out["flat"]["slope"] is None
+
+
+def test_intersect_except_keys(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    both = sorted(r["k"] for r in intersect_keys(a, b, ["k"]).collect())
+    only_a = sorted(r["k"] for r in except_keys(a, b, ["k"]).collect())
+    only_b = sorted(r["k"] for r in except_keys(b, a, ["k"]).collect())
+    assert both == [2, 3]  # set semantics: duplicate 2 collapses
+    assert only_a == [1]
+    assert only_b == [4]
+
+
+def test_blocked_edit_distance_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            ("B1", 1, "red widget"),
+            ("B1", 2, "red widgets"),   # dist 1 to id 1
+            ("B1", 3, "blue bolt"),     # far from both
+            ("B2", 4, "red widget"),    # same text, different block: no pair
+        ],
+        "brand string, pk long, name string",
+    )
+    out = blocked_edit_distance_pairs(df, "brand", "name", "pk", max_dist=2)
+    rows = [(r["id_a"], r["id_b"], r["edit_dist"]) for r in out.collect()]
+    assert rows == [(1, 2, 1)]
+
+
+def test_blocked_edit_distance_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [("B1", 1, "x"), ("B2", 2, "y")], "brand string, pk long, name string"
+    )
+    plan = (
+        blocked_edit_distance_pairs(df, "brand", "name", "pk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
