@@ -38,3 +38,69 @@ def per_group_top_k(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def trailing_range_sum(
+    df: DataFrame,
+    group: str | Sequence[str],
+    order_col: str,
+    value_col: str,
+    trailing: int,
+    alias: str = "trailing_sum",
+) -> DataFrame:
+    """Trailing-window aggregate over a VALUE range (``RANGE BETWEEN
+    trailing PRECEDING AND CURRENT ROW``), not a row count: every row
+    sums the value over all rows of its group whose ``order_col`` lies
+    within ``[current - trailing, current]`` — the moving-average /
+    rolling-revenue shape where events are irregularly spaced so ROWS
+    frames are wrong.
+
+    One shuffle on the group key + one sort per partition; the range
+    frame is evaluated with a sliding two-pointer over the sorted run
+    (linear, not per-row rescan). ``order_col`` must be numeric (for
+    event time, convert to epoch days/seconds first — which also makes
+    the frame's units explicit).
+    """
+    groups = [group] if isinstance(group, str) else list(group)
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(order_col))
+        .rangeBetween(-trailing, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value_col).over(w))
+
+
+def group_mode(
+    df: DataFrame,
+    group: str | Sequence[str],
+    value_col: str,
+    alias: str = "mode",
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent ``value_col``
+    per group, ties broken by the smallest value — one row per group
+    ``(group..., mode, mode_count)``.
+
+    Two hash aggregations, no window: count per (group, value) —
+    map-side combined — then ``max_by`` over a (count, negated-order
+    tiebreak) struct. Built-in ``mode()`` is tie-nondeterministic
+    across partitionings; this construction is reproducible anywhere,
+    which is the oracle/cluster contract.
+    """
+    groups = [group] if isinstance(group, str) else list(group)
+    counts = df.groupBy(*groups, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # min_by over (-count, value): struct comparison is lexicographic,
+    # so this maximizes count and breaks ties on the smallest value —
+    # one aggregation, no window, deterministic under any partitioning.
+    out = counts.groupBy(*groups).agg(
+        F.min_by(
+            F.struct(F.col(value_col).alias("v"), F.col("__c").alias("c")),
+            F.struct(-F.col("__c"), F.col(value_col)),
+        ).alias("__m")
+    )
+    return out.select(
+        *groups,
+        F.col("__m.v").alias(alias),
+        F.col("__m.c").alias(f"{alias}_count"),
+    )

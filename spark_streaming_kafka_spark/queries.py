@@ -2760,6 +2760,77 @@ def q_purchase_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retained.unionByName(churned).unionByName(new)
 
 
+@register(
+    "trailing_week_revenue",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             (epoch_us(o_orderdate) // 1000000) // 86400 AS day
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+    FROM o
+    """,
+)
+def q_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing-7-day revenue at every order — a RANGE
+    frame over event-time days, the moving-window shape where ROWS
+    frames are wrong because orders are irregularly spaced. One shuffle
+    on the customer key + one sort; Spark evaluates the range frame
+    with a sliding bound over the sorted run (linear). RANGE includes
+    same-day peers on both engines, so the result is deterministic
+    without a per-row tiebreak (operators/windows.py::
+    trailing_range_sum)."""
+    from .operators.windows import trailing_range_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr("CAST(o_orderdate AS LONG) div 86400").alias("day"),
+    )
+    out = trailing_range_sum(
+        o, "o_custkey", "day", "o_totalprice", trailing=6, alias="trailing_7d"
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.round("trailing_7d", 2).alias("trailing_7d"),
+    )
+
+
+@register(
+    "top_event_type_per_user",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode, c AS mode_count FROM r WHERE rn = 1
+    """,
+)
+def q_top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type, ties to the lexicographically smallest. Two hash aggregations
+    (count per (user, type) map-side combined, then ``min_by`` over a
+    (-count, value) struct) — no window, no second shuffle of raw rows,
+    reproducible under any partitioning where the built-in ``mode()``
+    is tie-nondeterministic (operators/windows.py::group_mode)."""
+    from .operators.windows import group_mode
+
+    return group_mode(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:
