@@ -2831,6 +2831,108 @@ def q_top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_mode(_t(spark, sf_dir, "events"), "user_id", "event_type")
 
 
+def _synthetic_new_snapshot(orders: DataFrame) -> DataFrame:
+    """Deterministic "tomorrow's snapshot" of orders: drop keys ≡0 mod
+    97 (removed), bump price by 1.0 on keys ≡0 mod 89 (changed), append
+    copies under key+10⁹ for keys ≡0 mod 101 (added). Same arithmetic
+    as the oracle's CTE — the delta is pinned, not random."""
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+    )
+    return kept.unionByName(added)
+
+
+_NEW_SNAPSHOT_SQL = """
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_custkey, o_orderstatus, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice,
+             o_custkey, o_orderstatus, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@register(
+    "orders_snapshot_diff",
+    f"""
+    WITH new_snap AS ({_NEW_SNAPSHOT_SQL})
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice != n.o_totalprice THEN 'changed'
+           END AS change
+    FROM orders o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_totalprice != n.o_totalprice
+    """,
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshot versions: added / removed / changed keys
+    from ONE full outer join of the two hash-reduced sides — each side
+    collapses to (key, md5-of-row) at the scan, so the shuffle is
+    ~40 B/row no matter how wide the table, and unchanged keys (at
+    scale, ~everything) are filtered before output. The incremental-
+    reprocess primitive: downstream re-embeds/re-dedups only this
+    delta (operators/cdc.py::snapshot_diff)."""
+    from .operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    return snapshot_diff(
+        orders,
+        _synthetic_new_snapshot(orders),
+        "o_orderkey",
+        compare_cols=["o_totalprice"],
+    )
+
+
+@register(
+    "orders_upsert",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT o.o_orderkey,
+           round(coalesce(u.o_totalprice, o.o_totalprice), 2) AS o_totalprice,
+           coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus
+    FROM orders o LEFT JOIN upd u USING (o_orderkey)
+    """,
+)
+def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-without-a-table-format: delta rows replace same-key base
+    rows whole-row, new keys would append — a broadcast LEFT ANTI join
+    drops superseded base rows (full outer cannot broadcast, so the
+    anti+union shape is what keeps the base shuffle-free), then the
+    delta unions in. Here the delta updates price+status for keys ≡0
+    mod 89; the oracle verifies every merged row
+    (operators/cdc.py::upsert)."""
+    from .operators.cdc import upsert
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = base.filter(F.col("o_orderkey") % 89 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    merged = upsert(base, updates, "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:
