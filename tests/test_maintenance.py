@@ -60,3 +60,60 @@ def test_cluster_for_skipping_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # non-overlapping: min/max stats can skip files
+
+
+def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
+    """Two tables bucketed on the same key/count sort-merge-join with
+    ZERO Exchange and (with sortBy) zero extra Sort — the pre-paid
+    shuffle that makes repeated fact⋈fact joins delta-cost at 100 TB."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.operators.maintenance import (
+        write_bucketed,
+    )
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders, "bkt_orders", "o_orderkey", 4, sort_by="o_orderkey")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem",
+        "o_orderkey",
+        4,
+        sort_by="o_orderkey",
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (tiny test tables would otherwise
+        # broadcast); the bucket layout only matters for SMJ anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bkt_orders")
+        b = spark.table("bkt_lineitem")
+        joined = a.join(b, "o_orderkey").groupBy("o_custkey").agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+        got = {r["o_custkey"]: round(r["rev"], 2) for r in joined.collect()}
+        # final adaptive plan (post-execution): the join consumes the
+        # bucket layout directly — no shuffle on the join key and the
+        # bucketed scan is visible; the agg after it may still exchange
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 4 out of 4" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # equality vs the plain path-read join
+        expect = (
+            orders.join(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        want = {r["o_custkey"]: round(r["rev"], 2) for r in expect.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
