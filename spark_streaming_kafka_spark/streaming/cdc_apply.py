@@ -1,0 +1,126 @@
+"""Streaming CDC apply: upsert each micro-batch into a keyed parquet
+base — MERGE-shaped ingestion without a transactional table format.
+
+The batch operator is :func:`..operators.cdc.upsert`; this module owns
+the streaming concerns a nightly/continuous changefeed adds:
+
+- **In-batch collapse**: a micro-batch can carry several changes for
+  one key; only the latest (by ``order_col``) may win before the merge.
+- **Atomic snapshot swap**: parquet cannot be mutated in place, so each
+  batch writes a NEW versioned snapshot directory and then atomically
+  re-points a tiny ``_CURRENT`` pointer file. Readers resolve the
+  pointer first — they never observe a half-written snapshot.
+- **Replay idempotence**: Structured Streaming re-runs the last
+  uncommitted batch after a crash with the SAME batch_id; version
+  directories are named by batch_id and written with overwrite, so a
+  replay rewrites its own snapshot and re-points the same pointer —
+  exactly-once output without a log.
+
+Scale note: each version rewrites the full base, which is correct and
+simple but write-amplified; at 100 TB the same sink composes with
+:func:`..operators.cdc.snapshot_diff` partition pruning (rewrite only
+partitions containing changed keys) — the pointer-swap mechanics are
+identical, so that upgrade is local to the write step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.cdc import upsert
+
+POINTER = "_CURRENT"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def read_pointer(spark: SparkSession, base_path: str) -> str | None:
+    """Current snapshot directory name, or None before the first batch.
+    FS-agnostic (local/HDFS/S3A via the Hadoop FileSystem API)."""
+    jvm, fs = _fs(spark, base_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{POINTER}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode()
+    finally:
+        stream.close()
+    return raw.strip() or None
+
+
+def _write_pointer(spark: SparkSession, base_path: str, version: str) -> None:
+    """Overwrite the pointer file. HDFS create(overwrite) is atomic at
+    the namenode; for plain local FS the window is a single tiny write
+    — the snapshot directories themselves are immutable either way."""
+    jvm, fs = _fs(spark, base_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{POINTER}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(version.encode()))
+    finally:
+        out.close()
+
+
+def current_snapshot(
+    spark: SparkSession, base_path: str
+) -> DataFrame | None:
+    """The live base table (pointer-resolved), or None if empty."""
+    v = read_pointer(spark, base_path)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{base_path}/{v}")
+
+
+def latest_per_key(
+    updates: DataFrame, key: str, order_col: str
+) -> DataFrame:
+    """Collapse a changefeed batch to one row per key: highest
+    ``order_col`` wins, ties broken deterministically by preferring the
+    larger remaining tuple (row_number over a total order)."""
+    others = [c for c in updates.columns if c not in (key, order_col)]
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in others]
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdc_upsert_sink(base_path: str, key: str, order_col: str):
+    """foreachBatch handler: collapse the batch to latest-per-key,
+    upsert into the current snapshot, publish as the next version.
+
+    Use: ``stream.writeStream.foreachBatch(cdc_upsert_sink(path, "id",
+    "ts")).option("checkpointLocation", ...)``.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        version = f"v{int(batch_id):012d}"
+        # The pointer swap is the COMMIT MARKER (it happens only after
+        # the snapshot write completes). If it already names this
+        # batch's version — or a later one — this batch committed
+        # before the crash; re-merging would read the very directory
+        # being overwritten. Idempotent no-op.
+        cur = read_pointer(spark, base_path)
+        if cur is not None and cur >= version:
+            return
+        delta = latest_per_key(batch, key, order_col)
+        base = current_snapshot(spark, base_path)
+        merged = delta if base is None else upsert(base, delta, key)
+        merged.write.mode("overwrite").parquet(f"{base_path}/{version}")
+        _write_pointer(spark, base_path, version)
+
+    return sink
