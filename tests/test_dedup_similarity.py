@@ -316,3 +316,51 @@ def test_centroid_scoring_plan_broadcasts_centroids(spark, sf_dir):
     plan = explain_str(out, "formatted")
     assert "BroadcastHashJoin" in plan  # scoring never shuffles vectors
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_strategy_parity(spark, tables):
+    """pandas (default) and expr strategies produce bit-identical
+    signatures, including dropping <k-token docs on both paths."""
+    from spark_streaming_kafka_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = tables["documents"].limit(200)
+    extra = spark.createDataFrame(
+        [(10**9, "one two"), (10**9 + 1, ""), (10**9 + 2, "a b c d")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    a = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(both, strategy="pandas").collect()
+    }
+    b = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(both, strategy="expr").collect()
+    }
+    assert a == b
+    assert 10**9 not in a and 10**9 + 1 not in a  # <k tokens → no row
+    assert 10**9 + 2 in a
+
+
+def test_simhash_strategy_parity(spark, tables):
+    from spark_streaming_kafka_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    docs = tables["documents"].limit(200)
+    extra = spark.createDataFrame(
+        [(10**9, ""), (10**9 + 1, "solo")], "doc_id long, text string"
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    a = {
+        r["doc_id"]: r["fingerprint"]
+        for r in simhash_fingerprints(both, strategy="pandas").collect()
+    }
+    b = {
+        r["doc_id"]: r["fingerprint"]
+        for r in simhash_fingerprints(both, strategy="expr").collect()
+    }
+    assert a == b
+    assert 10**9 not in a and 10**9 + 1 in a
