@@ -253,9 +253,17 @@ def _minhash_signatures_pandas(
                 sh = _py_shingles(text or "", kk)
                 if not sh:
                     continue  # expr parity: no shingles → no row
+                # == int(hexdigest[:15], 16): 15 hex chars = 7.5 bytes,
+                # so the 8-byte big-endian int >> 4 is the same value
+                # (cheaper than hex-string parsing; asserted in tests)
                 hs = np.fromiter(
                     (
-                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        (
+                            int.from_bytes(
+                                hashlib.md5(s.encode()).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
                         % MERSENNE_P
                         for s in sh
                     ),
@@ -475,7 +483,10 @@ def _simhash_fingerprints_pandas(
                     continue  # expr parity: no tokens → no row
                 hs = np.fromiter(
                     (
-                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "big"
+                        )
+                        >> 4
                         for t in toks
                     ),
                     dtype=np.int64,
