@@ -267,3 +267,52 @@ def make_sentiment_udf(lexicon: dict[str, int | float]):
         return texts.map(score)
 
     return scorer
+
+
+def bigram_conditional_topk(
+    docs, text_col: str = "text", k: int = 3, min_head_count: int = 50
+):
+    """N-gram LM estimation: per head word, the top-k next words by
+    conditional probability P(next | head) = c(head, next) / c(head ·),
+    over token-frequency bigram counts (not document frequency — an LM
+    sees every occurrence).
+
+    Shape at scale: bigram extraction is per-row array algebra; the
+    counts are one hash aggregation on (head, next) — map-side combined,
+    shuffle is vocabulary²-bounded, never corpus-bounded; head totals
+    come from a second aggregation of the COUNTS (vocabulary-sized
+    input), and the top-k cut is a window over the counts table. The
+    corpus text itself shuffles nowhere. ``min_head_count`` prunes rare
+    heads whose estimates are noise (standard LM practice).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import word_shingles
+
+    bg = docs.select(
+        F.explode(word_shingles(F.col(text_col), 2, distinct=False)).alias(
+            "bg"
+        )
+    ).select(
+        F.split(F.col("bg"), " ").getItem(0).alias("head"),
+        F.split(F.col("bg"), " ").getItem(1).alias("next"),
+    )
+    counts = bg.groupBy("head", "next").agg(F.count(F.lit(1)).alias("c"))
+    w_tot = Window.partitionBy("head")
+    w_rank = Window.partitionBy("head").orderBy(
+        F.col("c").desc(), F.col("next").asc()
+    )
+    return (
+        counts.withColumn("head_total", F.sum("c").over(w_tot))
+        .filter(F.col("head_total") >= min_head_count)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "head",
+            F.col("next").alias("next_word"),
+            F.col("c").alias("pair_count"),
+            F.col("head_total"),
+            F.round(F.col("c") / F.col("head_total"), 6).alias("prob"),
+            "rank",
+        )
+    )

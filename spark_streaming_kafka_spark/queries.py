@@ -2790,7 +2790,13 @@ def q_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.expr("CAST(o_orderdate AS LONG) div 86400").alias("day"),
+        # datediff, not CAST-to-long: o_orderdate arrives as
+        # TIMESTAMP_NTZ under a vanilla session (numeric casts are
+        # illegal on NTZ) and as instant TIMESTAMP under the engine's
+        # UTC session — calendar-day-since-epoch is identical on both
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
     )
     out = trailing_range_sum(
         o, "o_custkey", "day", "o_totalprice", trailing=6, alias="trailing_7d"
@@ -2930,6 +2936,52 @@ def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "o_orderstatus",
+    )
+
+
+@register(
+    "bigram_lm_top_next",
+    """
+    WITH tok AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT toks[i] AS head, toks[i+1] AS next_word
+      FROM tok, unnest(range(1, greatest(len(toks), 1))) r(i)
+      WHERE len(toks) >= 2
+    ),
+    c AS (
+      SELECT head, next_word, count(*) AS pair_count
+      FROM bg GROUP BY head, next_word
+    ),
+    t AS (
+      SELECT head, next_word, pair_count,
+             CAST(sum(pair_count) OVER (PARTITION BY head) AS BIGINT) AS head_total
+      FROM c
+    )
+    SELECT head, next_word, pair_count, head_total,
+           round(pair_count * 1.0 / head_total, 6) AS prob,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY head
+                                   ORDER BY pair_count DESC, next_word ASC) AS rn
+      FROM t WHERE head_total >= 50
+    ) WHERE rn <= 3
+    """,
+)
+def q_bigram_lm_top_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based n-gram LM estimation: top-3 next words per head word
+    by conditional probability P(next | head), heads pruned below 50
+    occurrences. Bigram extraction is per-row array algebra over the
+    scan; the only shuffles are vocabulary-bounded (the (head, next)
+    hash agg — map-side combined — and the window over the counts
+    table). The corpus text never shuffles
+    (functions/text.py::bigram_conditional_topk)."""
+    from .functions.text import bigram_conditional_topk
+
+    return bigram_conditional_topk(
+        _docs_fan(spark, sf_dir), k=3, min_head_count=50
     )
 
 

@@ -129,3 +129,23 @@ def test_shipped_afinn_lexicon_scores_lyrics(spark):
     assert got[2] == 0.0  # no lexicon terms
     # phrase "can't stand" scores as one unit, then 'smile' singly
     assert got[3] == lex["can't stand"] + lex["smile"]
+
+
+def test_bigram_conditional_topk(spark):
+    from spark_streaming_kafka_spark.functions.text import (
+        bigram_conditional_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [("a b a b a c",), ("a b x",), ("z",)], "text string"
+    )
+    out = bigram_conditional_topk(docs, k=2, min_head_count=1).collect()
+    rows = {(r["head"], r["rank"]): r for r in out}
+    # head 'a': a→b ×3, a→c ×1 (head_total 4)
+    assert rows[("a", 1)]["next_word"] == "b"
+    assert rows[("a", 1)]["pair_count"] == 3
+    assert rows[("a", 1)]["head_total"] == 4
+    assert rows[("a", 1)]["prob"] == 0.75
+    assert rows[("a", 2)]["next_word"] == "c"
+    # 1-token doc contributes nothing; 'z' never a head
+    assert not any(h == "z" for h, _ in rows)
