@@ -99,33 +99,3 @@ def compact_parquet(
     )
     out.write.mode("error").parquet(dst)
     return n
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    key: str | list[str],
-    buckets: int,
-    sort_by: str | list[str] | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Persist ``df`` as a BUCKETED managed table: rows are hashed into
-    ``buckets`` files per partition by ``key``, optionally sorted inside
-    each bucket.
-
-    Bucketing is the pre-paid shuffle: two tables bucketed on the same
-    key with the same bucket count join with NO Exchange on either side
-    (and with ``sort_by``, no Sort either — the sort-merge join reads
-    both pre-sorted bucket streams directly). For the repeated big-join
-    workloads of a 100 TB pipeline (facts ⋈ facts nightly, upsert into
-    a keyed base), paying the shuffle once at write time instead of per
-    query is the single biggest join optimization available without a
-    table format. Requires the session catalog (``saveAsTable``) —
-    plain path-writes cannot record bucket metadata.
-    """
-    keys = [key] if isinstance(key, str) else list(key)
-    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
-    if sort_by:
-        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
-        w = w.sortBy(*sorts)
-    w.saveAsTable(table)

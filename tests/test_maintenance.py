@@ -70,14 +70,16 @@ def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from spark_streaming_kafka_spark.operators.maintenance import (
-        write_bucketed,
+    from spark_streaming_kafka_spark.sources.readers import (
+        write_bucketed_table,
     )
 
     orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
     li = tables["lineitem"].select("l_orderkey", "l_extendedprice")
-    write_bucketed(orders, "bkt_orders", "o_orderkey", 4, sort_by="o_orderkey")
-    write_bucketed(
+    write_bucketed_table(
+        orders, "bkt_orders", "o_orderkey", 4, sort_by="o_orderkey"
+    )
+    write_bucketed_table(
         li.withColumnRenamed("l_orderkey", "o_orderkey"),
         "bkt_lineitem",
         "o_orderkey",
