@@ -190,3 +190,57 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines scan that SPLITS malformed rows into a quarantine
+    side instead of silently nulling (PERMISSIVE) or dying (FAILFAST)
+    — the ingest contract a production feed needs: good rows flow, bad
+    rows land in a reviewable table with their raw bytes.
+
+    Returns ``(good, quarantined)``; ``quarantined`` holds the raw line
+    in ``corrupt_col``. The input is marked for caching because Spark
+    refuses un-cached filters that reference only the internal corrupt
+    column (the parser would otherwise prune the data columns and lose
+    the corrupt capture); at scale, quarantine splits run inside an
+    ingest job that materializes both sides once anyway.
+    """
+    full = StructType(schema.fields[:]).add(corrupt_col, "string")
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    ).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_jsonl_quarantine`: malformed rows (wrong
+    arity, uncastable fields) quarantine with their raw text."""
+    full = StructType(schema.fields[:]).add(corrupt_col, "string")
+    df = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    ).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

@@ -298,3 +298,40 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
 
     plan = explain_str(back.filter(F.col("k") == 3).select("id"), "formatted")
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:80]
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from spark_streaming_kafka_spark.sources.readers import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "NaN-ish", "name": 3}\n'  # uncastable id → quarantine
+    )
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    raws = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(raws) == 2 and any("not json" in r for r in raws)
+    assert good.columns == ["id", "name"]  # corrupt col dropped
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType, StructType
+
+    from spark_streaming_kafka_spark.sources.readers import (
+        read_csv_quarantine,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,score\n1,0.5\nnot_a_number,0.7\n3,0.9\n")
+    schema = StructType().add("id", LongType()).add("score", DoubleType())
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
