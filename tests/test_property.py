@@ -237,3 +237,102 @@ def test_passage_dedup_conservation_and_idempotence(spark, texts, span):
     assert total_kept == len(distinct)
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_passages"]
+
+
+# --- CDC upsert/diff round-trip ----------------------------------------
+
+kv_rows = st.dictionaries(
+    st.integers(0, 12), st.tuples(st.integers(0, 5), st.booleans()),
+    min_size=0, max_size=10,
+).map(lambda d: [(k, f"v{a}" if b else None, float(a)) for k, (a, b) in d.items()])
+
+
+@given(base=kv_rows, updates=kv_rows)
+@settings(**_SETTINGS)
+def test_upsert_matches_dict_merge(spark, base, updates):
+    """upsert ≡ dict.update on keyed rows, including NULL update values
+    winning whole-row."""
+    from spark_streaming_kafka_spark.operators.cdc import upsert
+
+    schema = "k long, a string, b double"
+    bdf = spark.createDataFrame(base, schema)
+    udf_ = spark.createDataFrame(updates, schema)
+    got = {r["k"]: (r["a"], r["b"]) for r in upsert(bdf, udf_, "k").collect()}
+    want = {k: (a, b) for k, a, b in base}
+    want.update({k: (a, b) for k, a, b in updates})
+    assert got == want
+
+
+@given(old=kv_rows, new=kv_rows)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_dict_compare(spark, old, new):
+    from spark_streaming_kafka_spark.operators.cdc import snapshot_diff
+
+    schema = "k long, a string, b double"
+    odf = spark.createDataFrame(old, schema)
+    ndf = spark.createDataFrame(new, schema)
+    got = {r["k"]: r["change"] for r in snapshot_diff(odf, ndf, "k").collect()}
+    od = {k: (a, b) for k, a, b in old}
+    nd = {k: (a, b) for k, a, b in new}
+    want = {}
+    for k in od.keys() | nd.keys():
+        if k not in nd:
+            want[k] = "removed"
+        elif k not in od:
+            want[k] = "added"
+        elif od[k] != nd[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+# --- mode / trailing window vs brute force ------------------------------
+
+mode_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 4)), min_size=1, max_size=25
+)
+
+
+@given(rows=mode_rows)
+@settings(**_SETTINGS)
+def test_group_mode_matches_counter(spark, rows):
+    from collections import Counter
+
+    from spark_streaming_kafka_spark.operators.windows import group_mode
+
+    df = spark.createDataFrame(rows, "g int, v int")
+    got = {
+        r["g"]: (r["mode"], r["mode_count"])
+        for r in group_mode(df, "g", "v").collect()
+    }
+    want = {}
+    for g in {g for g, _ in rows}:
+        c = Counter(v for gg, v in rows if gg == g)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[g] = best
+    assert got == want
+
+
+trail_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 15), st.integers(-5, 5)),
+    min_size=1, max_size=20,
+)
+
+
+@given(rows=trail_rows, window=st.integers(0, 6))
+@settings(**_SETTINGS)
+def test_trailing_range_sum_matches_bruteforce(spark, rows, window):
+    from spark_streaming_kafka_spark.operators.windows import (
+        trailing_range_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(g, d, float(v)) for g, d, v in rows], "g int, day long, amt double"
+    )
+    out = trailing_range_sum(df, "g", "day", "amt", trailing=window)
+    for r in out.collect():
+        want = sum(
+            v
+            for g, d, v in rows
+            if g == r["g"] and r["day"] - window <= d <= r["day"]
+        )
+        assert r["trailing_sum"] == float(want)
