@@ -335,3 +335,30 @@ def test_csv_quarantine_split(spark, tmp_path):
     good, bad = read_csv_quarantine(spark, str(p), schema)
     assert sorted(r["id"] for r in good.collect()) == [1, 3]
     assert bad.count() == 1
+
+
+def test_tuning_profiles_shapes():
+    from spark_streaming_kafka_spark.tuning import profile
+
+    import pytest as _pytest
+
+    p = profile("batch_etl", total_cores=8000)
+    assert p["spark.sql.shuffle.partitions"] == "24000"
+    assert profile("vector_heavy")["spark.sql.execution.arrow.maxRecordsPerBatch"] == "5000"
+    assert profile("streaming_serve", 64)["spark.sql.shuffle.partitions"] == "64"
+    with _pytest.raises(ValueError):
+        profile("nope")
+
+
+def test_tuning_profile_applies_to_session(spark):
+    """Profiles are plain conf deltas — runtime-settable keys apply to a
+    live session (the static ones go through get_spark(extra_conf=...))."""
+    from spark_streaming_kafka_spark.tuning import profile
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for k, v in profile("streaming_serve", 8).items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
