@@ -279,3 +279,43 @@ def test_streaming_pii_scrub_stateless_parity(spark):
         assert all(r["scrubbed"] == "<EMAIL> said hi" for r in rows)
     finally:
         q.stop()
+
+
+def test_progress_recorder_captures_batches(spark, tmp_path):
+    """The listener records per-batch rows/durations from a live query,
+    and the lag predicate reads them."""
+    import time
+
+    from spark_streaming_kafka_spark.streaming.monitor import (
+        ProgressRecorder,
+        falling_behind,
+    )
+
+    rec = ProgressRecorder(keep=16)
+    spark.streams.addListener(rec)
+    q = None
+    try:
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline and len(rec.batches()) < 2:
+            time.sleep(0.5)
+        assert len(rec.batches()) >= 2
+        assert rec.total_input_rows() >= 0
+        b = rec.batches()[-1]
+        assert b["batch_id"] >= 0 and b["trigger_ms"] is not None
+        # healthy 1s-trigger stream must not flag a 60s-interval check
+        assert not falling_behind(rec, trigger_interval_ms=60_000, window=2)
+        # and a run of batches always flags a 0ms interval
+        assert falling_behind(rec, trigger_interval_ms=0, window=2)
+    finally:
+        if q is not None:
+            q.stop()
+        spark.streams.removeListener(rec)
