@@ -119,3 +119,63 @@ def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_z_order_cluster_shrinks_file_footprints(spark, tables, tmp_path):
+    """Files written after Z-order clustering cover a much smaller
+    min/max footprint on BOTH clustered columns than a round-robin
+    layout — the property parquet data skipping actually uses."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.operators.maintenance import (
+        z_order_cluster,
+    )
+
+    orders = tables["orders"].select("o_custkey", "o_totalprice")
+
+    def avg_footprint(path: str) -> float:
+        df = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        )
+        g = df.groupBy("f").agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("s1"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("s2"),
+        )
+        lo1, hi1, lo2, hi2 = orders.agg(
+            F.min("o_custkey"), F.max("o_custkey"),
+            F.min("o_totalprice"), F.max("o_totalprice"),
+        ).collect()[0]
+        rows = g.collect()
+        return sum(
+            (r["s1"] / (hi1 - lo1) + r["s2"] / (hi2 - lo2)) / 2 for r in rows
+        ) / len(rows)
+
+    rr = str(tmp_path / "rr")
+    zo = str(tmp_path / "zo")
+    orders.repartition(8).write.parquet(rr)
+    z_order_cluster(orders, ["o_custkey", "o_totalprice"], 8).write.parquet(zo)
+
+    base = avg_footprint(rr)
+    clustered = avg_footprint(zo)
+    # round-robin files each span ~the whole domain (~1.0); z-ordered
+    # files must be dramatically tighter on the two columns TOGETHER
+    assert clustered < 0.6 * base, (clustered, base)
+    # layout change must not change content
+    a = sorted(map(tuple, spark.read.parquet(zo).collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert a == b
+
+
+def test_z_value_basic_properties(spark):
+    from spark_streaming_kafka_spark.operators.maintenance import z_value
+
+    df = spark.range(256).select(
+        F.col("id").alias("a"), (255 - F.col("id")).alias("b")
+    )
+    out = z_value(df, ["a", "b"], bits=4).collect()
+    zs = [r["__z"] for r in out]
+    assert all(0 <= z < 256 for z in zs)  # 2 cols × 4 bits → 8-bit z
+    # identical rows get identical z
+    df2 = spark.createDataFrame([(1, 1)] * 5, "a long, b long")
+    z2 = {r["__z"] for r in z_value(df2, ["a", "b"], bits=4).collect()}
+    assert len(z2) == 1
