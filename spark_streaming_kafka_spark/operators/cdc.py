@@ -103,3 +103,31 @@ def upsert(
         keys = F.broadcast(keys)
     survivors = base.join(keys, key, "left_anti")
     return survivors.unionByName(updates.select(*base.columns))
+
+
+def merge_additive_aggregates(
+    agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an ADDITIVE aggregate table: fold a
+    delta's pre-aggregated contributions into the standing aggregate
+    without touching the history — ``new = old ⊎ delta`` where ⊎ sums
+    ``add_cols`` per key (sums, counts; any commutative-monoid
+    measure). Avg/stddev maintain as (sum, count[, sumsq]) pairs and
+    derive at read; quantiles/distincts need sketches (t-digest, HLL)
+    — not this operator.
+
+    This is the 100 TB reporting pattern: the standing aggregate is
+    dimension-sized, the delta is batch-sized, and the merge is a
+    union + hash re-aggregation over ONLY those two — the fact history
+    is never rescanned. Retractions are just negative contributions
+    (a removed row's delta is its negated measures).
+    """
+    u = agg.select(*keys, *add_cols).unionByName(
+        delta_agg.select(*keys, *add_cols)
+    )
+    return u.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in add_cols]
+    )

@@ -2985,6 +2985,44 @@ def q_bigram_lm_top_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_agg_incremental",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_orders_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance ≡ batch recompute: the
+    standing per-customer aggregate (built from ~99% of orders) merges
+    a new batch's pre-aggregated delta via union + re-aggregation of
+    two DIMENSION-sized tables — the fact history is never rescanned —
+    and the driver hash-verifies the merged result against the oracle's
+    full recompute. The materialized-view-refresh primitive at 100 TB
+    (operators/cdc.py::merge_additive_aggregates)."""
+    from .operators.cdc import merge_additive_aggregates
+
+    orders = _t(spark, sf_dir, "orders")
+    history = orders.filter(F.col("o_orderkey") % 89 != 0)
+    new_batch = orders.filter(F.col("o_orderkey") % 89 == 0)
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+
+    merged = merge_additive_aggregates(
+        agg_of(history), agg_of(new_batch), ["o_custkey"], ["n_orders", "revenue"]
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("revenue", 2).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

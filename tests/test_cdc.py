@@ -59,3 +59,24 @@ def test_upsert_broadcasts_small_delta(spark, tables):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_merge_additive_aggregates_with_retraction(spark):
+    from spark_streaming_kafka_spark.operators.cdc import (
+        merge_additive_aggregates,
+    )
+
+    agg = spark.createDataFrame(
+        [(1, 3, 30.0), (2, 1, 5.0)], "k long, n long, s double"
+    )
+    # delta: +2 rows for key 1, retraction of key 2's row, new key 3
+    delta = spark.createDataFrame(
+        [(1, 2, 12.0), (2, -1, -5.0), (3, 1, 7.0)], "k long, n long, s double"
+    )
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in merge_additive_aggregates(
+            agg, delta, ["k"], ["n", "s"]
+        ).collect()
+    }
+    assert got == {1: (5, 42.0), 2: (0, 0.0), 3: (1, 7.0)}
