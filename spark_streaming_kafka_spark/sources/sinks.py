@@ -62,13 +62,21 @@ def redis_hset_partition(
     name: str = "music",
     key_col: str = "user_id",
     value_cols: tuple[str, ...] = ("song_id", "predicted_rating"),
+    client_factory=None,
 ) -> None:
     """S12 — per-partition Redis HSET pipeline. Values stored as JSON
     (the reference stored Python ``repr`` and ``eval``'d it back,
-    ``spark_kafka.py:124`` / ``line_music.ipynb#cell1``)."""
-    import redis  # lazy: not installed in this container
+    ``spark_kafka.py:124`` / ``line_music.ipynb#cell1``).
 
-    client = redis.Redis(host=host, port=port)
+    ``client_factory`` injects the connection (tests drive the full
+    pipelining/flush/JSON logic through a fake that records commands;
+    production leaves it None → real ``redis.Redis``)."""
+    if client_factory is None:
+        import redis  # lazy: not installed in this container
+
+        client = redis.Redis(host=host, port=port)
+    else:
+        client = client_factory()
     pipe = client.pipeline(transaction=False)
     n = 0
     for row in rows:
@@ -90,12 +98,18 @@ def mongo_insert_partition(
     uri: str = "mongodb://localhost:27017",
     database: str = "music",
     collection: str = "recommendations",
+    client_factory=None,
 ) -> None:
     """S14 — per-partition bulk ``insert_many`` (reference:
-    ``insert_one`` per record from the driver, ``spark_kafka.py:125``)."""
-    import pymongo  # lazy: not installed in this container
+    ``insert_one`` per record from the driver, ``spark_kafka.py:125``).
+    ``client_factory`` injects the connection for fake-backed tests of
+    the batching logic; None → real ``pymongo.MongoClient``."""
+    if client_factory is None:
+        import pymongo  # lazy: not installed in this container
 
-    client = pymongo.MongoClient(uri)
+        client = pymongo.MongoClient(uri)
+    else:
+        client = client_factory()
     coll = client[database][collection]
     batch = []
     for row in rows:

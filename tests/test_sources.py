@@ -362,3 +362,89 @@ def test_tuning_profile_applies_to_session(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+class _FakePipe:
+    def __init__(self, store):
+        self.store = store
+        self.buffered = []
+        self.executes = 0
+
+    def hset(self, name, key, val):
+        self.buffered.append((name, key, val))
+
+    def execute(self):
+        for name, key, val in self.buffered:
+            self.store.setdefault(name, {})[key] = val
+        self.buffered = []
+        self.executes += 1
+
+
+class _FakeRedis:
+    def __init__(self, store):
+        self.store = store
+        self.pipe = None
+
+    def pipeline(self, transaction=True):
+        self.pipe = _FakePipe(self.store)
+        return self.pipe
+
+
+class _FakeColl:
+    def __init__(self):
+        self.docs = []
+        self.calls = []
+
+    def insert_many(self, batch):
+        self.docs.extend(batch)
+        self.calls.append(len(batch))
+
+
+class _FakeMongo:
+    def __init__(self, coll):
+        self._coll = coll
+
+    def __getitem__(self, db):
+        return {"recommendations": self._coll}
+
+
+def test_redis_sink_logic_with_fake_client(spark, tables):
+    """The full S12 write path — JSON encoding, pipelining, periodic
+    flush — against a fake client: 2500 rows must flush in >1 execute()
+    batch and land as parseable JSON keyed by user id."""
+    import json as _json
+
+    from spark_streaming_kafka_spark.sources.sinks import (
+        redis_hset_partition,
+    )
+
+    rows = (
+        spark.range(2500)
+        .selectExpr(
+            "id AS user_id", "id % 100 AS song_id",
+            "CAST(id % 5 AS DOUBLE) AS predicted_rating",
+        )
+        .collect()
+    )
+    store: dict = {}
+    fake = _FakeRedis(store)
+    redis_hset_partition(iter(rows), client_factory=lambda: fake)
+    assert fake.pipe.executes >= 3  # 1000-row flush cadence + final
+    assert len(store["music"]) == 2500
+    payload = _json.loads(store["music"]["7"])
+    assert payload == {"song_id": 7, "predicted_rating": 2.0}
+
+
+def test_mongo_sink_logic_with_fake_client(spark):
+    from spark_streaming_kafka_spark.sources.sinks import (
+        mongo_insert_partition,
+    )
+
+    rows = spark.range(2300).selectExpr("id AS user_id").collect()
+    coll = _FakeColl()
+    mongo_insert_partition(
+        iter(rows), client_factory=lambda: _FakeMongo(coll)
+    )
+    assert len(coll.docs) == 2300
+    assert coll.calls == [1000, 1000, 300]  # bulk batching, not per-row
+    assert coll.docs[0] == {"user_id": 0}
