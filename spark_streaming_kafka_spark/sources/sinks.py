@@ -145,18 +145,26 @@ def mongo_read(spark, uri: str, database: str, collection: str) -> DataFrame:
 
 
 def redis_hget_client(
-    key: str, field: str, host: str = "localhost", port: int = 6379
+    key: str,
+    field: str,
+    host: str = "localhost",
+    port: int = 6379,
+    client_factory=None,
 ):
     """S13 — the reference's LINE-bot read path (``line_music.ipynb
     #cell1``: ``r.hget('music', userid)`` + ``eval``) as a safe client:
     values are stored as JSON by redis_hset_partition, decoded with
     ``json.loads`` — never ``eval``. Driver/test-harness utility, not a
-    distributed read (Redis hashes don't partition a Spark scan)."""
+    distributed read (Redis hashes don't partition a Spark scan).
+    ``client_factory`` injects the connection for fake-backed tests."""
     import json
 
-    import redis  # lazy: not installed in this container
+    if client_factory is None:
+        import redis  # lazy: not installed in this container
 
-    r = redis.Redis(host=host, port=port)
+        r = redis.Redis(host=host, port=port)
+    else:
+        r = client_factory()
     raw = r.hget(key, field)
     return None if raw is None else json.loads(raw)
 

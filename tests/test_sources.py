@@ -486,3 +486,29 @@ def test_jdbc_roundtrip_embedded_derby(spark, tables):
     )
     assert par.rdd.getNumPartitions() == 4
     assert sorted(map(tuple, par.select(*src.columns).collect())) == a
+
+
+def test_redis_write_read_roundtrip_with_fake(spark):
+    """S12 write + S13 read compose: what the partition sink stores,
+    the safe client reads back as typed values (no eval anywhere)."""
+    from spark_streaming_kafka_spark.sources.sinks import (
+        redis_hget_client,
+        redis_hset_partition,
+    )
+
+    rows = spark.range(10).selectExpr(
+        "id AS user_id", "id * 2 AS song_id",
+        "CAST(id AS DOUBLE) / 2 AS predicted_rating",
+    ).collect()
+    store: dict = {}
+    fake = _FakeRedis(store)
+
+    class _Readable(_FakeRedis):
+        def hget(self, key, field):
+            return self.store.get(key, {}).get(field)
+
+    readable = _Readable(store)
+    redis_hset_partition(iter(rows), client_factory=lambda: fake)
+    got = redis_hget_client("music", "4", client_factory=lambda: readable)
+    assert got == {"song_id": 8, "predicted_rating": 2.0}
+    assert redis_hget_client("music", "999", client_factory=lambda: readable) is None
