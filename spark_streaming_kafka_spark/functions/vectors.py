@@ -34,3 +34,41 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Scalar int8 quantization of an embedding column: returns
+    ``(scale, qvec)`` with ``scale = max|v| / 127`` (per vector) and
+    ``qvec[i] = clip(floor(v[i]/scale + 0.5), -127, 127)``.
+
+    The storage-scale trade for 100 TB vector corpora: 4× smaller than
+    float32 (8× vs float64), dequantize is one multiply, and recall
+    loss at ANN thresholds is negligible (the reconstruction-cosine
+    query pins it ≥ 0.999 on the testdata). floor(x + 0.5) — not
+    round() — because round's half-case convention differs across
+    engines while floor is exact everywhere: the quantized values are
+    bit-reproducible in any SQL engine, which is what lets an external
+    system verify (or consume) the quantized table.
+
+    Pure column algebra: zero shuffle, runs inside the scan projection.
+    A zero vector gets scale 0 and an all-zero qvec (division guarded).
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale > 0, 
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+            )
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    return scale, q
+
+
+def dequantize_int8(qvec: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: array<double> ≈ the original."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)

@@ -3023,6 +3023,129 @@ def q_orders_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_error",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale > 0 THEN
+               greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS INT)))
+               ELSE 0 END * scale) AS deq
+      FROM q
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(list_cosine_similarity(v, deq), 6) AS recon_cosine
+    FROM d
+    """,
+)
+def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus with its
+    reconstruction fidelity: per-vector scale = max|v|/127, values
+    floor(x/scale+0.5)-quantized (floor, not round — half-case
+    conventions differ across engines, floor is exact everywhere, so
+    the quantized table is bit-reproducible by any consumer). 4× the
+    storage density of float32 at recon-cosine ≈ 1; pure column
+    algebra in the scan projection, zero shuffle
+    (functions/vectors.py::quantize_int8)."""
+    from .functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale, q = quantize_int8(F.col("embedding"))
+    out = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        scale.alias("scale"),
+        q.alias("qvec"),
+    )
+    deq = dequantize_int8(F.col("qvec"), F.col("scale"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(cosine_similarity(F.col("v"), deq), 6).alias("recon_cosine"),
+    )
+
+
+@register(
+    "bigram_logprob_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS head, toks[i+1] AS next_word
+      FROM tok, unnest(range(1, greatest(len(toks), 1))) r(i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT head, next_word, count(*) AS c FROM bg GROUP BY head, next_word),
+    c1 AS (SELECT head, count(*) AS ch FROM bg GROUP BY head),
+    v AS (SELECT count(DISTINCT u) AS vocab FROM (
+            SELECT unnest(toks) AS u FROM tok)),
+    lp AS (
+      SELECT c2.head, c2.next_word,
+             ln((c2.c + 1.0) / (c1.ch + v.vocab)) AS lp
+      FROM c2 JOIN c1 USING (head) CROSS JOIN v
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp.lp), 6) AS avg_logprob
+    FROM bg b JOIN lp ON b.head = lp.head AND b.next_word = lp.next_word
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-style quality filter: each document's mean
+    add-1-smoothed conditional log-probability under the corpus's own
+    bigram model — the step up from `unigram_logprob_scores` (context-
+    aware: scrambled or templated text scores low even when its word
+    mix is normal). The LM table (c2 ⋈ c1 + vocab scalar) is
+    vocabulary-bounded and joins back to the per-doc bigram stream;
+    only (doc, head, next) rows ever shuffle, never document bodies."""
+    from .operators.dedup import word_shingles
+
+    docs = _docs_fan(spark, sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            word_shingles(F.col("text"), 2, distinct=False)
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.split(F.col("bg"), " ").getItem(0).alias("head"),
+        F.split(F.col("bg"), " ").getItem(1).alias("next_word"),
+    )
+    c2 = bg.groupBy("head", "next_word").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.groupBy("head").agg(F.count(F.lit(1)).alias("ch"))
+    vocab = (
+        docs.select(F.explode(dd.tokenize(F.col("text"))).alias("u"))
+        .agg(F.count_distinct("u"))
+        .first()[0]
+    )
+    lp = c2.join(c1, "head").select(
+        "head",
+        "next_word",
+        F.log((F.col("c") + 1.0) / (F.col("ch") + F.lit(float(vocab)))).alias(
+            "lp"
+        ),
+    )
+    return (
+        bg.join(lp, ["head", "next_word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:

@@ -364,3 +364,30 @@ def test_simhash_strategy_parity(spark, tables):
     }
     assert a == b
     assert 10**9 not in a and 10**9 + 1 in a
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 63.5])],
+        "vec_id long, embedding array<double>",
+    )
+    scale, q = quantize_int8(F.col("embedding"))
+    out = df.select("vec_id", "embedding", scale.alias("s"), q.alias("q"))
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[2]["s"] == 0.0 and rows[2]["q"] == [0, 0, 0]  # zero guard
+    assert rows[3]["q"] == [127, -127, 64]  # half rounds via floor(x+.5)
+    assert max(abs(x) for x in rows[1]["q"]) == 127  # max maps to ±127
+    rec = out.filter("vec_id != 2").select(
+        cosine_similarity(
+            F.col("embedding"), dequantize_int8(F.col("q"), F.col("s"))
+        ).alias("c")
+    ).collect()
+    assert all(r["c"] > 0.999 for r in rec)
