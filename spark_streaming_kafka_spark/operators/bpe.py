@@ -1,0 +1,133 @@
+"""Distributed BPE merge learning — tokenizer training as a Spark job.
+
+Classic byte-pair encoding (Sennrich et al. 2016): start from
+characters, repeatedly merge the most frequent adjacent symbol pair.
+The distributed insight is that after ONE corpus pass, everything
+operates on the WORD-FREQUENCY table — vocabulary-sized, not
+corpus-sized — so a 100 TB corpus pays one scan + k vocabulary-sized
+iterations:
+
+1. corpus scan → (word, freq) hash aggregate (the only fact-sized job);
+2. per iteration: adjacent-pair counts via explode + partial-agg SUM
+   weighted by word freq (vocab-sized shuffle), the arg-max pair via
+   TakeOrderedAndProject (ONE row to the driver — the per-iteration
+   driver transfer is the merge decision itself, ~bytes), then a
+   vocab-sized Arrow pass applying the merge greedily left-to-right.
+
+Lineage is truncated per round (persist + unpersist of the superseded
+vocab) exactly like the connected-components loop — without it the
+plan doubles per merge and the driver dies re-optimizing it.
+
+Determinism: ties on pair count break to the lexicographically
+smallest pair, so the merge sequence is reproducible anywhere — the
+pytest oracle is a plain-Python BPE on the same corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over whitespace tokens — the one corpus-sized job."""
+    return (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _to_symbols(vocab: DataFrame) -> DataFrame:
+    """word → initial symbol sequence: characters + '</w>' end marker
+    (the marker keeps merges from crossing word boundaries when the
+    learned merges are later applied to running text)."""
+    return vocab.select(
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    )
+
+
+def _pair_counts(symdf: DataFrame) -> DataFrame:
+    pairs = symdf.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i + 1).alias("a"),
+                        F.element_at(F.col("syms"), i + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("c"))
+
+
+def _apply_merge(symdf: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of adjacent (a, b) → a+b in every
+    symbol sequence — an Arrow pass over the vocab table."""
+    merged = a + b
+
+    def apply(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for syms in pdf["syms"]:
+                res = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame({"freq": pdf["freq"], "syms": out})
+
+    return symdf.mapInPandas(apply, schema="freq long, syms array<string>")
+
+
+def learn_bpe_merges(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns them in
+    learned order. Stops early when no adjacent pair repeats."""
+    symdf = _to_symbols(word_frequencies(docs, text_col)).persist()
+    symdf.count()  # materialize before the loop
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(symdf)
+                .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < 2:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            new_symdf = _apply_merge(symdf, a, b).persist()
+            new_symdf.count()
+            symdf.unpersist()
+            symdf = new_symdf
+    finally:
+        symdf.unpersist()
+    return merges
