@@ -108,11 +108,28 @@ def learn_bpe_merges(
     docs: DataFrame, n_merges: int, text_col: str = "text"
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns them in
-    learned order. Stops early when no adjacent pair repeats."""
-    symdf = _to_symbols(word_frequencies(docs, text_col)).persist()
-    symdf.count()  # materialize before the loop
+    learned order. Stops early when no adjacent pair repeats.
+
+    The loop's shuffles are sized from the MEASURED vocab row count
+    (same discipline as the connected-components loop): under an
+    untuned session (200 shuffle partitions) each vocabulary-sized
+    iteration otherwise runs 200-task stages and the loop is pure
+    scheduling overhead — measured 6× slower at sf0.01. The session
+    conf is restored after; the returned merges are plain Python."""
+    spark = docs.sparkSession
+    vocab = word_frequencies(docs, text_col)
+    symdf = _to_symbols(vocab).persist()
+    n_words = symdf.count()  # materialize before the loop
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(2, min(parallelism, n_words // 20_000 + 2))
+    symdf2 = symdf.coalesce(loop_parts).persist()
+    symdf2.count()
+    symdf.unpersist()
+    symdf = symdf2
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
     merges: list[tuple[str, str]] = []
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         for _ in range(n_merges):
             top = (
                 _pair_counts(symdf)
@@ -129,5 +146,6 @@ def learn_bpe_merges(
             symdf.unpersist()
             symdf = new_symdf
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         symdf.unpersist()
     return merges

@@ -3146,6 +3146,28 @@ def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_merges", None)  # iterative (k dependent arg-max rounds):
+# not SQL-expressible; exact-sequence parity vs a plain-Python BPE
+# oracle is pinned in tests/test_bpe.py instead
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the corpus: the first 12 BPE merges
+    learned from documents — one corpus-sized word-frequency job, then
+    vocabulary-sized iterations (pair-count partial agg + one-row
+    arg-max to the driver + Arrow merge apply), lineage truncated per
+    round. Deterministic (count desc, lexicographic tie-break), so the
+    returned merge table is stable across partitionings and sessions
+    (operators/bpe.py)."""
+    from .operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(
+        _t(spark, sf_dir, "documents"), n_merges=12
+    )
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, left string, right string",
+    )
+
+
 # ---------------------------------------------------------------------
 
 def _lateral_dot_note() -> None:
