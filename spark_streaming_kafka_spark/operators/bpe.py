@@ -149,3 +149,64 @@ def learn_bpe_merges(
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         symdf.unpersist()
     return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with learned merges: each word starts as characters
+    + '</w>' and repeatedly applies the LOWEST-RANK applicable merge
+    (standard BPE encode order — merge rank, not position, decides) —
+    exactly the greedy fixpoint the training loop's symbol table
+    reaches, so encoding the training corpus reproduces training's
+    final state (asserted in tests).
+
+    The merge table (the trained tokenizer) ships in the task closure
+    like any model — KB-sized for real vocabularies. One Arrow pass,
+    zero shuffle; per-word results are memoized per batch (Zipf makes
+    the word-level cache hit rate ~the corpus's type/token ratio).
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + ["</w>"]
+        while len(syms) >= 2:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def encode(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in (text or "").split(" "):
+                    if w:
+                        toks.extend(encode_word(w, cache))
+                out.append(toks)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        docs.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+    )
+    return docs.mapInPandas(encode, schema=schema)

@@ -41,7 +41,7 @@ def _py_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
                     res.append(syms[i])
                     i += 1
             seqs[w] = res
-    return merges
+    return merges, seqs
 
 
 def test_bpe_matches_python_oracle(spark):
@@ -53,7 +53,7 @@ def test_bpe_matches_python_oracle(spark):
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = learn_bpe_merges(df, n_merges=10)
-    want = _py_bpe(texts, 10)
+    want, _ = _py_bpe(texts, 10)
     assert got == want
     assert len(got) == 10  # enough repetition for the full budget
 
@@ -64,7 +64,33 @@ def test_bpe_early_stop_and_empty(spark):
     assert learn_bpe_merges(df, n_merges=5) == []
     df2 = spark.createDataFrame([("aa aa",)], "text string")
     got = learn_bpe_merges(df2, n_merges=5)
-    assert got == _py_bpe(["aa aa"], 5)
+    assert got == _py_bpe(["aa aa"], 5)[0]
     # (a,a) and (a,</w>) tie at count 2; '<' sorts before 'a', so the
     # deterministic tie-break picks (a, </w>) in both implementations
     assert got[0] == ("a", "</w>")
+
+
+def test_apply_bpe_reproduces_training_state(spark):
+    """Rank-order encoding of the training corpus lands every word at
+    the training loop's final symbol sequence (BPE's defining
+    consistency property), and unseen words fall back gracefully."""
+    from spark_streaming_kafka_spark.operators.bpe import apply_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wider wide wide wider",
+        "low newer wide lowest",
+    ]
+    merges, final_seqs = _py_bpe(texts, 10)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    enc = apply_bpe(df, merges)
+    for r in enc.collect():
+        want = []
+        for w in r["text"].split(" "):
+            want.extend(final_seqs[w])
+        assert r["bpe_tokens"] == want
+    # unseen word: only learned merges apply, rest stays character-level
+    unseen = spark.createDataFrame([("zzz lowx",)], "text string")
+    row = apply_bpe(unseen, merges).collect()[0]
+    assert row["bpe_tokens"][:3] == ["z", "z", "z"]
