@@ -12,14 +12,18 @@ def test_registry_shapes():
     oracles = entry.oracle_sql()
     assert len(qs) >= 60
     assert set(oracles) <= set(qs)  # every oracle belongs to a query
-    # rows-only entries are the documented exceptions, kept rare.
-    # als_recommend_topk is the ONLY one: matrix-factor values have no
-    # SQL oracle (float nondeterminism across BLAS builds). Its
-    # invariants ARE oracle-checked via the hash-gated sibling
-    # als_recommend_topk_shape (exact user set, dense top-5 ranks,
-    # monotone ratings) — the exception covers factor VALUES only.
+    # rows-only entries are the documented exceptions, kept rare:
+    # - als_recommend_topk: matrix-factor values have no SQL oracle
+    #   (float nondeterminism across BLAS builds); its invariants ARE
+    #   oracle-checked via the hash-gated sibling
+    #   als_recommend_topk_shape (exact user set, dense top-5 ranks,
+    #   monotone ratings) — the exception covers factor VALUES only.
+    # - bpe_merges: k dependent arg-max rounds are not SQL-expressible
+    #   (recursive CTEs can't re-aggregate per iteration); the merge
+    #   SEQUENCE is pinned exactly against a plain-Python BPE oracle in
+    #   tests/test_bpe.py, and determinism makes rows-only stable.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"als_recommend_topk"}
+    assert rows_only == {"als_recommend_topk", "bpe_merges"}
     assert "als_recommend_topk_shape" in oracles
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
