@@ -36,10 +36,25 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def quantize_int8(vec: Column) -> tuple[Column, Column]:
-    """Scalar int8 quantization of an embedding column: returns
-    ``(scale, qvec)`` with ``scale = max|v| / 127`` (per vector) and
-    ``qvec[i] = clip(floor(v[i]/scale + 0.5), -127, 127)``.
+def int8_scale(vec: Column) -> Column:
+    """Per-vector int8 quantization scale: ``max|v| / 127`` (0 for the
+    zero vector). Materialize this as its OWN column before calling
+    :func:`quantize_int8` — referencing the aggregate inline inside the
+    per-element lambda would re-evaluate the O(d) fold once per element
+    (Catalyst does no subexpression elimination inside higher-order
+    lambdas; the O(d²) blowup is the same trap the minhash docstring
+    records as measured 30× slower)."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    return F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Scalar int8 quantization against a pre-materialized ``scale``
+    column (:func:`int8_scale`):
+    ``qvec[i] = clip(floor(v[i]/scale + 0.5), -127, 127)``; zero scale
+    → all-zero qvec.
 
     The storage-scale trade for 100 TB vector corpora: 4× smaller than
     float32 (8× vs float64), dequantize is one multiply, and recall
@@ -50,23 +65,24 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     bit-reproducible in any SQL engine, which is what lets an external
     system verify (or consume) the quantized table.
 
-    Pure column algebra: zero shuffle, runs inside the scan projection.
-    A zero vector gets scale 0 and an all-zero qvec (division guarded).
+    Pure column algebra: zero shuffle, O(d) per vector, runs inside the
+    scan projection.
     """
-    v = F.transform(vec, lambda x: x.cast("double"))
-    scale = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-    ) / F.lit(127.0)
-    q = F.transform(
-        v,
-        lambda x: F.when(scale > 0, 
+    return F.transform(
+        vec,
+        lambda x: F.when(
+            scale > 0,
             F.greatest(
                 F.lit(-127),
-                F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
-            )
-        ).otherwise(F.lit(0)).cast("int"),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
     )
-    return scale, q
 
 
 def dequantize_int8(qvec: Column, scale: Column) -> Column:

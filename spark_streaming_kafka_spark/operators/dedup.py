@@ -276,15 +276,18 @@ def _minhash_signatures_pandas(
                 continue  # frame breaks Arrow's list<int64> conversion
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids),
                     "signature": pd.Series(
                         [s.tolist() for s in sigs], dtype="object"
                     ),
                 }
             )
 
+    # id type flows through from the input (string/uuid doc ids are as
+    # valid as bigints — the expr path never constrained them either)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return fan_out(docs).select(id_col, text_col).mapInPandas(
-        sign, schema="doc_id long, signature array<long>"
+        sign, schema=f"doc_id {id_type}, signature array<long>"
     )
 
 
@@ -500,13 +503,14 @@ def _simhash_fingerprints_pandas(
                 continue
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids),
                     "fingerprint": pd.Series(fps, dtype="int64"),
                 }
             )
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return fan_out(docs).select(id_col, text_col).mapInPandas(
-        fp, schema="doc_id long, fingerprint long"
+        fp, schema=f"doc_id {id_type}, fingerprint long"
     )
 
 

@@ -140,11 +140,13 @@ def z_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
 
         return bucket
 
+    # ONE sketch pass computes every column's boundaries (the
+    # list-of-columns overload) — k separate calls would scan the
+    # input k times
+    all_bounds = df.approxQuantile(list(cols), probs, 1.0 / (4 << bits))
     out = df
     for i, c in enumerate(cols):
-        bounds = np.array(
-            df.approxQuantile(c, probs, 1.0 / (4 << bits)), dtype=np.float64
-        )
+        bounds = np.array(all_bounds[i], dtype=np.float64)
         out = out.withColumn(f"__q{i}", make_bucket(bounds)(F.col(c)))
     # interleave: bit b of column i lands at position b*len(cols)+i
     n = len(cols)

@@ -3055,16 +3055,20 @@ def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.vectors import (
         cosine_similarity,
         dequantize_int8,
+        int8_scale,
         quantize_int8,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    scale, q = quantize_int8(F.col("embedding"))
-    out = emb.select(
+    # scale materialized as its own column FIRST: quantize's per-element
+    # lambda then references a plain column, not an inline O(d) fold
+    with_scale = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        scale.alias("scale"),
-        q.alias("qvec"),
+        int8_scale(F.col("embedding")).alias("scale"),
+    )
+    out = with_scale.withColumn(
+        "qvec", quantize_int8(F.col("v"), F.col("scale"))
     )
     deq = dequantize_int8(F.col("qvec"), F.col("scale"))
     return out.select(

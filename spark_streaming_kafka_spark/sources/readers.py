@@ -197,29 +197,31 @@ def read_jsonl_quarantine(
     path: str,
     schema: StructType,
     corrupt_col: str = "_corrupt_record",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """JSON-lines scan that SPLITS malformed rows into a quarantine
     side instead of silently nulling (PERMISSIVE) or dying (FAILFAST)
     — the ingest contract a production feed needs: good rows flow, bad
     rows land in a reviewable table with their raw bytes.
 
-    Returns ``(good, quarantined)``; ``quarantined`` holds the raw line
-    in ``corrupt_col``. The input is marked for caching because Spark
-    refuses un-cached filters that reference only the internal corrupt
-    column (the parser would otherwise prune the data columns and lose
-    the corrupt capture); at scale, quarantine splits run inside an
-    ingest job that materializes both sides once anyway.
+    Returns ``(good, quarantined, raw)``; ``quarantined`` holds the raw
+    line in ``corrupt_col``. ``raw`` is the CACHED parent both children
+    filter — the cache is mandatory (Spark refuses un-cached plans
+    whose referenced columns prune down to only the internal corrupt
+    column, which even ``quarantined.count()`` does), and the CALLER
+    owns its lifetime: call ``raw.unpersist()`` after materializing
+    both sides, or a long-lived session leaks one pinned
+    InMemoryRelation per ingest call.
     """
     full = StructType(schema.fields[:]).add(corrupt_col, "string")
-    df = (
+    raw = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     ).cache()
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return good, bad
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad, raw
 
 
 def read_csv_quarantine(
@@ -229,11 +231,12 @@ def read_csv_quarantine(
     header: bool = True,
     sep: str = ",",
     corrupt_col: str = "_corrupt_record",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """CSV twin of :func:`read_jsonl_quarantine`: malformed rows (wrong
-    arity, uncastable fields) quarantine with their raw text."""
+    arity, uncastable fields) quarantine with their raw text. Same
+    contract: caller unpersists the returned ``raw``."""
     full = StructType(schema.fields[:]).add(corrupt_col, "string")
-    df = (
+    raw = (
         spark.read.schema(full)
         .option("header", header)
         .option("sep", sep)
@@ -241,6 +244,6 @@ def read_csv_quarantine(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .csv(path)
     ).cache()
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return good, bad
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad, raw

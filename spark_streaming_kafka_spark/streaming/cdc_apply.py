@@ -96,9 +96,51 @@ def latest_per_key(
     )
 
 
-def cdc_upsert_sink(base_path: str, key: str, order_col: str):
+def prune_versions(
+    spark: SparkSession, base_path: str, keep_versions: int = 2
+) -> list[str]:
+    """Delete superseded snapshot directories, keeping the newest
+    ``keep_versions`` up to and including the pointer target (never a
+    version the pointer names, never anything newer than it — a
+    concurrent writer's in-flight dir is always newer). Returns the
+    deleted names."""
+    cur = read_pointer(spark, base_path)
+    if cur is None:
+        return []
+    jvm, fs = _fs(spark, base_path)
+    root = jvm.org.apache.hadoop.fs.Path(base_path)
+    versions = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("v")
+    )
+    committed = [v for v in versions if v <= cur]
+    doomed = committed[:-keep_versions] if keep_versions > 0 else committed[:-1]
+    for v in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_path}/{v}"), True)
+    return doomed
+
+
+def cdc_upsert_sink(
+    base_path: str,
+    key: str,
+    order_col: str,
+    broadcast_updates: bool = True,
+    keep_versions: int = 2,
+):
     """foreachBatch handler: collapse the batch to latest-per-key,
-    upsert into the current snapshot, publish as the next version.
+    upsert into the current snapshot, publish as the next version,
+    prune superseded versions.
+
+    ``broadcast_updates=False`` for feeds whose batches can be
+    snapshot-sized (backfills, startingOffsets=earliest catch-up) —
+    a forced broadcast of a huge key set fails the query at Spark's
+    8 GB broadcast limit, while the unhinted anti-join degrades
+    gracefully. ``keep_versions`` bounds storage: each publish retains
+    that many committed snapshots (≥1; the pointer target is never
+    deleted) — without pruning a 1 s-trigger stream writes a full base
+    copy per batch forever. Keep ≥2 so a reader that resolved the
+    pointer just before a publish can still finish its scan.
 
     Use: ``stream.writeStream.foreachBatch(cdc_upsert_sink(path, "id",
     "ts")).option("checkpointLocation", ...)``.
@@ -119,8 +161,13 @@ def cdc_upsert_sink(base_path: str, key: str, order_col: str):
             return
         delta = latest_per_key(batch, key, order_col)
         base = current_snapshot(spark, base_path)
-        merged = delta if base is None else upsert(base, delta, key)
+        merged = (
+            delta
+            if base is None
+            else upsert(base, delta, key, broadcast_updates=broadcast_updates)
+        )
         merged.write.mode("overwrite").parquet(f"{base_path}/{version}")
         _write_pointer(spark, base_path, version)
+        prune_versions(spark, base_path, keep_versions)
 
     return sink

@@ -84,3 +84,28 @@ def test_cdc_sink_under_real_stream(spark, tmp_path):
     # every kept row is the max-seq row for its key within what arrived
     for k, r in rows.items():
         assert r["val"] == f"v{r['seq']}" and r["seq"] % 5 == k
+
+
+def test_version_pruning_bounds_storage(spark, tmp_path):
+    from spark_streaming_kafka_spark.streaming.cdc_apply import (
+        cdc_upsert_sink,
+        current_snapshot,
+        prune_versions,
+        read_pointer,
+    )
+
+    base = str(tmp_path / "pruned")
+    sink = cdc_upsert_sink(base, "k", "seq", keep_versions=2)
+    for i in range(5):
+        sink(_batch(spark, [(1, f"v{i}", i), (i + 10, "x", 1)]), i)
+    import os
+
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("v"))
+    assert dirs == ["v000000000003", "v000000000004"]  # keep 2 newest
+    assert read_pointer(spark, base) == "v000000000004"
+    snap = {r["k"]: r["val"] for r in current_snapshot(spark, base).collect()}
+    assert snap[1] == "v4" and len(snap) == 6
+    # prune never deletes the pointer target even at keep_versions=1
+    prune_versions(spark, base, keep_versions=1)
+    assert sorted(os.listdir(base))[-1] == "v000000000004"
+    assert current_snapshot(spark, base).count() == 6

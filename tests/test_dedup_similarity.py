@@ -372,6 +372,7 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     from spark_streaming_kafka_spark.functions.vectors import (
         cosine_similarity,
         dequantize_int8,
+        int8_scale,
         quantize_int8,
     )
 
@@ -379,8 +380,9 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 63.5])],
         "vec_id long, embedding array<double>",
     )
-    scale, q = quantize_int8(F.col("embedding"))
-    out = df.select("vec_id", "embedding", scale.alias("s"), q.alias("q"))
+    out = df.select(
+        "vec_id", "embedding", int8_scale(F.col("embedding")).alias("s")
+    ).withColumn("q", quantize_int8(F.col("embedding"), F.col("s")))
     rows = {r["vec_id"]: r for r in out.collect()}
     assert rows[2]["s"] == 0.0 and rows[2]["q"] == [0, 0, 0]  # zero guard
     assert rows[3]["q"] == [127, -127, 64]  # half rounds via floor(x+.5)
@@ -391,3 +393,22 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         ).alias("c")
     ).collect()
     assert all(r["c"] > 0.999 for r in rec)
+
+
+def test_minhash_simhash_string_ids(spark):
+    """Non-bigint doc ids flow through the pandas strategy (the id
+    type is taken from the input schema, not hard-coded)."""
+    from spark_streaming_kafka_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [("doc://a", "one two three four"), ("doc://b", "five six seven")],
+        "doc_id string, text string",
+    )
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(df).collect()}
+    assert set(sigs) == {"doc://a", "doc://b"}
+    assert all(len(s) == 32 for s in sigs.values())
+    fps = {r["doc_id"]: r["fingerprint"] for r in simhash_fingerprints(df).collect()}
+    assert set(fps) == {"doc://a", "doc://b"}

@@ -315,11 +315,14 @@ def test_jsonl_quarantine_split(spark, tmp_path):
         '{"id": "NaN-ish", "name": 3}\n'  # uncastable id → quarantine
     )
     schema = StructType().add("id", LongType()).add("name", StringType())
-    good, bad = read_jsonl_quarantine(spark, str(p), schema)
-    assert sorted(r["id"] for r in good.collect()) == [1, 2]
-    raws = [r["_corrupt_record"] for r in bad.collect()]
-    assert len(raws) == 2 and any("not json" in r for r in raws)
-    assert good.columns == ["id", "name"]  # corrupt col dropped
+    good, bad, raw = read_jsonl_quarantine(spark, str(p), schema)
+    try:
+        assert sorted(r["id"] for r in good.collect()) == [1, 2]
+        raws = [r["_corrupt_record"] for r in bad.collect()]
+        assert len(raws) == 2 and any("not json" in r for r in raws)
+        assert good.columns == ["id", "name"]  # corrupt col dropped
+    finally:
+        raw.unpersist()  # caller-owned cache (see docstring)
 
 
 def test_csv_quarantine_split(spark, tmp_path):
@@ -332,9 +335,12 @@ def test_csv_quarantine_split(spark, tmp_path):
     p = tmp_path / "feed.csv"
     p.write_text("id,score\n1,0.5\nnot_a_number,0.7\n3,0.9\n")
     schema = StructType().add("id", LongType()).add("score", DoubleType())
-    good, bad = read_csv_quarantine(spark, str(p), schema)
-    assert sorted(r["id"] for r in good.collect()) == [1, 3]
-    assert bad.count() == 1
+    good, bad, raw = read_csv_quarantine(spark, str(p), schema)
+    try:
+        assert sorted(r["id"] for r in good.collect()) == [1, 3]
+        assert bad.count() == 1
+    finally:
+        raw.unpersist()
 
 
 def test_tuning_profiles_shapes():
