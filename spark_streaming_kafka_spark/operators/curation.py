@@ -42,6 +42,8 @@ __all__ = [
     "manifest_dedup",
     "bloom_bitmap",
     "bloom_might_contain",
+    "mixture_rates",
+    "mixture_sample",
 ]
 
 
@@ -64,45 +66,42 @@ def benchmark_contamination(
     Scale shape: the benchmark is tiny relative to the corpus (eval
     sets are thousands of docs, the corpus is billions), so its
     distinct-shingle set is BROADCAST and the corpus side never
-    shuffles by shingle — the only shuffle is the per-doc hit count
-    (one narrow row per contaminated doc). The per-doc shingle total
-    is computed inline from the same array (no second explode).
+    shuffles by shingle — the only shuffle is the per-doc aggregate.
+    The per-doc shingle work (tokenize + slide + array_distinct — the
+    most expensive string pass here) is evaluated EXACTLY ONCE: both
+    the total and the hit count come out of a single explode_outer
+    stream (two dataflow branches over an unmaterialized projection
+    would each re-run the shingle expression over every document).
     """
     bench_sh = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
         )
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    corpus = docs.select(
+    exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), k).alias("__sh"),
+        # explode_outer keeps zero-shingle docs (one null-shingle row)
+        F.explode_outer(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
-    totals = corpus.select(
-        "doc_id", F.size("__sh").cast("long").alias("n_shingles")
+    marked = exploded.join(F.broadcast(bench_sh), "shingle", "left")
+    out = marked.groupBy("doc_id").agg(
+        F.count("shingle").alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
     )
-    hits = (
-        corpus.select("doc_id", F.explode("__sh").alias("shingle"))
-        .join(F.broadcast(bench_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    out = totals.join(hits, "doc_id", "left").select(
+    return out.select(
         "doc_id",
         "n_shingles",
-        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
-            "n_contaminated"
-        ),
+        "n_contaminated",
         F.round(
             F.when(
                 F.col("n_shingles") > 0,
-                F.coalesce(F.col("n_contaminated"), F.lit(0))
-                / F.col("n_shingles"),
+                F.col("n_contaminated") / F.col("n_shingles"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("contamination"),
     )
-    return out
 
 
 #: (pattern, replacement) — conservative, RE2-compatible (no lookaround)
@@ -316,13 +315,25 @@ def mixture_rates(
         budget_s = F.lit(float(token_budget)) / F.count(F.lit(1)).over(w)
         rated = totals.withColumn("__budget", budget_s)
     else:
-        from pyspark.sql.types import StringType
-
         spark = docs.sparkSession
         wdf = spark.createDataFrame(
             [(s, float(v)) for s, v in weights.items()], "source string, __w double"
         )
-        rated = totals.join(F.broadcast(wdf), "source").withColumn(
+        # LEFT join + explicit failure on unweighted sources: an inner
+        # join would silently drop every source missing from the dict
+        # (one typo'd key and that source vanishes from the training
+        # mixture with no signal). The observed-source set is
+        # dimension-sized, so the validation collect is bounded.
+        joined = totals.join(F.broadcast(wdf), "source", "left")
+        missing = [
+            r["source"] for r in joined.filter(F.col("__w").isNull()).collect()
+        ]
+        if missing:
+            raise ValueError(
+                f"weights missing for observed sources: {sorted(missing)}; "
+                "list every source explicitly (weight 0.0 to exclude one)"
+            )
+        rated = joined.withColumn(
             "__budget", F.lit(float(token_budget)) * F.col("__w")
         )
     return rated.select(

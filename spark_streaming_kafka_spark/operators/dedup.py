@@ -672,25 +672,36 @@ def connected_components(
 
     ``driver_finish_below``: near-dup edge sets are SPARSE (verified
     pairs ≈ true duplicates), so the operator first probes with
-    ``limit(gate+1).collect()`` — ONE job, memory-bounded by the gate
-    regardless of the true edge count. If the whole edge list came back
-    (≤ gate input rows, default 2M ≈ 32 MB of id pairs), driver-side
-    union-find finishes in microseconds with the identical min-label
-    output: zero shuffles, zero loop jobs, no edge-set symmetrization or
+    ``limit(gate+1).toPandas()`` — ONE job, memory-bounded by the gate
+    regardless of the true edge count, Arrow-compact on the driver
+    (two int64 columns ≈ 16 B/edge; PySpark ``Row`` objects would be
+    ~100× that — the reason the probe is NOT a ``collect()``). If the
+    whole edge list came back (≤ gate input rows, default 2M ≈ 32 MB of
+    id pairs + the union-find dicts), driver-side union-find finishes
+    in microseconds with the identical min-label output: zero shuffles,
+    zero loop jobs, no edge-set symmetrization or
     distinct needed (union-find is direction- and duplicate-agnostic).
     On shallow graphs the distributed loop is pure scheduling overhead,
     which is exactly the regime the gate covers; above it the Pregel
     loop runs unchanged — that is the 100 TB path, where edges are
-    billions and O(diameter) shuffle rounds are the right cost. Set
-    ``None``/0 to force the loop.
+    billions and O(diameter) shuffle rounds are the right cost (the
+    edge input is persisted across probe + loop, so an above-gate probe
+    does not recompute an expensive pairs lineage). Set ``None``/0 to
+    force the loop.
     """
     spark = edges.sparkSession
+    ab = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if driver_finish_below:
-        probe = edges.select(
-            F.col(src).alias("a"), F.col(dst).alias("b")
-        ).limit(driver_finish_below + 1).collect()
+        # persist BEFORE probing: if the gate does not fire, the Pregel
+        # loop reuses this materialization instead of re-running the
+        # (often applyInPandas-heavy) pairs lineage from scratch
+        ab = ab.persist()
+        probe = ab.limit(driver_finish_below + 1).toPandas()
         if len(probe) <= driver_finish_below:
-            labeled = _driver_union_find([(r["a"], r["b"]) for r in probe])
+            labeled = _driver_union_find(
+                list(zip(probe["a"].tolist(), probe["b"].tolist()))
+            )
+            ab.unpersist()
             id_type = edges.schema[src].dataType
             return spark.createDataFrame(
                 sorted(labeled),
@@ -701,9 +712,7 @@ def connected_components(
                     ]
                 ),
             )
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = ab.unionByName(ab.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # persist(), NOT localCheckpoint(): the edge set is static, so cache
     # reuse is all that's needed — and DataFrame.localCheckpoint eagerly
     # compiles the whole upstream plan into an RDD (measured ~11s on a
@@ -711,6 +720,8 @@ def connected_components(
     # normal execution.
     sym = sym.distinct().persist()
     n_edges = sym.count()
+    if driver_finish_below:
+        ab.unpersist()  # sym is materialized; the probe cache is done
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))

@@ -240,7 +240,10 @@ def wav_features(payload: bytes, dim: int = 8) -> tuple[int, int, int, float, li
     n = arr.shape[0]
     duration = round(n / float(rate), 3)
     mono = arr.astype(np.float64).mean(axis=1) / 32768.0
-    chunks = np.array_split(mono, dim) if n >= dim else [mono] * 0
+    # array_split handles n < dim itself (some chunks come back empty
+    # and the len(c) guard zeroes them) — a short clip keeps its real
+    # RMS values instead of being misfeaturized as silence
+    chunks = np.array_split(mono, dim) if n > 0 else []
     feat = [
         round(float(np.sqrt(np.mean(c * c))), 6) if len(c) else 0.0 for c in chunks
     ]

@@ -69,24 +69,34 @@ _STUB_DECODERS = True
 def _decode_row(
     payload: bytes | None, kind: str, feature_dim: int
 ) -> tuple[int, int, int, float, list[float]]:
-    """Real decode dispatch: PNG for images, WAV for audio. Video has no
-    stdlib codec, so it takes the documented stub path even in real
-    mode. Undecodable image/audio payloads raise — corrupt media should
-    fail the decode task loudly, not silently fake dimensions."""
+    """Real decode dispatch keyed on the row's DECLARED kind — the
+    payload's magic bytes then have to agree (a kind='audio' row
+    carrying PNG bytes is an upstream mixup and must fail loudly, not
+    silently decode as the other modality and fake its dimensions).
+    Video has no stdlib codec, so it takes the documented stub path
+    even in real mode."""
     from . import media_codecs as mc
 
     if payload is None:
         return (0, 0, 0, 0.0, [0.0] * feature_dim)
-    if mc.is_png(payload):
+    if kind == "image":
+        if not mc.is_png(payload):
+            raise ValueError(
+                f"kind='image' payload is not PNG ({bytes(payload[:8])!r}...)"
+            )
         return mc.png_features(payload, feature_dim)
-    if mc.is_wav(payload):
+    if kind == "audio":
+        if not mc.is_wav(payload):
+            raise ValueError(
+                f"kind='audio' payload is not WAV ({bytes(payload[:8])!r}...)"
+            )
         return mc.wav_features(payload, feature_dim)
     if kind == "video":
         w, h, nf, dur = _fake_dims(payload, kind)
         return (w, h, nf, dur, _fake_feature(payload, feature_dim))
     raise ValueError(
-        f"cannot decode {kind!r} payload ({bytes(payload[:8])!r}...): "
-        "real codecs support PNG images and PCM16 WAV audio"
+        f"cannot decode kind={kind!r}: real codecs support PNG images "
+        "and PCM16 WAV audio (video is stub-only)"
     )
 
 

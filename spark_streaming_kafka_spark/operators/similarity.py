@@ -434,6 +434,22 @@ def ivf_topk(
             .select(id_col, vec_col)
             .collect()
         ]
+    if not qrows:
+        # empty query set: return an empty, correctly-typed result
+        # instead of letting numpy choke on a zero-row matrix below
+        from pyspark.sql.types import DoubleType
+
+        return emb.sparkSession.createDataFrame(
+            [],
+            schema=StructType(
+                [
+                    StructField("query_id", LongType(), False),
+                    StructField("neighbor_id", LongType(), False),
+                    StructField("cosine", DoubleType(), False),
+                    StructField("rank", IntegerType(), False),
+                ]
+            ),
+        )
     cells = ivf_assign(emb, centroids, vec_col).select(
         id_col, vec_col, "centroid_id"
     )

@@ -98,12 +98,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif ts_type == "timestamp_ntz":
         # Newer testdata writes ts as naive micros (TIMESTAMP_NTZ). The
-        # engine contract is TIMESTAMP (instant semantics) with the naive
-        # wall clock read as UTC — to_utc_timestamp pins that mapping
-        # independent of the session timezone, so every downstream
-        # instant function (unix_millis, window, watermarks) works and
-        # results are byte-identical to the nanos-era reads.
-        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        # engine contract is TIMESTAMP (instant semantics) with the
+        # naive wall clock read as UTC. The conversion is epoch
+        # arithmetic over the NTZ's WALL-CLOCK parts (unix_date /
+        # hour / minute / fractional second are timezone-independent on
+        # NTZ), which pins naive-as-UTC under ANY session timezone —
+        # the obvious forms are all session-dependent traps: a bare
+        # cast interprets the wall clock in the session zone,
+        # to_utc_timestamp(ts,'UTC') is an instant-level no-op after
+        # that same cast, and convert_timezone+cast is off by an hour
+        # inside DST folds. (Regression-tested under a non-UTC session
+        # in tests/test_sources.py.)
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros("
+                "unix_date(CAST(ts AS DATE)) * 86400000000L"
+                " + hour(ts) * 3600000000L + minute(ts) * 60000000L"
+                " + CAST(date_part('SECOND', ts) * 1000000 AS LONG))"
+            ),
+        )
     return df
 
 

@@ -220,3 +220,26 @@ def test_mixture_sample_keeps_undersized_sources_whole(spark):
     # deterministic: a second run yields the identical id set
     again = {r["doc_id"] for r in mixture_sample(df, token_budget=100).collect()}
     assert again == {r["doc_id"] for r in out}
+
+
+def test_mixture_weights_must_cover_all_sources(spark):
+    """An explicit weights dict missing an observed source must raise
+    (an inner join would silently drop that source from the mixture)."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka_spark.operators.curation import mixture_rates
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "web"), (2, "other words", "code")],
+        "doc_id long, text string, source string",
+    )
+    with _pytest.raises(ValueError, match="code"):
+        mixture_rates(docs, 100, weights={"web": 1.0})
+    # full coverage works, weight 0.0 legitimately excludes a source
+    rates = {
+        r["source"]: r["rate"]
+        for r in mixture_rates(
+            docs, 100, weights={"web": 1.0, "code": 0.0}
+        ).collect()
+    }
+    assert rates["code"] == 0.0 and rates["web"] > 0

@@ -412,3 +412,12 @@ def test_minhash_simhash_string_ids(spark):
     assert all(len(s) == 32 for s in sigs.values())
     fps = {r["doc_id"]: r["fingerprint"] for r in simhash_fingerprints(df).collect()}
     assert set(fps) == {"doc://a", "doc://b"}
+
+
+def test_ivf_empty_query_set(spark, emb):
+    """No vectors below the query-id threshold → empty typed result,
+    not a numpy crash at plan-build time."""
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 10**6)
+    out = sim.ivf_topk(shifted, n_queries=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]

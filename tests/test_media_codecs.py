@@ -167,7 +167,20 @@ def test_extract_media_features_real_rejects_fake_bytes(spark):
         [(1, "image", bytearray(b"definitely not an image"))],
         "media_id long, kind string, payload binary",
     )
-    with pytest.raises(Exception, match="cannot decode"):
+    with pytest.raises(Exception, match="not PNG"):
+        extract_media_features(media, codec="real").collect()
+
+
+def test_extract_media_features_real_rejects_cross_typed_payload(spark):
+    """Dispatch is by DECLARED kind: a kind='audio' row carrying valid
+    PNG bytes is an upstream mixup and must fail loudly, not silently
+    decode as an image."""
+    img = _rng(5).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(mc.encode_png(img)))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="not WAV"):
         extract_media_features(media, codec="real").collect()
 
 

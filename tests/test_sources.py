@@ -518,3 +518,32 @@ def test_redis_write_read_roundtrip_with_fake(spark):
     got = redis_hget_client("music", "4", client_factory=lambda: readable)
     assert got == {"song_id": 8, "predicted_rating": 2.0}
     assert redis_hget_client("music", "999", client_factory=lambda: readable) is None
+
+
+def test_events_ts_naive_as_utc_under_any_session_timezone(spark, sf_dir):
+    """The NTZ→instant normalization must be session-timezone-proof:
+    the same parquet read under a PST session yields byte-identical
+    epoch values (a bare cast — or to_utc_timestamp after it — shifts
+    every instant by the session offset)."""
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    utc_vals = sorted(
+        r["m"]
+        for r in load_table(spark, sf_dir, "events")
+        .selectExpr("unix_millis(ts) AS m")
+        .limit(50)
+        .collect()
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        pst_vals = sorted(
+            r["m"]
+            for r in load_table(spark, sf_dir, "events")
+            .selectExpr("unix_millis(ts) AS m")
+            .limit(50)
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc_vals == pst_vals
