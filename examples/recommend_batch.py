@@ -48,7 +48,8 @@ def main() -> None:
     print(
         "validation RMSE by rank: "
         + ", ".join(f"{r}: {v:.4f}" for r, v in rmses.items())
-        + f" → chose rank {engine.rank}"
+        + f" → chose rank {engine.rank}; held-out test RMSE "
+        + f"{engine.test_rmse_:.4f}"
     )
 
     new_user = ratings.agg(F.max("user_id")).first()[0] + 1

@@ -95,6 +95,14 @@ def band_join(
     right row has ONE bucket, and the left row probes it via exactly one
     of its three candidate buckets.
     """
+    if tolerance_ms <= 0:
+        # bucket width IS the tolerance; 0 means division by zero under
+        # ANSI (the Spark 4 default) or silent emptiness without it —
+        # an exact-timestamp match is an equi-join, not a band join
+        raise ValueError(
+            "tolerance_ms must be positive (for exact-timestamp matches "
+            "join on the timestamp column directly)"
+        )
     band = F.lit(tolerance_ms)
     lb = left.withColumn("__lms", F.unix_millis(F.col(left_ts)))
     rb = right.withColumn("__rms", F.unix_millis(F.col(right_ts))).withColumn(

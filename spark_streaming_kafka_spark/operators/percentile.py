@@ -75,7 +75,6 @@ def quantile_buckets(
     v = F.col(value)
     n = len(probs)
     # level = n+1 if v >= q_{n-1}, n if v >= q_{n-2}, ..., else 1
-    expr = F.lit(1)
     chain = F.when(v >= F.col(f"q{n-1}"), F.lit(n + 1))
     for i in range(n - 2, -1, -1):
         chain = chain.when(v >= F.col(f"q{i}"), F.lit(i + 2))

@@ -63,6 +63,17 @@ def salted_join(
     to all of big's columns) — deterministic per row, uniform enough to
     spread a hot key.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # the salt-explode construction replicates every SMALL row
+        # `factor` ways, so any join that PRESERVES the small side
+        # (right/full) would emit factor-1 spurious null-padded copies
+        # per small row — reject instead of corrupting
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r} "
+            "(right/full would duplicate the preserved small side "
+            "factor-fold; salt the other input instead)"
+        )
     salt_cols = salt_from if salt_from is not None else big.columns
     salted_big = big.withColumn(
         "__salt",

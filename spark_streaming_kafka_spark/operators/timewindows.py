@@ -77,7 +77,13 @@ def gap_fill_hourly(
     join against the hourly counts on (key, hour). Both joins/aggs hash
     on the same key ⇒ AQE keeps it to two shuffles total at any scale.
     """
-    ms = F.expr(f"unix_millis({ts_col}) div 3600000")
+    # floor division via floor(), not `div`: `div` truncates toward
+    # zero, so pre-1970 (negative-epoch) events would land one hour
+    # late — inconsistent with the F.window operators in this module,
+    # which floor. (Millis magnitudes ~1e12 are exact in double.)
+    ms = F.floor(F.expr(f"unix_millis({ts_col})") / F.lit(3600000)).cast(
+        "long"
+    )
     bounds = df.groupBy(key).agg(
         F.min(ms).alias("h0"), F.max(ms).alias("h1")
     )

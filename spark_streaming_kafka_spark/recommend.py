@@ -73,6 +73,7 @@ class RecommendationEngine:
         self.min_ratings = min_ratings
         self.model: ALSModel | None = None
         self._adds_since_checkpoint = 0
+        self._ckpt_rdd_ids: set[int] = set()
         self._refresh_counts()
 
     # -- reference: engine.py:20-28 (__count_and_average_ratings) -------
@@ -98,15 +99,33 @@ class RecommendationEngine:
     # -- reference: engine.py:50-62 (add_ratings) ------------------------
     def add_ratings(self, new_ratings: DataFrame, retrain: bool = True) -> None:
         """Union new ratings into history (U1). The reference retrains on
-        every add; here it's a flag so streaming callers set cadence."""
+        every add; here it's a flag so streaming callers set cadence.
+
+        Storage is strictly bounded on a long-lived stream: exactly one
+        ratings snapshot stays resident. On checkpoint cycles the union
+        is NOT separately cached (localCheckpoint materializes it), and
+        the PREVIOUS cycle's checkpoint blocks are freed explicitly by
+        RDD id — ``DataFrame.unpersist()`` does not release a
+        localCheckpoint's internal RDD (see operators/dedup.py::
+        _unpersist_rdds), which previously leaked one full snapshot per
+        cycle."""
+        from .operators.dedup import _persistent_rdd_ids, _unpersist_rdds
+
+        sc = self.spark.sparkContext
         old = self.ratings
-        self.ratings = union_ratings(self.ratings, new_ratings).cache()
+        union = union_ratings(self.ratings, new_ratings)
         self._adds_since_checkpoint += 1
         if self._adds_since_checkpoint >= _CHECKPOINT_EVERY:
             # Truncate lineage: after N unions the plan is N levels deep;
             # localCheckpoint materializes and resets it.
-            self.ratings = self.ratings.localCheckpoint(eager=True)
+            pre = _persistent_rdd_ids(sc)
+            self.ratings = union.localCheckpoint(eager=True)
+            new_ckpt = _persistent_rdd_ids(sc) - pre
+            _unpersist_rdds(sc, self._ckpt_rdd_ids)
+            self._ckpt_rdd_ids = new_ckpt
             self._adds_since_checkpoint = 0
+        else:
+            self.ratings = union.cache()
         old.unpersist()
         self.rating_counts.unpersist()
         self._refresh_counts()
@@ -215,7 +234,12 @@ class RecommendationEngine:
         **kwargs,
     ) -> tuple["RecommendationEngine", dict[int, float]]:
         """60/20/20 split, pick the rank minimizing validation RMSE
-        (reference grid {4,8,12} → best 4), refit on train+val."""
+        (reference grid {4,8,12} → best 4), refit on train+val, then
+        score the held-out test split (reference ``spark_music.py:53-56``)
+        — exposed as ``final.test_rmse_`` so the 20% test partition is
+        actually consumed, not silently discarded. Candidate engines'
+        caches are released as they are discarded (each run used to leak
+        its rating_counts cache for the session's lifetime)."""
         train, val, test = ratings.randomSplit([0.6, 0.2, 0.2], seed=seed_split)
         rmses: dict[int, float] = {}
         best_rank, best = None, float("inf")
@@ -226,8 +250,11 @@ class RecommendationEngine:
             rmses[rank] = r
             if r < best:
                 best, best_rank = r, rank
+            eng.rating_counts.unpersist()  # candidate discarded
+        train.unpersist()  # candidates shared one cached train split
         final = cls(spark, train.unionByName(val), metadata, rank=best_rank, **kwargs)
         final.retrain()
+        final.test_rmse_ = final.evaluate_rmse(test)
         return final, rmses
 
     # -- reference: spark_music.py:116,123 (model save/load, S16/M3) -----

@@ -83,11 +83,19 @@ def latest_per_key(
     updates: DataFrame, key: str, order_col: str
 ) -> DataFrame:
     """Collapse a changefeed batch to one row per key: highest
-    ``order_col`` wins, ties broken deterministically by preferring the
-    larger remaining tuple (row_number over a total order)."""
+    ``order_col`` wins; exact order ties break deterministically on a
+    hash of the row's JSON encoding — one narrow sort key that works
+    for ANY column types (ordering by the raw payload columns would
+    fail analysis on unorderable types like map, a common CDC
+    attributes shape)."""
     others = [c for c in updates.columns if c not in (key, order_col)]
+    tiebreak = (
+        F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in others])))
+        if others
+        else F.lit(0)  # (key, order) rows: exact ties are identical rows
+    )
     w = Window.partitionBy(key).orderBy(
-        F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in others]
+        F.col(order_col).desc(), tiebreak.desc()
     )
     return (
         updates.withColumn("__rn", F.row_number().over(w))
@@ -152,13 +160,26 @@ def cdc_upsert_sink(
         spark = batch.sparkSession
         version = f"v{int(batch_id):012d}"
         # The pointer swap is the COMMIT MARKER (it happens only after
-        # the snapshot write completes). If it already names this
-        # batch's version — or a later one — this batch committed
-        # before the crash; re-merging would read the very directory
-        # being overwritten. Idempotent no-op.
+        # the snapshot write completes). cur == version ⇒ genuine
+        # crash-replay of the last batch (Structured Streaming only
+        # ever replays the final uncommitted batch): idempotent no-op.
+        # cur > version is IMPOSSIBLE from replay — it means the query
+        # restarted with a fresh checkpoint (batch ids reset to 0)
+        # against an existing base, where silently skipping would drop
+        # every batch until the new ids catch up. Fail loudly.
         cur = read_pointer(spark, base_path)
-        if cur is not None and cur >= version:
-            return
+        if cur is not None:
+            if cur == version:
+                return
+            if cur > version:
+                raise ValueError(
+                    f"batch {batch_id} is older than the committed pointer "
+                    f"{cur!r} at {base_path} — this is a NEW query "
+                    "incarnation (checkpoint reset) writing into an "
+                    "existing base. Resume with the original checkpoint, "
+                    "or point the sink at a fresh base_path, or seed the "
+                    "new checkpoint past the committed version."
+                )
         delta = latest_per_key(batch, key, order_col)
         base = current_snapshot(spark, base_path)
         merged = (

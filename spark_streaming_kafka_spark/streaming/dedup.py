@@ -40,9 +40,18 @@ def streaming_exact_dedup(
     # forever — unbounded). The WithinWatermark variant expires each
     # key once event time passes its arrival + watermark, which is the
     # bounded-state contract this module promises.
-    return (
-        stream.withColumn("__text_hash", F.md5(F.col(text_col)))
+    #
+    # NULL text is NOT a payload: md5(NULL) is NULL and the state store
+    # treats NULL keys as equal, so without the split every null-bodied
+    # row after the first would be silently dropped as a "duplicate" of
+    # an unrelated row. Null-text rows bypass dedup entirely (union of
+    # two filtered branches of the same source — a supported streaming
+    # shape).
+    hashed = stream.withColumn("__text_hash", F.md5(F.col(text_col)))
+    deduped = (
+        hashed.filter(F.col("__text_hash").isNotNull())
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
-        .drop("__text_hash")
     )
+    passthrough = hashed.filter(F.col("__text_hash").isNull())
+    return deduped.unionByName(passthrough).drop("__text_hash")

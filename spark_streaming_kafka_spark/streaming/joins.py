@@ -47,6 +47,9 @@ def time_bounded_join(
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= lw[left_ts])
-        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {max_delay}"))
+        # qualified upper bound: a bare F.expr(left_ts) is ambiguous
+        # whenever both streams name their timestamp column the same
+        # (the module example's left_ts = right_ts = 'ts' case)
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {max_delay}"))
     )
     return lw.join(rw, cond, how).drop(rw[key])

@@ -73,16 +73,24 @@ def falling_behind(
     window: int = 5,
     tolerance: float = 1.2,
 ) -> bool:
-    """True when the last ``window`` micro-batches ALL took longer than
-    ``tolerance ×`` the trigger interval — the persistent-lag signal
-    (a single slow batch is normal; a run of them means input is
-    arriving faster than it is processed and end-to-end latency is
-    growing without bound)."""
-    recent = [
+    """True when the last ``window`` MEASURED micro-batches all took
+    longer than ``tolerance ×`` the trigger interval — the
+    persistent-lag signal (a single slow batch is normal; a run of them
+    means input is arriving faster than it is processed and end-to-end
+    latency is growing without bound).
+
+    Batches with a missing ``triggerExecution`` duration are SKIPPED,
+    not counted as healthy — the predicate looks further back through
+    the recorded history for ``window`` real samples (a progress event
+    without the metric must never mask genuine lag); with fewer than
+    ``window`` measured batches ever recorded it stays False
+    (insufficient evidence, not health)."""
+    measured = [
         b["trigger_ms"]
-        for b in list(recorder.progress)[-window:]
+        for b in recorder.progress
         if b["trigger_ms"] is not None
     ]
+    recent = measured[-window:]
     if len(recent) < window:
         return False
     return all(ms > tolerance * trigger_interval_ms for ms in recent)

@@ -279,3 +279,15 @@ def test_windowed_stream_agg_with_watermark(spark):
         )
     finally:
         q.stop()
+
+
+def test_band_join_zero_tolerance_rejected(spark):
+    import pytest as _pytest
+
+    from spark_streaming_kafka_spark.operators.asof import band_join
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    with _pytest.raises(ValueError, match="positive"):
+        band_join(df, df, "k", tolerance_ms=0)

@@ -109,3 +109,37 @@ def test_version_pruning_bounds_storage(spark, tmp_path):
     prune_versions(spark, base, keep_versions=1)
     assert sorted(os.listdir(base))[-1] == "v000000000004"
     assert current_snapshot(spark, base).count() == 6
+
+
+def test_checkpoint_reset_fails_loudly(spark, tmp_path):
+    """A fresh query incarnation (batch ids reset) against an existing
+    base must raise, not silently drop batches; exact replay of the
+    committed batch stays a silent no-op."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka_spark.streaming.cdc_apply import (
+        cdc_upsert_sink,
+    )
+
+    base = str(tmp_path / "reset")
+    sink = cdc_upsert_sink(base, "k", "seq")
+    sink(_batch(spark, [(1, "a", 1)]), 7)
+    sink(_batch(spark, [(1, "b", 2)]), 8)
+    sink(_batch(spark, [(1, "b", 2)]), 8)  # true replay: no-op
+    with _pytest.raises(ValueError, match="checkpoint reset"):
+        sink(_batch(spark, [(1, "c", 3)]), 0)  # new incarnation
+
+
+def test_latest_per_key_handles_map_columns(spark):
+    """Tie-break must not order by raw payload columns — map types are
+    unorderable in a sort; the hash tiebreak handles them."""
+    from spark_streaming_kafka_spark.streaming.cdc_apply import (
+        latest_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, {"a": "x"}), (1, 1, {"b": "y"})],
+        "k long, seq long, attrs map<string,string>",
+    )
+    out = latest_per_key(df, "k", "seq").collect()
+    assert len(out) == 1 and out[0]["seq"] == 2

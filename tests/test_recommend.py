@@ -159,3 +159,38 @@ def test_best_rank_search(spark, ratings):
     assert set(rmses) == {2, 4}
     assert eng.model is not None
     assert eng.rank == min(rmses, key=rmses.get)
+
+
+def test_add_ratings_bounds_persisted_storage(spark, tables):
+    """Long-lived incremental ingestion keeps a BOUNDED set of
+    persisted RDDs: superseded caches and checkpoint blocks are freed
+    every cycle (previously ~2 leaked snapshots per checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.operators.dedup import (
+        _persistent_rdd_ids,
+    )
+    from spark_streaming_kafka_spark.recommend import RecommendationEngine
+
+    ratings = (
+        tables["events"]
+        .select(
+            F.col("user_id").cast("int").alias("user_id"),
+            (F.col("event_id") % 50).cast("int").alias("song_id"),
+            (F.col("value") % 5 + 1).cast("double").alias("rating"),
+        )
+        .dropDuplicates(["user_id", "song_id"])
+    )
+    sc = spark.sparkContext
+    before = len(_persistent_rdd_ids(sc))
+    eng = RecommendationEngine(spark, ratings, None)
+    new = spark.createDataFrame(
+        [(999, 1, 5.0)], "user_id int, song_id int, rating double"
+    )
+    for _ in range(25):  # crosses two checkpoint cycles
+        eng.add_ratings(new, retrain=False)
+    after = len(_persistent_rdd_ids(sc))
+    assert after - before <= 4  # bounded, not ~2 per cycle
+
+    eng.ratings.unpersist()
+    eng.rating_counts.unpersist()

@@ -51,3 +51,17 @@ def test_recommend_pipeline_builder_is_lazy(spark):
         assert "kafka" in str(e).lower() or "DATA_SOURCE" in str(e)
     # either outcome is acceptable; the point is a clean, immediate signal
     assert constructed in (True, False)
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    """right/full would duplicate the exploded small side factor-fold —
+    rejected before any plan is built."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "s")], "k long, w string")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)

@@ -319,3 +319,21 @@ def test_progress_recorder_captures_batches(spark, tmp_path):
         if q is not None:
             q.stop()
         spark.streams.removeListener(rec)
+
+
+def test_falling_behind_skips_unmeasured_batches():
+    from spark_streaming_kafka_spark.streaming.monitor import (
+        ProgressRecorder,
+        falling_behind,
+    )
+
+    rec = ProgressRecorder()
+    # 4 laggy measured batches with one unmeasured event interleaved:
+    # the missing sample must not mask the lag
+    for ms in (5000, 5000, None, 5000, 5000):
+        rec.progress.append(
+            {"query_id": "q", "batch_id": 0, "num_input_rows": 1,
+             "trigger_ms": ms, "timestamp": ""}
+        )
+    assert falling_behind(rec, trigger_interval_ms=1000, window=4)
+    assert not falling_behind(rec, trigger_interval_ms=1000, window=5)
