@@ -58,7 +58,7 @@ def _to_symbols(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _pair_counts(symdf: DataFrame) -> DataFrame:
+def _pair_counts(symdf: DataFrame, num_partitions: int | None = None) -> DataFrame:
     pairs = symdf.select(
         "freq",
         F.explode(
@@ -74,7 +74,16 @@ def _pair_counts(symdf: DataFrame) -> DataFrame:
             ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
         ).alias("p"),
     )
-    return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("c"))
+    flat = pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+    if num_partitions is not None:
+        # Per-PLAN partition control: an explicit hash repartition on the
+        # grouping keys with the loop's partition count. The aggregate's
+        # ClusteredDistribution(a, b) is then already satisfied, so
+        # EnsureRequirements elides the conf-sized exchange — the loop
+        # never touches (or depends on) spark.sql.shuffle.partitions,
+        # and concurrent jobs in the same session are unaffected.
+        flat = flat.repartition(num_partitions, "a", "b")
+    return flat.groupBy("a", "b").agg(F.sum("freq").alias("c"))
 
 
 def _apply_merge(symdf: DataFrame, a: str, b: str) -> DataFrame:
@@ -114,8 +123,12 @@ def learn_bpe_merges(
     (same discipline as the connected-components loop): under an
     untuned session (200 shuffle partitions) each vocabulary-sized
     iteration otherwise runs 200-task stages and the loop is pure
-    scheduling overhead — measured 6× slower at sf0.01. The session
-    conf is restored after; the returned merges are plain Python."""
+    scheduling overhead — measured 6× slower at sf0.01. Partition
+    control is per-PLAN (explicit hash repartition on the grouping keys
+    inside :func:`_pair_counts`), never a mutation of the shared
+    ``spark.sql.shuffle.partitions`` — concurrent jobs in the same
+    session see no conf change and two overlapping trainings cannot
+    race on a restore. The returned merges are plain Python."""
     spark = docs.sparkSession
     vocab = word_frequencies(docs, text_col)
     symdf = _to_symbols(vocab).persist()
@@ -126,13 +139,11 @@ def learn_bpe_merges(
     symdf2.count()
     symdf.unpersist()
     symdf = symdf2
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
     merges: list[tuple[str, str]] = []
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         for _ in range(n_merges):
             top = (
-                _pair_counts(symdf)
+                _pair_counts(symdf, num_partitions=loop_parts)
                 .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
                 .limit(1)
                 .collect()
@@ -146,7 +157,6 @@ def learn_bpe_merges(
             symdf.unpersist()
             symdf = new_symdf
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         symdf.unpersist()
     return merges
 

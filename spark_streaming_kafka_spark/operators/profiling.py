@@ -48,20 +48,31 @@ def column_profile(
     semantics, matched by DuckDB's ``count(DISTINCT col)``).
     """
     cols = cols or df.columns
+    # Backtick-quote every referenced name (doubling embedded backticks,
+    # the SQL identifier escape) so dots stay dots and spaces/quotes are
+    # fine. Aliases are positional (__nulls_0, __dist_0, ...) so the raw
+    # name never appears in an identifier; the name itself enters the
+    # plan only as an escaped string literal inside stack().
+    def ref(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     distinct = (
-        (lambda c: F.count_distinct(F.col(c)))
+        (lambda c: F.count_distinct(ref(c)))
         if exact
-        else (lambda c: F.approx_count_distinct(c))
+        else (lambda c: F.approx_count_distinct(ref(c)))
     )
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(
-            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nulls_{c}")
+            F.count(F.when(ref(c).isNull(), F.lit(1))).alias(f"__nulls_{i}")
         )
-        aggs.append(distinct(c).alias(f"__dist_{c}"))
+        aggs.append(distinct(c).alias(f"__dist_{i}"))
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+        "'{lit}', __nulls_{i}, __dist_{i}".format(
+            lit=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

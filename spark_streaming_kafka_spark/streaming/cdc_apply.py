@@ -25,12 +25,16 @@ identical, so that upgrade is local to the write step.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.cdc import upsert
 
 POINTER = "_CURRENT"
+# Exactly the shape cdc_upsert_sink writes: f"v{batch_id:012d}".
+_VERSION_RE = re.compile(r"v\d{12}")
 
 
 def _fs(spark: SparkSession, path: str):
@@ -117,10 +121,13 @@ def prune_versions(
         return []
     jvm, fs = _fs(spark, base_path)
     root = jvm.org.apache.hadoop.fs.Path(base_path)
+    # Match ONLY this sink's exact version-dir shape (v + 12 digits, the
+    # f"v{batch_id:012d}" written below) — a stray user directory that
+    # merely starts with 'v' (e.g. 'vacuum_tmp') must never be deleted.
     versions = sorted(
         st.getPath().getName()
         for st in fs.listStatus(root)
-        if st.isDirectory() and st.getPath().getName().startswith("v")
+        if st.isDirectory() and _VERSION_RE.fullmatch(st.getPath().getName())
     )
     committed = [v for v in versions if v <= cur]
     doomed = committed[:-keep_versions] if keep_versions > 0 else committed[:-1]

@@ -72,12 +72,20 @@ def falling_behind(
     trigger_interval_ms: int,
     window: int = 5,
     tolerance: float = 1.2,
+    query_id: str | None = None,
 ) -> bool:
     """True when the last ``window`` MEASURED micro-batches all took
     longer than ``tolerance ×`` the trigger interval — the
     persistent-lag signal (a single slow batch is normal; a run of them
     means input is arriving faster than it is processed and end-to-end
     latency is growing without bound).
+
+    ``query_id`` scopes the check to one stream. The recorder listens
+    session-wide, so with two concurrent queries a fast stream's
+    interleaved batches would otherwise mask a laggy stream's run of
+    slow samples (and vice versa). Pass the ``StreamingQuery.id`` to
+    judge that query alone; ``None`` keeps the session-wide pooled
+    behaviour (only sound for single-stream sessions).
 
     Batches with a missing ``triggerExecution`` duration are SKIPPED,
     not counted as healthy — the predicate looks further back through
@@ -89,6 +97,7 @@ def falling_behind(
         b["trigger_ms"]
         for b in recorder.progress
         if b["trigger_ms"] is not None
+        and (query_id is None or b["query_id"] == str(query_id))
     ]
     recent = measured[-window:]
     if len(recent) < window:

@@ -94,3 +94,30 @@ def test_apply_bpe_reproduces_training_state(spark):
     unseen = spark.createDataFrame([("zzz lowx",)], "text string")
     row = apply_bpe(unseen, merges).collect()[0]
     assert row["bpe_tokens"][:3] == ["z", "z", "z"]
+
+
+def test_bpe_loop_does_not_mutate_session_conf(spark):
+    """Partition control is per-plan: _pair_counts with an explicit
+    num_partitions plans exactly ONE exchange (the hash repartition on
+    the grouping keys satisfies the aggregate's distribution), and the
+    training loop leaves spark.sql.shuffle.partitions untouched."""
+    from spark_streaming_kafka_spark.operators.bpe import _pair_counts
+
+    df = spark.createDataFrame([("aa ab aa",)], "text string")
+    # symdf built directly (in the loop it is persisted, so only the
+    # pair-count subtree's exchanges matter)
+    symdf = spark.createDataFrame(
+        [(2, ["a", "a", "</w>"]), (1, ["a", "b", "</w>"])],
+        "freq long, syms array<string>",
+    )
+    plan = (
+        _pair_counts(symdf, num_partitions=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # repartition only, agg reuses it
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    learn_bpe_merges(df, 2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

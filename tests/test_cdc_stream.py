@@ -111,6 +111,30 @@ def test_version_pruning_bounds_storage(spark, tmp_path):
     assert current_snapshot(spark, base).count() == 6
 
 
+def test_prune_ignores_stray_v_directories(spark, tmp_path):
+    """A user directory that merely starts with 'v' (e.g. 'vacuum_tmp')
+    must survive pruning — only exact v{12-digit} snapshot dirs are
+    prune candidates."""
+    import os
+
+    from spark_streaming_kafka_spark.streaming.cdc_apply import (
+        cdc_upsert_sink,
+        prune_versions,
+    )
+
+    base = str(tmp_path / "stray")
+    sink = cdc_upsert_sink(base, "k", "seq", keep_versions=1)
+    sink(_batch(spark, [(1, "a", 0)]), 0)
+    # stray dirs sorting BELOW the pointer — the old bug's kill zone
+    for stray in ("vacuum_tmp", "v0_manual_backup", "v00000000000"):
+        os.makedirs(os.path.join(base, stray, "inner"), exist_ok=True)
+    sink(_batch(spark, [(1, "b", 1)]), 1)  # triggers prune of v…000
+    names = set(os.listdir(base))
+    assert {"vacuum_tmp", "v0_manual_backup", "v00000000000"} <= names
+    assert "v000000000000" not in names  # real superseded version pruned
+    assert prune_versions(spark, base, keep_versions=1) == []
+
+
 def test_checkpoint_reset_fails_loudly(spark, tmp_path):
     """A fresh query incarnation (batch ids reset) against an existing
     base must raise, not silently drop batches; exact replay of the

@@ -31,6 +31,21 @@ def test_column_profile_exact(spark):
     assert rows["val"]["n_nulls"] == 1 and rows["val"]["n_distinct"] == 2
 
 
+def test_column_profile_hostile_column_names(spark):
+    """Names with spaces, dots, quotes, and backticks profile correctly:
+    aliases are positional and the raw name only appears as an escaped
+    string literal in the stack() unpivot."""
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, 2.0)],
+        ["my col", "a.b", "it's`bad"],
+    )
+    rows = {r["column"]: r for r in column_profile(df).collect()}
+    assert set(rows) == {"my col", "a.b", "it's`bad"}
+    assert rows["my col"]["n_distinct"] == 2
+    assert rows["a.b"]["n_nulls"] == 1 and rows["a.b"]["n_distinct"] == 1
+    assert rows["it's`bad"]["n_distinct"] == 1
+
+
 def test_column_profile_single_pass_expand(spark):
     """All per-column exact distincts plan through ONE aggregate with
     Expand — not one job per column."""

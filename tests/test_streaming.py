@@ -337,3 +337,30 @@ def test_falling_behind_skips_unmeasured_batches():
         )
     assert falling_behind(rec, trigger_interval_ms=1000, window=4)
     assert not falling_behind(rec, trigger_interval_ms=1000, window=5)
+
+
+def test_falling_behind_scoped_per_query():
+    """Two concurrent streams share the session-wide recorder; a fast
+    query's interleaved batches must not mask a laggy query's run of
+    slow samples (and the laggy one must not flag the fast one)."""
+    from spark_streaming_kafka_spark.streaming.monitor import (
+        ProgressRecorder,
+        falling_behind,
+    )
+
+    rec = ProgressRecorder()
+    # interleave: slow query 5000ms batches, fast query 100ms batches
+    for i in range(4):
+        rec.progress.append(
+            {"query_id": "slow", "batch_id": i, "num_input_rows": 1,
+             "trigger_ms": 5000, "timestamp": ""}
+        )
+        rec.progress.append(
+            {"query_id": "fast", "batch_id": i, "num_input_rows": 1,
+             "trigger_ms": 100, "timestamp": ""}
+        )
+    # pooled view is ambiguous — the per-query views are decisive
+    assert falling_behind(rec, 1000, window=4, query_id="slow")
+    assert not falling_behind(rec, 1000, window=4, query_id="fast")
+    # pooled (legacy) call would have been masked by the fast stream
+    assert not falling_behind(rec, 1000, window=4)
