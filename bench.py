@@ -58,7 +58,19 @@ def main() -> None:
     from spark_streaming_kafka_spark import get_spark
     from spark_streaming_kafka_spark.queries import QUERIES
 
-    spark = get_spark("bench")
+    # Opt-in workload profile (tuning.py): SPARK_GRAFT_PROFILE=batch_etl
+    # layers that profile's conf delta over the session defaults, scaled
+    # to the benched core count, and is recorded in the output line so
+    # A/B runs are self-describing. Unset = the plain defaults.
+    profile_name = os.environ.get("SPARK_GRAFT_PROFILE")
+    extra_conf = None
+    if profile_name:
+        from spark_streaming_kafka_spark.tuning import profile
+
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        extra_conf = profile(profile_name, total_cores=cores)
+
+    spark = get_spark("bench", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     # pass 1 (unmeasured): compile/JIT every plan shape once
@@ -89,17 +101,16 @@ def main() -> None:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[1])
     except (IndexError, ValueError):
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-suite wall clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if profile_name:
+        out["profile"] = profile_name
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,9 +1,11 @@
-"""Real media codecs, stdlib-only: PNG (zlib/struct) and WAV (wave).
+"""Real media codecs, stdlib-only: PNG (zlib/struct), WAV (wave), and
+uncompressed AVI (struct over RIFF chunks).
 
-The container has no PIL/ffmpeg, but PNG and WAV are simple enough to
-decode for real with the standard library — so the multimodal operators
-(operators/multimodal.py) get an honest-to-goodness decode path instead
-of only the md5 stubs. Scope (documented, asserted):
+The container has no PIL/ffmpeg, but PNG, WAV, and raw-DIB AVI are
+simple enough to decode for real with the standard library — so the
+multimodal operators (operators/multimodal.py) get an
+honest-to-goodness decode path for all three modalities instead of only
+the md5 stubs. Scope (documented, asserted):
 
 - PNG: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
   3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
@@ -12,6 +14,10 @@ of only the md5 stubs. Scope (documented, asserted):
   emits for small images and the overwhelming majority of PNGs in the
   wild that are 8-bit non-interlaced.
 - WAV: PCM 16-bit via the stdlib ``wave`` module, any channel count.
+- AVI: RIFF/AVI with a single uncompressed 24-bit DIB video stream
+  (``BI_RGB`` — raw bottom-up BGR frames, the format every tool emits
+  for "uncompressed AVI"). Compressed fourccs (MJPG/H264/...) need a
+  real codec library and raise ValueError, loudly.
 
 These run inside Arrow-batched pandas UDFs on executors; per-byte
 filter reconstruction is row-sequential by specification (each scanline
@@ -47,6 +53,14 @@ def is_wav(payload: bytes | None) -> bool:
         payload is not None
         and bytes(payload[:4]) == b"RIFF"
         and bytes(payload[8:12]) == b"WAVE"
+    )
+
+
+def is_avi(payload: bytes | None) -> bool:
+    return (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"AVI "
     )
 
 
@@ -249,3 +263,176 @@ def wav_features(payload: bytes, dim: int = 8) -> tuple[int, int, int, float, li
     ]
     feat = (feat + [0.0] * dim)[:dim]
     return 0, 0, n, duration, feat
+
+
+# --- AVI (uncompressed DIB) ------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """RIFF chunk: fourcc + little-endian size + body (+ pad to even)."""
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(fourcc: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", fourcc + body)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
+    """(n_frames, H, W, 3) uint8 RGB → uncompressed AVI bytes (one
+    'vids' stream of BI_RGB 24-bit DIB frames: bottom-up BGR rows,
+    stride padded to 4 bytes — the canonical raw-AVI layout)."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"encode_avi wants (n, H, W, 3) uint8, got {arr.shape}")
+    n, h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = frame[::-1, :, ::-1]  # bottom-up rows, RGB->BGR
+        if stride == w * 3:
+            return bgr.tobytes()
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return padded.tobytes()
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10=AVIF_HASINDEX — we write idx1 below
+        n, 0, 1,           # dwTotalFrames, dwInitialFrames, dwStreams
+        frame_size,        # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,  # dwWidth, dwHeight, reserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,        # dwFlags, wPriority, wLanguage, dwInitialFrames
+        1, fps,            # dwScale, dwRate (rate/scale = fps)
+        0, n,              # dwStart, dwLength (frames)
+        frame_size,        # dwSuggestedBufferSize
+        -1, 0,             # dwQuality, dwSampleSize
+        0, 0, w, h,        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24,   # biSize, biWidth, biHeight(bottom-up), biPlanes, biBitCount
+        0,                 # biCompression = BI_RGB (uncompressed)
+        frame_size, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00db", dib(arr[i])) for i in range(n))
+    movi = _riff_list(b"movi", movi_body)
+    # idx1: one entry per frame (fourcc, flags=KEYFRAME, offset, size)
+    idx_entries = []
+    off = 4  # offsets are relative to the start of 'movi' fourcc data
+    for _ in range(n):
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_size))
+        off += 8 + frame_size + (frame_size % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _walk_riff(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) for chunks in [pos, end)."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield fourcc, pos + 8, length
+        pos += 8 + length + (length % 2)
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """AVI bytes → ((n_frames, H, W, 3) uint8 RGB, fps). Uncompressed
+    24-bit DIB ('DIB '/BI_RGB) single-video-stream files only — the
+    scope every tool's "uncompressed AVI" export hits; compressed
+    fourccs raise ValueError."""
+    data = bytes(payload)
+    if not is_avi(data):
+        raise ValueError("not an AVI (bad RIFF signature)")
+    width = height = None
+    bit_count = compression = None
+    scale = rate = None
+    usec_per_frame = None
+    frames_raw: list[bytes] = []
+
+    def walk_list(pos: int, end: int) -> None:
+        nonlocal width, height, bit_count, compression, scale, rate, usec_per_frame
+        for fourcc, body, length in _walk_riff(data, pos, end):
+            if fourcc == b"LIST":
+                walk_list(body + 4, body + length)  # skip list-type fourcc
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", data[body : body + 56])
+                usec_per_frame = vals[0]
+                width, height = vals[8], vals[9]
+            elif fourcc == b"strh":
+                if data[body : body + 4] == b"vids":
+                    vals = struct.unpack("<IIII", data[body + 20 : body + 36])
+                    scale, rate = vals[0], vals[1]
+            elif fourcc == b"strf" and bit_count is None:
+                (_, bw, bh, _, bc, comp) = struct.unpack(
+                    "<IiiHHI", data[body : body + 20]
+                )
+                bit_count, compression = bc, comp
+                if width is None:
+                    width, height = bw, abs(bh)
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append(data[body : body + length])
+
+    walk_list(12, len(data))
+    if width is None or height is None:
+        raise ValueError("AVI: missing avih/strf headers")
+    if compression not in (0, None):
+        raise ValueError(
+            f"AVI: compressed stream (biCompression={compression:#x}); "
+            "only BI_RGB uncompressed DIB is supported"
+        )
+    if bit_count != 24:
+        raise ValueError(f"AVI: only 24-bit DIB supported, got {bit_count}")
+    stride = (width * 3 + 3) & ~3
+    out = np.zeros((len(frames_raw), height, width, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < stride * height:
+            raise ValueError(
+                f"AVI: frame {i} has {len(raw)} bytes, expected {stride * height}"
+            )
+        mat = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
+            height, stride
+        )[:, : width * 3].reshape(height, width, 3)
+        out[i] = mat[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    if rate and scale:
+        fps = rate / scale
+    elif usec_per_frame:
+        fps = 1_000_000.0 / usec_per_frame
+    else:
+        fps = 30.0
+    return out, float(fps)
+
+
+def avi_features(payload: bytes, dim: int = 8) -> tuple[int, int, int, float, list[float]]:
+    """Real video decode → (width, height, n_frames, duration_s,
+    feature). Feature = mean luminance (Rec.601 weights, scaled [0,1])
+    of ``dim`` equal TEMPORAL chunks — the per-segment brightness
+    profile a video encoder slot expects, computed from real pixels."""
+    frames, fps = decode_avi(payload)
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    duration = round(n / fps, 3) if fps > 0 else 0.0
+    if n == 0:
+        return w, h, 0, 0.0, [0.0] * dim
+    luma = (
+        frames[:, :, :, 0] * 0.299
+        + frames[:, :, :, 1] * 0.587
+        + frames[:, :, :, 2] * 0.114
+    ).reshape(n, -1).mean(axis=1) / 255.0
+    chunks = np.array_split(luma, dim)
+    feat = [round(float(c.mean()), 6) if len(c) else 0.0 for c in chunks]
+    feat = (feat + [0.0] * dim)[:dim]
+    return w, h, n, duration, feat

@@ -3,14 +3,15 @@ metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing here is real and tested (schemas, partitioning,
 UDF signatures, batch shapes — tests/test_multimodal.py), and so are
-the image/audio codecs: ``codec="real"`` decodes genuine PNG and PCM16
-WAV payloads with the stdlib-only codecs in operators/media_codecs.py
-(no PIL/ffmpeg in this container — PNG+zlib and WAV are simple enough
-to do for real without them). ``codec="stub"`` (the default via
-``_STUB_DECODERS``) keeps the md5-derived deterministic fakes, which is
-what makes the mapInPandas path SQL-reproducible for the driver oracle
-and what fake-byte corpora (like the testdata documents table) need.
-Video decode remains stub-only — swap in decord/ffprobe there.
+ALL THREE codecs: ``codec="real"`` decodes genuine PNG images, PCM16
+WAV audio, and uncompressed-DIB AVI video with the stdlib-only codecs
+in operators/media_codecs.py (no PIL/ffmpeg/decord in this container —
+PNG+zlib, WAV, and raw-RIFF AVI are simple enough to do for real
+without them; compressed video fourccs raise loudly and need a codec
+library). ``codec="stub"`` (the default via ``_STUB_DECODERS``) keeps
+the md5-derived deterministic fakes, which is what makes the
+mapInPandas path SQL-reproducible for the driver oracle and what
+fake-byte corpora (like the testdata documents table) need.
 
 Scale doctrine for binary columns:
 
@@ -72,9 +73,7 @@ def _decode_row(
     """Real decode dispatch keyed on the row's DECLARED kind — the
     payload's magic bytes then have to agree (a kind='audio' row
     carrying PNG bytes is an upstream mixup and must fail loudly, not
-    silently decode as the other modality and fake its dimensions).
-    Video has no stdlib codec, so it takes the documented stub path
-    even in real mode."""
+    silently decode as the other modality and fake its dimensions)."""
     from . import media_codecs as mc
 
     if payload is None:
@@ -92,11 +91,14 @@ def _decode_row(
             )
         return mc.wav_features(payload, feature_dim)
     if kind == "video":
-        w, h, nf, dur = _fake_dims(payload, kind)
-        return (w, h, nf, dur, _fake_feature(payload, feature_dim))
+        if not mc.is_avi(payload):
+            raise ValueError(
+                f"kind='video' payload is not AVI ({bytes(payload[:8])!r}...)"
+            )
+        return mc.avi_features(payload, feature_dim)
     raise ValueError(
-        f"cannot decode kind={kind!r}: real codecs support PNG images "
-        "and PCM16 WAV audio (video is stub-only)"
+        f"cannot decode kind={kind!r}: real codecs support PNG images, "
+        "PCM16 WAV audio, and uncompressed-DIB AVI video"
     )
 
 

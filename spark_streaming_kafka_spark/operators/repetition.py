@@ -1,6 +1,7 @@
-"""Repetition-based quality filters and passage-level exact dedup.
+"""Repetition-based quality filters, passage-level exact dedup, and
+suffix-array-style repeated-substring dedup (detect + repair).
 
-Two corpus-curation operators the reference lacks but a 100 TB
+Corpus-curation operators the reference lacks but a 100 TB
 training-data pipeline runs on every ingest (the reference's only text
 analytics is lyric sentiment, ``lyric.ipynb#cell9-10``; these extend
 that leg to the modern curation rulebook):
@@ -18,6 +19,12 @@ that leg to the modern curation rulebook):
   distinct passage (ordered by doc_id, then position). This catches
   repeated boilerplate embedded inside otherwise-unique documents,
   which document-level MinHash/SimHash (operators/dedup.py) cannot.
+- :func:`repeated_substring_spans` / :func:`substring_dedup_rewrite`
+  — the UNALIGNED-duplicate repair passage dedup cannot do: the
+  distributed k-gram-island formulation of suffix-array exact
+  substring dedup (Lee et al. 2022), reporting maximal duplicated
+  token spans per document and rewriting the text with every
+  duplicated region cut out.
 
 Scale shape (100 TB):
 
@@ -210,4 +217,149 @@ def passage_dedup(
             / F.count(F.lit(1)),
             6,
         ).alias("kept_frac"),
+    )
+
+
+def _dup_shingle_hits(
+    docs: DataFrame,
+    k: int,
+    min_occurrences: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, pos, h) rows for every ``k``-gram shingle position whose
+    hash occurs ≥ min_occurrences times corpus-wide — the shared
+    detection stage of :func:`repeated_substring_spans` (report) and
+    :func:`substring_dedup_rewrite` (repair). Shingle hashes are
+    computed IN-ROW (sequence + slice column algebra) so only (id,
+    pos, 16-byte md5) ever explodes or shuffles."""
+    toks = tokenize(F.col(text_col))
+    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_sh > 0, shingles).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_occurrences)
+        .select("h")
+    )
+    return pos.join(dup, "h", "left_semi")
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    k: int = 10,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring spans, the distributed formulation of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find, per document,
+    every maximal token span covered by ``k``-gram shingles that occur
+    ≥ ``min_occurrences`` times corpus-wide (within- or cross-document).
+    A cleaner cuts those spans out of the training text — the repair
+    fixed-window passage dedup cannot do for UNALIGNED duplicates.
+
+    Output: (id, span_start, span_end, n_shingles) with 0-based
+    inclusive token indices.
+
+    Pipeline (every step linear in corpus tokens):
+
+    1. slide a ``k``-token shingle over each document IN-ROW (column
+       algebra: sequence + slice, no explode until the hash is taken),
+       emitting (id, pos, md5(shingle)) — 16-byte keys, never text;
+    2. corpus-wide occurrence counts by shingle hash (partial-agg hash
+       aggregate; uniform md5 keyspace ⇒ balanced shuffle) keep hashes
+       with count ≥ min_occurrences;
+    3. semi-join positions against the duplicated-hash set (shuffle on
+       the hash — both sides are (id, pos, hash)-narrow);
+    4. merge hit positions into maximal spans per document with the
+       gaps-and-islands window: a new span starts when the previous
+       duplicated shingle's token range [prev, prev+k-1] neither
+       overlaps nor touches this one's (gap > k). Per-doc window state
+       is the doc's hit list — bounded by its token count.
+
+    The construction is pure relational algebra, so the DuckDB oracle
+    runs the IDENTICAL query (same tokenizer, same md5 keys, same
+    island rule) and the hash check pins every span boundary.
+    """
+    hits = _dup_shingle_hits(docs, k, min_occurrences, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos", 1).over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))  # lag NULL (first hit) -> otherwise branch = 1
+    spans = hits.withColumn("__brk", brk).withColumn(
+        "__span", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        spans.groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        )
+        .drop("__span")
+    )
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame,
+    k: int = 10,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REPAIR step for :func:`repeated_substring_spans`: rewrite
+    each document with every duplicated-substring token cut out,
+    returning (id, clean_text, n_tokens, n_cut).
+
+    Semantics: EVERY occurrence of a duplicated ``k``-gram region is
+    removed (not all-but-one) — the conservative, partition-invariant
+    choice: electing a canonical survivor would need a corpus-global
+    occurrence order, and training pipelines that cut aggressively
+    (boilerplate, licenses, navigation text repeats) want all copies
+    gone anyway. Documents with NULL text pass through as NULL.
+
+    Plan shape: the detection stage is shared column algebra
+    (:func:`_dup_shingle_hits`); covered token indices aggregate to ONE
+    array row per affected document (bounded by that doc's token
+    count), join back LEFT so untouched documents flow through without
+    a rewrite, and the cut itself is an in-row lambda filter — bodies
+    shuffle ONCE (the join-back on id), never by shingle.
+    """
+    hits = _dup_shingle_hits(docs, k, min_occurrences, text_col, id_col)
+    cover = (
+        hits.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos").cast("long"), F.col("pos").cast("long") + (k - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("__covered"))
+    )
+    out = docs.join(cover, id_col, "left")
+    toks = tokenize(F.col(text_col))
+    cov = F.coalesce(F.col("__covered"), F.array().cast("array<bigint>"))
+    clean = F.array_join(
+        F.filter(toks, lambda x, i: ~F.array_contains(cov, i.cast("long"))),
+        " ",
+    )
+    return out.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(clean)
+        .alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(cov).cast("long").alias("n_cut"),
     )

@@ -2551,6 +2551,93 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dup_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_sql_tokens()} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i+1:i+8], ' ')) AS h
+      FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM sp GROUP BY doc_id, span_id
+    """,
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (suffix-array dedup, Lee et al.
+    2022, as a distributed k-gram-island pipeline): per document, every
+    maximal token span covered by 8-gram shingles occurring ≥2 times
+    corpus-wide — the UNALIGNED-duplicate catch fixed-window passage
+    dedup misses. Linear in corpus tokens: shuffles carry (doc_id, pos,
+    16-byte md5), never text; the oracle runs the identical relational
+    construction so every span boundary is hash-pinned."""
+    from .operators.repetition import repeated_substring_spans
+
+    return repeated_substring_spans(_docs_fan(spark, sf_dir), k=8)
+
+
+@register(
+    "substring_dedup_rewrite",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_sql_tokens()} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i+1:i+8], ' ')) AS h
+      FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+    cover AS (
+      SELECT doc_id, list(DISTINCT pos + j) AS covered
+      FROM hits, unnest(range(0, 8)) AS v(j)
+      GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CASE WHEN tk.text IS NULL THEN NULL
+                -- array_to_string([]) is NULL in DuckDB; a fully-cut doc
+                -- must yield '' to match Spark's array_join
+                ELSE coalesce(array_to_string(
+                  list_filter(tk.t, (x, i) -> NOT list_contains(
+                    coalesce(c.covered, []), CAST(i - 1 AS BIGINT))), ' '), '')
+           END AS clean_text,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_cut
+    FROM toks tk LEFT JOIN cover c ON c.doc_id = tk.doc_id
+    """,
+)
+def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR step of suffix-array-style dedup: every duplicated
+    8-gram region is cut out of the text (all occurrences — the
+    partition-invariant choice; electing one canonical survivor would
+    need a corpus-global occurrence order). Detection is the shared
+    linear-shuffle stage of substring_dup_spans; the cut is an in-row
+    lambda filter after ONE id-keyed join-back — bodies shuffle once,
+    never by shingle. Oracle = the identical relational construction."""
+    from .operators.repetition import substring_dedup_rewrite
+
+    return substring_dedup_rewrite(_docs_fan(spark, sf_dir), k=8)
+
+
+@register(
     "embedding_centroid_outliers",
     """
     WITH x AS (

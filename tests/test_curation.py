@@ -243,3 +243,57 @@ def test_mixture_weights_must_cover_all_sources(spark):
         ).collect()
     }
     assert rates["code"] == 0.0 and rates["web"] > 0
+
+
+def test_repeated_substring_spans_exact_boundaries(spark):
+    """Hand-computable corpus: k=3 shingles, merged-island boundaries,
+    NULL/short docs vanish, within-doc repetition counts too."""
+    from spark_streaming_kafka_spark.operators.repetition import (
+        repeated_substring_spans,
+    )
+
+    rows = [
+        # docs 1 and 2 share 'p q r s' -> shingles (p q r), (q r s)
+        (1, "a b p q r s c d"),
+        (2, "z z2 z3 p q r s y"),
+        # doc 3 repeats 'm n o' WITHIN itself, far apart -> two spans
+        (3, "m n o g1 g2 g3 g4 g5 g6 m n o"),
+        (4, "one two"),  # < k tokens -> no shingles
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_shingles"]
+        for r in repeated_substring_spans(docs, k=3).collect()
+    }
+    # doc 1: hits at pos 2,3 (tokens 2..5 'p q r s') -> one span [2,5]
+    assert out[(1, 2, 5)] == 2
+    # doc 2: hits at pos 3,4 -> span [3,6]
+    assert out[(2, 3, 6)] == 2
+    # doc 3: 'm n o' at pos 0 and pos 9; gap 9 > k -> TWO spans
+    assert out[(3, 0, 2)] == 1 and out[(3, 9, 11)] == 1
+    assert not any(d in (4, 5) for d, _, _ in out)
+
+
+def test_substring_dedup_rewrite_cuts_all_occurrences(spark):
+    from spark_streaming_kafka_spark.operators.repetition import (
+        substring_dedup_rewrite,
+    )
+
+    rows = [
+        (1, "a b p q r s c d"),
+        (2, "z z2 z3 p q r s y"),
+        (3, "m n o g1 g2 g3 g4 g5 g6 m n o"),  # within-doc repeat
+        (4, "one two"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"])
+        for r in substring_dedup_rewrite(docs, k=3).collect()
+    }
+    assert out[1] == ("a b c d", 8, 4)       # 'p q r s' cut
+    assert out[2] == ("z z2 z3 y", 8, 4)
+    assert out[3] == ("g1 g2 g3 g4 g5 g6", 12, 6)  # BOTH 'm n o' cut
+    assert out[4] == ("one two", 2, 0)       # untouched flows through
+    assert out[5] == (None, None, 0)         # NULL text passes as NULL

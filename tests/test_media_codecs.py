@@ -204,3 +204,72 @@ def test_stub_mode_unchanged_default(spark):
     )
     row = extract_media_features(media).first()
     assert 64 <= row["width"] < 256 and row["n_frames"] == 1
+
+
+# --- AVI --------------------------------------------------------------
+
+def test_avi_roundtrip_exact():
+    frames = _rng(9).integers(0, 256, size=(9, 13, 17, 3), dtype=np.uint8)
+    avi = mc.encode_avi(frames, fps=12)
+    assert mc.is_avi(avi) and not mc.is_wav(avi) and not mc.is_png(avi)
+    dec, fps = mc.decode_avi(avi)
+    assert fps == 12.0
+    assert np.array_equal(dec, frames)  # exact pixels through BGR/bottom-up/stride
+
+
+def test_avi_stride_padding_roundtrip():
+    # width*3 not divisible by 4 exercises the DIB row-padding path
+    frames = _rng(3).integers(0, 256, size=(2, 5, 6, 3), dtype=np.uint8)
+    dec, _ = mc.decode_avi(mc.encode_avi(frames, fps=30))
+    assert np.array_equal(dec, frames)
+
+
+def test_avi_rejects_compressed_and_garbage():
+    with pytest.raises(ValueError, match="not an AVI"):
+        mc.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    frames = _rng(4).integers(0, 256, size=(1, 4, 4, 3), dtype=np.uint8)
+    avi = bytearray(mc.encode_avi(frames, fps=30))
+    # flip biCompression in strf to a fake MJPG fourcc
+    pos = avi.find(b"strf") + 8
+    avi[pos + 16 : pos + 20] = b"MJPG"
+    with pytest.raises(ValueError, match="compressed"):
+        mc.decode_avi(bytes(avi))
+
+
+def test_avi_features_real_luminance():
+    # black half then white half -> first feature chunks ~0, last ~1
+    black = np.zeros((4, 6, 6, 3), dtype=np.uint8)
+    white = np.full((4, 6, 6, 3), 255, dtype=np.uint8)
+    avi = mc.encode_avi(np.concatenate([black, white]), fps=8)
+    w, h, n, dur, feat = mc.avi_features(avi, dim=4)
+    assert (w, h, n) == (6, 6, 8) and dur == 1.0
+    assert feat[0] == 0.0 and feat[1] == 0.0
+    assert feat[2] == 1.0 and feat[3] == 1.0
+
+
+def test_extract_media_features_real_video(spark):
+    frames = _rng(11).integers(0, 256, size=(6, 8, 9, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mc.encode_avi(frames, fps=30)))],
+        "media_id long, kind string, payload binary",
+    )
+    row = extract_media_features(media, codec="real").first()
+    assert row["width"] == 9 and row["height"] == 8
+    assert row["n_frames"] == 6 and row["duration_s"] == 0.2
+    expect = (
+        frames[:, :, :, 0] * 0.299
+        + frames[:, :, :, 1] * 0.587
+        + frames[:, :, :, 2] * 0.114
+    ).reshape(6, -1).mean(axis=1) / 255.0
+    got_mean = float(np.mean(row["feature"][:6]))
+    assert abs(got_mean - float(expect.mean())) < 1e-3
+
+
+def test_extract_media_features_real_rejects_cross_typed_video(spark):
+    img = _rng(5).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mc.encode_png(img)))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="not AVI"):
+        extract_media_features(media, codec="real").collect()

@@ -12,9 +12,11 @@ from spark_streaming_kafka_spark.queries import REGISTRY
 #: Queries whose SEMANTICS are exact all-pairs (their oracle is the
 #: quadratic ground truth; each has a documented sub-quadratic sibling).
 ALL_PAIRS_BY_DESIGN = {
+    # the two exact-ground-truth twins, each with a driver-green
+    # sub-quadratic sibling (embedding_near_dup_lsh /
+    # semantic_dedup_clusters_lsh):
     "embedding_near_dup",      # exact pinned; LSH sibling is gated in the operator
     "semantic_dedup_clusters", # exact pairs feed CC; same pinning
-    "dedup_simhash",           # O(n^2) only in the ORACLE; Spark side is banded
 }
 
 #: Trains ALS / collects at build time — planned but notably slower.

@@ -65,3 +65,69 @@ def test_salted_join_rejects_small_side_preserving_joins(spark):
     for how in ("right", "full", "outer"):
         with _pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", how=how)
+
+
+def test_salted_join_spreads_hot_key_evidence(spark):
+    """The 100 TB skew story, pinned with measured evidence: a key
+    holding ~91% of the big side lands in ONE reduce partition
+    unsalted, and in ~factor partitions salted — max per-partition
+    input drops by ~factor. The partition counts are measured over the
+    exact distribution the join's exchange uses (hash of the join
+    keys), and the salted plan's exchange is asserted to hash on
+    (key, salt)."""
+    from pyspark.sql import functions as F
+
+    factor, parts = 8, 32
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    tail = spark.range(1_000).select(
+        (F.col("id") % 100 + 2).alias("k"), F.col("id").alias("v")
+    )
+    big = hot.unionAll(tail)
+    small = spark.range(1, 102).select(F.col("id").alias("k"), F.lit("d").alias("attr"))
+
+    def hot_key_partition_profile(df, *cols):
+        """(max rows in any partition, distinct partitions holding the
+        hot key) under hash partitioning on the join keys."""
+        counts = (
+            df.repartition(parts, *cols)
+            .groupBy(
+                F.spark_partition_id().alias("p"), (F.col("k") == 1).alias("hot")
+            )
+            .count()
+            .collect()
+        )
+        mx = max(
+            sum(r["count"] for r in counts if r["p"] == p)
+            for p in {r["p"] for r in counts}
+        )
+        spread = len({r["p"] for r in counts if r["hot"]})
+        return mx, spread
+
+    unsalted_max, unsalted_spread = hot_key_partition_profile(big, "k")
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64("k", "v"), F.lit(factor)).cast("int")
+    )
+    salted_max, salted_spread = hot_key_partition_profile(
+        salted_big, "k", "__salt"
+    )
+    assert unsalted_max >= 10_000 and unsalted_spread == 1  # pinned reducer
+    # hot key now spans ~factor reducers (allow one hash collision)
+    assert salted_spread >= factor - 2, f"spread {salted_spread}"
+    # >=3x max-partition relief even with (salt -> partition) collisions
+    assert salted_max * 3 <= unsalted_max, f"salted max {salted_max}"
+
+    # and the actual salted_join exchange hashes on (k, __salt): with
+    # broadcast off, the plan must NOT contain a partitioning on k alone
+    # for the big side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            salted_join(big, small, "k", factor=factor, salt_from=["k", "v"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "hashpartitioning(k" in plan and "__salt" in plan

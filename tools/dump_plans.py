@@ -47,6 +47,15 @@ SHOWCASE = {
     "passage_dedup": "First-occurrence window partitions by the 16-byte "
     "passage md5 — one hash exchange of (md5, id, idx); passage text never "
     "shuffles and the summary agg is partial-combined.",
+    "substring_dup_spans": "Suffix-array-style dedup as linear relational "
+    "algebra: shingle hashes computed in-row (no explode before the md5), "
+    "dup-hash semi-join on 16-byte keys, one per-doc window for the island "
+    "merge — text never shuffles, no quadratic operator anywhere.",
+    "semantic_dedup_clusters_lsh": "The scale path of semantic dedup, "
+    "end-to-end: sign-LSH bucketed candidates (per-bucket grouped-pandas "
+    "gemm, no self-join of the corpus) feed the connected-components loop — "
+    "no CartesianProduct, no BroadcastNestedLoopJoin, no SortMergeJoin of "
+    "embeddings against themselves.",
     "embedding_centroid_outliers": "Centroids come from a dimension-sized "
     "partial aggregate and BroadcastExchange into the scoring join — the "
     "vector column never shuffles.",
@@ -98,8 +107,16 @@ def main() -> None:
                   explain_str(df, "formatted").rstrip(), "```", ""]
     os.makedirs(os.path.join(os.path.dirname(__file__), "..", "docs"), exist_ok=True)
     out = os.path.join(os.path.dirname(__file__), "..", "docs", "PLANS.md")
+    text = "\n".join(lines)
+    # plan strings can embed literal control bytes (the portable hash's
+    # \x01 separator / \x00 null sentinel in concat_ws) — escape them so
+    # the dump stays a text file for grep/diff
+    text = "".join(
+        ch if ch in "\n\t" or ord(ch) >= 32 else f"\\x{ord(ch):02x}"
+        for ch in text
+    )
     with open(out, "w") as f:
-        f.write("\n".join(lines))
+        f.write(text)
     print(f"wrote {os.path.normpath(out)}")
     spark.stop()
 
