@@ -62,7 +62,7 @@ def _fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
 
 
 #: Default decode mode. "stub" = md5-derived deterministic fakes (the
-#: oracle-reproducible path); "real" = stdlib PNG/WAV codecs
+#: oracle-reproducible path); "real" = stdlib PNG/WAV/AVI codecs
 #: (operators/media_codecs.py). Per-call override via ``codec=``.
 _STUB_DECODERS = True
 
@@ -109,7 +109,7 @@ def extract_media_features(
 
     One ``mapInPandas`` pass: decode + dims + feature per Arrow batch.
     ``codec``: "stub" (md5-derived fakes, SQL-reproducible — what the
-    driver oracle checks) or "real" (stdlib PNG/WAV decode,
+    driver oracle checks) or "real" (stdlib PNG/WAV/AVI decode,
     media_codecs.py — actual pixels/samples feed the feature vector);
     defaults to the module flag ``_STUB_DECODERS``. Column pruning
     applies upstream — if a caller selects only ``media_id``/``width``,
