@@ -82,6 +82,17 @@ def _pair_counts(symdf: DataFrame, num_partitions: int | None = None) -> DataFra
         # EnsureRequirements elides the conf-sized exchange — the loop
         # never touches (or depends on) spark.sql.shuffle.partitions,
         # and concurrent jobs in the same session are unaffected.
+        #
+        # Known tradeoff: with the exchange below the aggregate, BOTH
+        # partial and final aggregation run post-shuffle, so the shuffle
+        # carries raw exploded pair rows instead of map-side combines.
+        # That stream is VOCABULARY-sized (one row per adjacent symbol
+        # pair per DISTINCT word — Σ|word| over the vocab, never corpus
+        # tokens), so the inflation is a bounded constant factor; an
+        # Arrow mapInPandas pre-combine that restores map-side combining
+        # measured SLOWER end-to-end (6.63 s vs 5.42 s for 10 merges at
+        # sf0.01 — the Python round-trip costs more than the combine
+        # saves on vocab-sized data), so the JVM-only plan is kept.
         flat = flat.repartition(num_partitions, "a", "b")
     return flat.groupBy("a", "b").agg(F.sum("freq").alias("c"))
 

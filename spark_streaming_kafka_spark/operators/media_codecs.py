@@ -351,45 +351,68 @@ def _walk_riff(data: bytes, pos: int, end: int):
 
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
-    """AVI bytes → ((n_frames, H, W, 3) uint8 RGB, fps). Uncompressed
-    24-bit DIB ('DIB '/BI_RGB) single-video-stream files only — the
-    scope every tool's "uncompressed AVI" export hits; compressed
-    fourccs raise ValueError."""
+    """AVI bytes → ((n_frames, H, W, 3) uint8 RGB, fps). The VIDEO
+    stream must be uncompressed 24-bit DIB ('DIB '/BI_RGB — both
+    bottom-up and top-down biHeight); compressed fourccs raise
+    ValueError. Stream-aware: other streams (e.g. an audio track) may
+    precede the video stream — strf is parsed only for the 'vids'
+    stream's strl, and frame chunks are matched by that stream's index
+    ('NNdb'/'NNdc'), so a video-as-stream-1 file decodes correctly
+    instead of silently yielding zero frames."""
     data = bytes(payload)
     if not is_avi(data):
         raise ValueError("not an AVI (bad RIFF signature)")
     width = height = None
     bit_count = compression = None
+    top_down = False
     scale = rate = None
     usec_per_frame = None
+    stream_count = 0
+    vids_idx: int | None = None
+    expect_video_strf = False
     frames_raw: list[bytes] = []
 
     def walk_list(pos: int, end: int) -> None:
-        nonlocal width, height, bit_count, compression, scale, rate, usec_per_frame
+        nonlocal width, height, bit_count, compression, top_down
+        nonlocal scale, rate, usec_per_frame
+        nonlocal stream_count, vids_idx, expect_video_strf
         for fourcc, body, length in _walk_riff(data, pos, end):
             if fourcc == b"LIST":
                 walk_list(body + 4, body + length)  # skip list-type fourcc
             elif fourcc == b"avih":
                 vals = struct.unpack("<14I", data[body : body + 56])
                 usec_per_frame = vals[0]
-                width, height = vals[8], vals[9]
             elif fourcc == b"strh":
-                if data[body : body + 4] == b"vids":
+                if data[body : body + 4] == b"vids" and vids_idx is None:
+                    vids_idx = stream_count
                     vals = struct.unpack("<IIII", data[body + 20 : body + 36])
                     scale, rate = vals[0], vals[1]
-            elif fourcc == b"strf" and bit_count is None:
+                    expect_video_strf = True
+                else:
+                    expect_video_strf = False
+                stream_count += 1
+            elif fourcc == b"strf" and expect_video_strf:
+                # the strf belonging to the vids strh just seen — never
+                # an audio WAVEFORMATEX misread as a BITMAPINFOHEADER
                 (_, bw, bh, _, bc, comp) = struct.unpack(
                     "<IiiHHI", data[body : body + 20]
                 )
                 bit_count, compression = bc, comp
-                if width is None:
-                    width, height = bw, abs(bh)
-            elif fourcc in (b"00db", b"00dc"):
+                width, height = bw, abs(bh)
+                top_down = bh < 0  # negative biHeight = rows stored top-down
+                expect_video_strf = False
+            elif (
+                vids_idx is not None
+                and fourcc[:2] == b"%02d" % vids_idx
+                and fourcc[2:4] in (b"db", b"dc")
+            ):
                 frames_raw.append(data[body : body + length])
 
     walk_list(12, len(data))
+    if vids_idx is None:
+        raise ValueError("AVI: no 'vids' stream header found")
     if width is None or height is None:
-        raise ValueError("AVI: missing avih/strf headers")
+        raise ValueError("AVI: missing video strf header")
     if compression not in (0, None):
         raise ValueError(
             f"AVI: compressed stream (biCompression={compression:#x}); "
@@ -407,7 +430,8 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
         mat = np.frombuffer(raw, dtype=np.uint8, count=stride * height).reshape(
             height, stride
         )[:, : width * 3].reshape(height, width, 3)
-        out[i] = mat[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+        bgr = mat if top_down else mat[::-1]  # bottom-up rows -> top-down
+        out[i] = bgr[:, :, ::-1]  # BGR -> RGB
     if rate and scale:
         fps = rate / scale
     elif usec_per_frame:

@@ -333,8 +333,11 @@ def substring_dedup_rewrite(
     (:func:`_dup_shingle_hits`); covered token indices aggregate to ONE
     array row per affected document (bounded by that doc's token
     count), join back LEFT so untouched documents flow through without
-    a rewrite, and the cut itself is an in-row lambda filter — bodies
-    shuffle ONCE (the join-back on id), never by shingle.
+    a rewrite, and the cut itself is in-row hash-based position
+    subtraction (array_except — linear in tokens + covered, never the
+    per-token containment scan that goes quadratic on heavily-
+    duplicated long documents) — bodies shuffle ONCE (the join-back on
+    id), never by shingle.
     """
     hits = _dup_shingle_hits(docs, k, min_occurrences, text_col, id_col)
     cover = (
@@ -351,8 +354,21 @@ def substring_dedup_rewrite(
     out = docs.join(cover, id_col, "left")
     toks = tokenize(F.col(text_col))
     cov = F.coalesce(F.col("__covered"), F.array().cast("array<bigint>"))
+    # Hash-based position subtraction — O(n_tokens + n_covered) per row
+    # (array_except builds one hash set of the covered indices), where a
+    # per-token array_contains scan would be O(n_tokens × n_covered):
+    # quadratic exactly on the heavily-duplicated long documents this
+    # operator targets. array_except preserves first-array order, so
+    # the kept indices stay ascending and token order survives.
+    # sequence(0, -1) would DESCEND (same trap as passages()); guard the
+    # token-less case to an empty index list explicitly
+    all_idx = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0).cast("long"), F.size(toks).cast("long") - 1),
+    ).otherwise(F.array().cast("array<bigint>"))
+    kept_idx = F.array_except(all_idx, cov)
     clean = F.array_join(
-        F.filter(toks, lambda x, i: ~F.array_contains(cov, i.cast("long"))),
+        F.transform(kept_idx, lambda i: F.element_at(toks, (i + 1).cast("int"))),
         " ",
     )
     return out.select(

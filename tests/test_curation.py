@@ -286,6 +286,8 @@ def test_substring_dedup_rewrite_cuts_all_occurrences(spark):
         (3, "m n o g1 g2 g3 g4 g5 g6 m n o"),  # within-doc repeat
         (4, "one two"),
         (5, None),
+        (6, ""),   # token-less but non-NULL: must not hit the
+                   # descending-sequence trap
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -297,3 +299,4 @@ def test_substring_dedup_rewrite_cuts_all_occurrences(spark):
     assert out[3] == ("g1 g2 g3 g4 g5 g6", 12, 6)  # BOTH 'm n o' cut
     assert out[4] == ("one two", 2, 0)       # untouched flows through
     assert out[5] == (None, None, 0)         # NULL text passes as NULL
+    assert out[6] == ("", 0, 0)              # empty text stays empty

@@ -273,3 +273,84 @@ def test_extract_media_features_real_rejects_cross_typed_video(spark):
     )
     with pytest.raises(Exception, match="not AVI"):
         extract_media_features(media, codec="real").collect()
+
+
+def test_avi_video_as_second_stream_decodes():
+    """An AVI with an audio strl FIRST (video is stream 1, frames in
+    '01db' chunks): the decoder must find the vids stream by index and
+    must not misparse the audio strf (WAVEFORMATEX) as a video
+    BITMAPINFOHEADER."""
+    frames = _rng(21).integers(0, 256, size=(3, 4, 5, 3), dtype=np.uint8)
+    base = mc.encode_avi(frames, fps=10)
+    # deconstruct: rebuild hdrl with an auds strl prepended, renumber
+    # the movi frame chunks 00db -> 01db, dwStreams -> 2
+    w, h, n, fps_n = 5, 4, 3, 10
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+    avih = struct.pack("<14I", 100000, frame_size * fps_n, 0, 0x10,
+                       n, 0, 2, frame_size, w, h, 0, 0, 0, 0)
+    auds_strh = struct.pack("<4s4sIHHIIIIIIiI4h", b"auds", b"\x00\x00\x00\x00",
+                            0, 0, 0, 0, 1, 16000, 0, 16000, 0, -1, 2, 0, 0, 0, 0)
+    # WAVEFORMATEX: PCM, 1ch, 16kHz, 16-bit (18 bytes, nothing like a BITMAPINFOHEADER)
+    auds_strf = struct.pack("<HHIIHHH", 1, 1, 16000, 32000, 2, 16, 0)
+    vids_strh = struct.pack("<4s4sIHHIIIIIIiI4h", b"vids", b"DIB ",
+                            0, 0, 0, 0, 1, fps_n, 0, n, frame_size, -1, 0, 0, 0, w, h)
+    vids_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = mc._riff_list(
+        b"hdrl",
+        mc._riff_chunk(b"avih", avih)
+        + mc._riff_list(b"strl", mc._riff_chunk(b"strh", auds_strh)
+                        + mc._riff_chunk(b"strf", auds_strf))
+        + mc._riff_list(b"strl", mc._riff_chunk(b"strh", vids_strh)
+                        + mc._riff_chunk(b"strf", vids_strf)),
+    )
+
+    def dib(frame):
+        bgr = frame[::-1, :, ::-1]
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return padded.tobytes()
+
+    movi = mc._riff_list(
+        b"movi", b"".join(mc._riff_chunk(b"01db", dib(frames[i])) for i in range(n))
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec, fps = mc.decode_avi(avi)
+    assert fps == 10.0
+    assert np.array_equal(dec, frames)
+    # and a file with NO video stream fails loudly, not silently empty
+    body2 = b"AVI " + mc._riff_list(
+        b"hdrl",
+        mc._riff_chunk(b"avih", avih)
+        + mc._riff_list(b"strl", mc._riff_chunk(b"strh", auds_strh)
+                        + mc._riff_chunk(b"strf", auds_strf)),
+    )
+    with pytest.raises(ValueError, match="no 'vids' stream"):
+        mc.decode_avi(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_avi_top_down_dib_not_flipped():
+    """Negative biHeight = rows stored top-down: the decoder must skip
+    the bottom-up flip, not silently mirror every frame."""
+    frames = _rng(22).integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
+    avi = bytearray(mc.encode_avi(frames, fps=30))
+    # flip biHeight sign in the strf and rewrite each frame's rows
+    # top-down (encode wrote them bottom-up)
+    pos = avi.find(b"strf") + 8
+    (bh,) = struct.unpack_from("<i", avi, pos + 8)
+    struct.pack_into("<i", avi, pos + 8, -bh)
+    w = h = 4
+    stride = (w * 3 + 3) & ~3
+    idx = 0
+    while True:
+        idx = avi.find(b"00db", idx)
+        if idx < 0:
+            break
+        body = idx + 8
+        raw = bytes(avi[body : body + stride * h])
+        rows = [raw[r * stride : (r + 1) * stride] for r in range(h)]
+        avi[body : body + stride * h] = b"".join(reversed(rows))
+        idx = body
+    dec, _ = mc.decode_avi(bytes(avi))
+    assert np.array_equal(dec, frames)
