@@ -336,3 +336,73 @@ def test_trailing_range_sum_matches_bruteforce(spark, rows, window):
             if g == r["g"] and r["day"] - window <= d <= r["day"]
         )
         assert r["trailing_sum"] == float(want)
+
+
+# --- suffix-array-style substring dedup vs plain-Python oracle --------
+
+# tiny vocab + short docs force shingle collisions, boundary islands,
+# within-doc repeats, and fully-covered documents
+_doc_texts = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_dup_spans(texts: list[str], k: int) -> dict:
+    """Independent reference: dict doc_id -> list of (start, end,
+    n_shingles) maximal islands of duplicated k-gram starts."""
+    from collections import Counter
+
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in enumerate(texts)}
+    counts = Counter()
+    for t in toks.values():
+        for p in range(len(t) - k + 1):
+            counts[tuple(t[p : p + k])] += 1
+    spans = {}
+    for i, t in toks.items():
+        hits = [
+            p for p in range(len(t) - k + 1) if counts[tuple(t[p : p + k])] >= 2
+        ]
+        out = []
+        for p in hits:
+            if out and p - out[-1][-1][-1] <= k:
+                out[-1].append((p,))
+            else:
+                out.append([(p,)])
+        spans[i] = [
+            (grp[0][0], grp[-1][0] + k - 1, len(grp)) for grp in out
+        ]
+    return spans
+
+
+@given(texts=_doc_texts, k=st.integers(2, 4))
+@settings(**_SETTINGS)
+def test_substring_spans_and_rewrite_match_python_oracle(spark, texts, k):
+    from spark_streaming_kafka_spark.operators.repetition import (
+        repeated_substring_spans,
+        substring_dedup_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _py_dup_spans(texts, k)
+    got: dict = {}
+    for r in repeated_substring_spans(docs, k=k).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_shingles"])
+        )
+    for i in want:
+        assert sorted(got.get(i, [])) == sorted(want[i]), (i, texts, k)
+
+    # rewrite coherence: kept tokens = original minus covered indices
+    rw = {r["doc_id"]: r for r in substring_dedup_rewrite(docs, k=k).collect()}
+    for i, txt in enumerate(texts):
+        t = [x for x in txt.split(" ") if x]
+        covered = set()
+        for s, e, _ in want[i]:
+            covered.update(range(s, e + 1))
+        expect = " ".join(x for p, x in enumerate(t) if p not in covered)
+        assert rw[i]["clean_text"] == expect, (i, texts, k)
+        assert rw[i]["n_cut"] == len(covered)
