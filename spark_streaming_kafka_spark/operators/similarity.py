@@ -607,3 +607,81 @@ def centroid_similarity(
             ).alias("centroid_sim"),
         )
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    per_cluster: int = 32,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: str | list[tuple[int, list[float]]] = "sample",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the cluster-then-sample
+    curation move (SemDeDup-family, Abbas et al. 2023): K-cluster the
+    embedding space, then keep the ``per_cluster`` MOST CENTRAL members
+    of every cluster. The output is a budget-bounded subset whose
+    cluster coverage is uniform — a dominant topic can no longer crowd
+    the sample the way a global top-N by any score lets it.
+
+    Output: (id, cluster_id, centrality, rank) — rank 1 = the cluster's
+    prototype. Downstream mixes feed ``rank <= budget_c`` per cluster.
+
+    Plan shape (100 TB): assignment is the shuffle-free IVF mechanism
+    (broadcast codebook, one BLAS matmul per Arrow batch — see
+    :func:`ivf_assign`); the only shuffle is the per-cluster top-k
+    window over (id, cluster_id, centrality) rows — ~16 bytes/vector,
+    never the vectors themselves. ``codebook`` as in :func:`ivf_topk`:
+    "sample" (deterministic lowest-id vectors — SQL-reproducible, what
+    the oracle pins), "kmeans" (real distributed Lloyd's), or a
+    pre-trained list.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    if codebook == "sample":
+        centroids = [
+            (int(r[0]), list(r[1]))
+            for r in emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+    elif codebook == "kmeans":
+        centroids = kmeans_codebook(emb, n_centroids, vec_col)
+    else:
+        centroids = codebook
+    cids, sims = _codebook_sims(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            s = sims(pdf[vec_col])
+            arg = np.argmax(s, axis=1)  # first max = lowest cid on ties
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": cids[arg].astype("int32"),
+                    "centrality": s[np.arange(len(arg)), arg],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, schema=f"{id_col} long, cluster_id int, centrality double"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("centrality").desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cluster)
+        .select(
+            id_col,
+            "cluster_id",
+            F.round("centrality", 6).alias("centrality"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1483,6 +1483,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "diversity_sample_clusters",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_vec::DOUBLE[]), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_vec::DOUBLE[]), 6) DESC,
+                        c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, cid, cos FROM assign WHERE rn = 1)
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, cos AS centrality,
+           CAST(rk AS INTEGER) AS rank
+    FROM (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS rk
+          FROM cells)
+    WHERE rk <= 8
+    """,
+)
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (SemDeDup-family cluster-
+    then-sample): every vector assigned to its nearest of 16 codebook
+    centroids shuffle-free (broadcast codebook, per-batch BLAS), then
+    the 8 most-central members kept per cluster — a budget-bounded,
+    topic-balanced subset no global top-N can produce. Oracle recomputes
+    the identical deterministic codebook and assignment in SQL, so
+    cluster membership, centrality, and rank are all hash-pinned."""
+    return sim.diversity_sample(
+        _t(spark, sf_dir, "embeddings"), per_cluster=8, n_centroids=16
+    )
+
+
 # =====================================================================
 # Temporal joins / event-time windows (events table)
 # =====================================================================

@@ -421,3 +421,39 @@ def test_ivf_empty_query_set(spark, emb):
     out = sim.ivf_topk(shifted, n_queries=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_diversity_sample_balances_clusters(spark):
+    """Every cluster contributes at most per_cluster rows, ranks are
+    dense from 1, and the kept members are the most-central ones."""
+    import numpy as np
+
+    from spark_streaming_kafka_spark.operators.similarity import (
+        diversity_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    # two tight blobs far apart + noise; ids 0..1 are the blob seeds so
+    # the deterministic "sample" codebook (lowest ids) lands one
+    # centroid per blob
+    a = rng.normal(0, 0.05, (30, 8)) + np.array([5.0] + [0] * 7)
+    b = rng.normal(0, 0.05, (30, 8)) + np.array([0] * 7 + [5.0])
+    vecs = np.vstack([a[:1], b[:1], a[1:], b[1:]])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = diversity_sample(emb, per_cluster=5, n_centroids=2).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert set(by_cluster) == {0, 1}
+    for cid, rows in by_cluster.items():
+        assert len(rows) == 5  # balanced despite 30/30 blob sizes
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+        # kept = most central: every kept centrality >= any dropped one
+        assert min(r["centrality"] for r in rows) > 0.9
+    # blob membership respected: cluster 0 seeded by vec 0 holds a-blob
+    a_ids = {0} | set(range(2, 31))
+    got_c0 = {r["vec_id"] for r in by_cluster[0]}
+    assert got_c0 <= a_ids
