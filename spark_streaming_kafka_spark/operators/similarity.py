@@ -685,3 +685,92 @@ def diversity_sample(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: str | list[tuple[int, list[float]]] = "sample",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+    embedding space, then WITHIN each cluster prune every vector that
+    is near-duplicate (cosine ≥ ``threshold``) of a lower-id vector in
+    the same cluster. Output: (id, cluster_id, keep, pruned_by) —
+    ``pruned_by`` is the LOWEST dominating id (NULL when kept).
+
+    Dedup rule, deliberately relational: a vector is pruned when ANY
+    lower-id cluster-mate is within the threshold — not just a
+    *retained* one (the greedy leader variant needs an iterative
+    chain; this one is a single self-join, deterministic,
+    partition-invariant, and oracle-expressible without recursion). It
+    prunes a superset of leader-greedy along similarity chains — the
+    conservative direction for dedup.
+
+    Scale: the quadratic term is per-CLUSTER (Σ|cell|², the same bound
+    as the per-bucket ANN gemm) — with a balanced codebook, cells are
+    n/k-sized and the global cost is n²/k, tunable by ``n_centroids``;
+    pairwise scoring is one BLAS gram matrix per cell inside
+    ``applyInPandas``. Vectors shuffle ONCE (by cluster id).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    if codebook == "sample":
+        centroids = [
+            (int(r[0]), list(r[1]))
+            for r in emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+    elif codebook == "kmeans":
+        centroids = kmeans_codebook(emb, n_centroids, vec_col)
+    else:
+        centroids = codebook
+    cids, sims = _codebook_sims(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster_id"] = cids[
+                np.argmax(sims(pdf[vec_col]), axis=1)
+            ].astype("int32")
+            yield out
+
+    assigned = emb.mapInPandas(
+        assign,
+        schema=f"{id_col} long, {vec_col} array<float>, cluster_id int",
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sim_mat = np.round(mat @ mat.T, 6)
+        ids = pdf[id_col].to_numpy()
+        pruned_by = np.full(len(ids), np.nan)
+        for i in range(1, len(ids)):
+            dom = np.nonzero(sim_mat[i, :i] >= threshold)[0]
+            if len(dom):
+                pruned_by[i] = ids[dom[0]]  # ids ascending -> lowest id
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"],
+                "keep": np.isnan(pruned_by),
+                "pruned_by": pruned_by,
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(
+            prune,
+            schema=f"{id_col} long, cluster_id int, keep boolean, pruned_by long",
+        )
+    )

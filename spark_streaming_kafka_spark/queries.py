@@ -1520,6 +1520,45 @@ def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semdedup_prune",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_vec::DOUBLE[]), 6) DESC,
+                        c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    dom AS (
+      SELECT a.vec_id, min(b.vec_id) AS pruned_by
+      FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+      GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cluster_id,
+           (d.vec_id IS NULL) AS keep, d.pruned_by
+    FROM cells c LEFT JOIN dom d ON d.vec_id = c.vec_id
+    """,
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning: cluster shuffle-free (broadcast
+    codebook), then prune within-cluster near-duplicates (cosine ≥
+    0.45 to a lower-id cluster-mate — the single-join deterministic
+    rule, no recursion). The quadratic term is Σ|cell|² — n²/k with a
+    balanced codebook, the same bound as the per-bucket ANN gemm —
+    never corpus-wide. Oracle recomputes codebook, assignment, and the
+    domination join in SQL; keep flags and pruned_by ids hash-pinned."""
+    return sim.semdedup_prune(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_centroids=16
+    )
+
+
 # =====================================================================
 # Temporal joins / event-time windows (events table)
 # =====================================================================

@@ -457,3 +457,34 @@ def test_diversity_sample_balances_clusters(spark):
     a_ids = {0} | set(range(2, 31))
     got_c0 = {r["vec_id"] for r in by_cluster[0]}
     assert got_c0 <= a_ids
+
+
+def test_semdedup_prune_rules(spark):
+    """Within-cluster domination: lowest id survives, near-dups of it
+    prune with pruned_by pointing at the lowest dominator; cross-cluster
+    near-dups are NOT pruned (by design — the cluster is the blocking
+    unit)."""
+    import numpy as np
+
+    from spark_streaming_kafka_spark.operators.similarity import semdedup_prune
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.999, 0.001, 0.0, 0.0]   # near-dup of e1
+    e3 = [0.0, 1.0, 0.0, 0.0]       # distinct direction
+    rows = [
+        (0, e1), (1, e3),        # ids 0,1 are the codebook (2 centroids)
+        (2, e2),                 # near-dup of 0, same cluster
+        (3, e1),                 # exact dup of 0, same cluster
+        (4, [0.0, 0.999, 0.001, 0.0]),  # near-dup of centroid 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup_prune(
+        emb, threshold=0.95, n_centroids=2).collect()}
+    assert out[0]["keep"] and out[0]["pruned_by"] is None
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["pruned_by"] == 0
+    assert not out[3]["keep"] and out[3]["pruned_by"] == 0  # lowest dominator
+    assert not out[4]["keep"] and out[4]["pruned_by"] == 1
+    # cluster ids: 0-cluster holds {0,2,3}, 1-cluster holds {1,4}
+    assert {v["cluster_id"] for k, v in out.items() if k in (0, 2, 3)} == {0}
+    assert {v["cluster_id"] for k, v in out.items() if k in (1, 4)} == {1}
