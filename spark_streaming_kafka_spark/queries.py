@@ -1559,6 +1559,84 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank twin: one chained CTE per
+    iteration (recursive CTEs disallow the per-step aggregation, and
+    the operator's iteration count is fixed anyway, so the unroll IS
+    the semantics). Supplier node ids offset by 10M to disambiguate
+    the bipartite sides."""
+    sql = """
+    WITH dedges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s + 10000000 AS dst FROM dedges
+      UNION ALL
+      SELECT s + 10000000 AS src, c AS dst FROM dedges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT n.node,
+             (1 - {damping}) / (SELECT n FROM nn)
+             + {damping} * coalesce(sum(p.r / dg.d), 0) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      LEFT JOIN deg dg ON dg.node = e.src
+      GROUP BY n.node
+    )"""
+        prev = f"r{i}"
+    return sql + f"""
+    SELECT CASE WHEN node >= 10000000 THEN 'supplier' ELSE 'customer' END AS kind,
+           CAST(CASE WHEN node >= 10000000 THEN node - 10000000 ELSE node END AS BIGINT) AS entity_id,
+           round(r, 9) AS rank_score
+    FROM {prev}
+    """
+
+
+@register("pagerank_source_authority", _pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph source-authority scoring (the web-corpus curation
+    move: centrality in the reference graph ranks source quality):
+    5-iteration damped PageRank over the bipartite customer↔supplier
+    trade graph. The Spark loop is the CC discipline — edge⋈degree
+    persisted once, one join + one partial-agg sum per iteration,
+    lineage truncated per round; the oracle unrolls the identical five
+    steps as chained CTEs, so every node's mass is hash-pinned."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dedges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    offset = F.col("s") + F.lit(10_000_000)
+    edges = dedges.select(F.col("c").alias("src"), offset.alias("dst")).union(
+        dedges.select(offset.alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    node = F.col("node")
+    return pr.select(
+        F.when(node >= 10_000_000, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        F.when(node >= 10_000_000, node - 10_000_000)
+        .otherwise(node)
+        .cast("long")
+        .alias("entity_id"),
+        F.round("rank_score", 9).alias("rank_score"),
+    )
+
+
 # =====================================================================
 # Temporal joins / event-time windows (events table)
 # =====================================================================

@@ -488,3 +488,30 @@ def test_semdedup_prune_rules(spark):
     # cluster ids: 0-cluster holds {0,2,3}, 1-cluster holds {1,4}
     assert {v["cluster_id"] for k, v in out.items() if k in (0, 2, 3)} == {0}
     assert {v["cluster_id"] for k, v in out.items() if k in (1, 4)} == {1}
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Fixed-iteration PageRank against a plain-Python power iteration
+    on a small directed graph with a dangling node (mass leak must
+    match — no redistribution in either implementation)."""
+    from spark_streaming_kafka_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1)]  # 4 -> 1; 5 unseen
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_score"] for r in pagerank(df, iterations=5).collect()}
+
+    nodes = {1, 2, 3, 4}
+    n, d = len(nodes), 0.85
+    out = {u: [v for s, v in edges if s == u] for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(5):
+        nxt = {u: (1 - d) / n for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                nxt[v] += d * r[u] / len(out[u])
+        r = nxt
+    assert set(got) == nodes
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+    # the cycle members outrank the dangling source
+    assert got[1] > got[4] and got[2] > got[4]
