@@ -380,3 +380,49 @@ def mixture_sample(
         .filter(bucket < F.round(F.col("rate") * 1000000, 0).cast("long"))
         .select(id_col, "source", "n_tokens", "rate")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_postings: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token → posting-list inverted index, the IR primitive behind
+    corpus search, targeted decontamination lookups, and
+    which-documents-mention audits.
+
+    Output: (token, df, postings) where ``df`` is the document
+    frequency and ``postings`` the ``max_postings`` LOWEST doc ids
+    containing the token, comma-joined ascending (a STRING so external
+    verifiers hash it canonically). ``min_df`` drops hapax noise;
+    ``max_postings`` bounds the row width — the full list for hot
+    tokens (stopwords appear in every document) would otherwise make
+    single rows corpus-sized. Both caps are the standard posting-list
+    controls, and both are deterministic (lowest ids, not arbitrary).
+
+    Plan: explode to DISTINCT (token, doc) pairs map-side, then ONE
+    hash aggregation by token — collect_set is bounded per token only
+    after the sort+slice, so memory per key is the token's df until
+    the cap applies; for 100 TB, pre-cap with a per-partition
+    ``slice(sort_array(...))`` combine or bucket the hot tail by
+    ``min_df``/stopword filters upstream.
+    """
+    from ..operators.dedup import tokenize
+
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token"),
+    )
+    agg = pairs.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_set("doc_id")), 1, max_postings
+        ).alias("__post"),
+    )
+    return agg.filter(F.col("df") >= min_df).select(
+        "token",
+        "df",
+        F.array_join(F.col("__post").cast("array<string>"), ",").alias("postings"),
+    )

@@ -58,3 +58,50 @@ def session_stats(
         F.unix_millis(F.max(ts_col)).alias("end_ms"),
         (F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))).alias("duration_ms"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the FIRST completion time of
+    each step STRICTLY AFTER the previous step's completion (the
+    standard product-analytics funnel — a click before the first view
+    does not count as a converted click).
+
+    Output: one row per user who completed step 1, with
+    ``<step>_ms`` epoch-millis columns, NULL from the first
+    uncompleted step onward.
+
+    Plan: one partial-aggregated min per step over the user-keyed
+    shuffle (k-1 joins against the shrinking converted set — each
+    later stage's input is a SUBSET of the previous, so the join
+    frontier only narrows). No windows, no state; scales with the
+    per-step hash aggregates.
+    """
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("__t"),
+        F.unix_millis(F.col(ts_col)).alias("__ms"),
+    )
+    first = steps[0]
+    result = (
+        base.filter(F.col("__t") == first)
+        .groupBy("user_id")
+        .agg(F.min("__ms").alias(f"{first}_ms"))
+    )
+    prev = f"{first}_ms"
+    for s in steps[1:]:
+        nxt = (
+            base.filter(F.col("__t") == s)
+            .join(result.select("user_id", prev), "user_id")
+            .filter(F.col("__ms") > F.col(prev))
+            .groupBy("user_id")
+            .agg(F.min("__ms").alias(f"{s}_ms"))
+        )
+        result = result.join(nxt, "user_id", "left")
+        prev = f"{s}_ms"
+    return result

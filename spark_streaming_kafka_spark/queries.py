@@ -1601,6 +1601,66 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """
 
 
+@register(
+    "funnel_conversion",
+    """
+    WITH b AS (
+      SELECT user_id, event_type AS t, epoch_ms(ts) AS ms FROM events
+    ),
+    s0 AS (SELECT user_id, min(ms) AS view_ms FROM b WHERE t = 'view' GROUP BY user_id),
+    s1 AS (
+      SELECT b.user_id, min(b.ms) AS click_ms
+      FROM b JOIN s0 USING (user_id)
+      WHERE b.t = 'click' AND b.ms > s0.view_ms GROUP BY b.user_id
+    ),
+    s2 AS (
+      SELECT b.user_id, min(b.ms) AS purchase_ms
+      FROM b JOIN s1 USING (user_id)
+      WHERE b.t = 'purchase' AND b.ms > s1.click_ms GROUP BY b.user_id
+    )
+    SELECT s0.user_id, s0.view_ms, s1.click_ms, s2.purchase_ms
+    FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    each step's first completion STRICTLY AFTER the previous step's —
+    the standard product-analytics funnel. One partial-agg min per
+    step over user-keyed shuffles; each stage joins only the shrinking
+    converted set (operators/sessionize.py::funnel_stages)."""
+    from .operators.sessionize import funnel_stages
+
+    return funnel_stages(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest({_sql_tokens()}) AS token
+      FROM documents
+    ),
+    agg AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+             list_sort(list(doc_id))[1:100] AS post
+      FROM pairs GROUP BY token
+    )
+    SELECT token, df,
+           array_to_string(list_transform(post, x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM agg WHERE df >= 2
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → posting-list inverted index (IR primitive for corpus
+    search / targeted decontamination): document frequency + the 100
+    lowest containing doc ids per token (deterministic caps). One
+    distinct-pair explode, one token-keyed hash aggregation
+    (operators/curation.py::inverted_index)."""
+    from .operators.curation import inverted_index
+
+    return inverted_index(_docs_fan(spark, sf_dir), min_df=2, max_postings=100)
+
+
 @register("pagerank_source_authority", _pagerank_sql())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph source-authority scoring (the web-corpus curation

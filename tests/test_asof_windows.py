@@ -291,3 +291,45 @@ def test_band_join_zero_tolerance_rejected(spark):
     ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
     with _pytest.raises(ValueError, match="positive"):
         band_join(df, df, "k", tolerance_ms=0)
+
+
+def test_funnel_strict_ordering(spark):
+    """A click BEFORE the first view must not convert; equal timestamps
+    do not advance a stage (strictly-after semantics); users missing
+    the first step are absent entirely."""
+    import datetime as dt
+
+    from spark_streaming_kafka_spark.operators.sessionize import funnel_stages
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1: full funnel in order
+        (1, "view", ts(1)), (1, "click", ts(2)), (1, "purchase", ts(3)),
+        # u2: click precedes the first view -> click stage NULL
+        (2, "click", ts(1)), (2, "view", ts(2)), (2, "purchase", ts(3)),
+        # u3: click at the SAME instant as view -> not strictly after
+        (3, "view", ts(5)), (3, "click", ts(5)),
+        # u4: never viewed -> absent
+        (4, "click", ts(1)), (4, "purchase", ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: r for r in funnel_stages(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["click_ms"] and out[1]["purchase_ms"]
+    assert out[2]["click_ms"] is None and out[2]["purchase_ms"] is None
+    assert out[3]["click_ms"] is None
+
+
+def test_inverted_index_caps_and_order(spark):
+    from spark_streaming_kafka_spark.operators.curation import inverted_index
+
+    rows = [(i, "common " + ("rare" if i == 7 else "x")) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r for r in inverted_index(
+        docs, min_df=2, max_postings=3).collect()}
+    assert "rare" not in out                      # df=1 < min_df
+    assert out["common"]["df"] == 10              # df is UNCAPPED
+    assert out["common"]["postings"] == "0,1,2"   # lowest ids, capped
+    assert out["x"]["df"] == 9 and out["x"]["postings"] == "0,1,2"
