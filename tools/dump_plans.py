@@ -82,6 +82,19 @@ SHOWCASE = {
     "bigram_lm_top_next": "Bigram expansion is scan-side array algebra; the "
     "(head,next) hash agg is partial-combined and every later operator "
     "(window, filters) works on the vocabulary-sized counts table.",
+    "semdedup_prune": "Assignment is shuffle-free mapInPandas (broadcast "
+    "codebook); the pairwise term runs per-CLUSTER inside "
+    "FlatMapGroupsInPandas after ONE shuffle by cluster id — no corpus "
+    "self-join anywhere in the plan.",
+    "diversity_sample_clusters": "Shuffle-free codebook assignment, then a "
+    "single window exchange over (id, cluster, centrality) rows — vectors "
+    "themselves never shuffle.",
+    "funnel_conversion": "One partial-aggregated min per funnel step; each "
+    "later stage joins only the SHRINKING converted set (user-keyed hash "
+    "joins, no windows, no state).",
+    "pagerank_source_authority": "The iterative-loop discipline: the plan "
+    "shows only the FINAL iteration reading persisted ranks (InMemoryRelation) "
+    "— lineage truncated per round, one join + one partial-agg sum.",
 }
 
 
