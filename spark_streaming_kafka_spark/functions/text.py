@@ -316,3 +316,33 @@ def bigram_conditional_topk(
             "rank",
         )
     )
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits) of the character distribution of a
+    document — the quality signal that catches mojibake, base64 blobs,
+    and single-character spam that ratio features miss (near-zero
+    entropy = repetitive junk; near-log2(alphabet) with a huge alphabet
+    = binary noise).
+
+    Pure per-row column algebra, no shuffle and no Python: the distinct
+    characters of the row (bounded by the alphabet, not the document)
+    drive a ``transform``+``filter`` occurrence count — O(distinct ×
+    len) comparisons per row, all inside whole-stage codegen — and one
+    ``aggregate`` folds −Σ p·log2(p). Empty/NULL text yields 0.0.
+    Deterministic: the fold order is first-occurrence order, and the
+    DuckDB oracle's group-sum order differs only at the ~1e-16
+    float-associativity level, absorbed by the registry's rounding.
+    """
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    n = F.size(chars).cast("double")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc - (c / n) * F.log2(c / n),
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))

@@ -44,6 +44,8 @@ __all__ = [
     "bloom_might_contain",
     "mixture_rates",
     "mixture_sample",
+    "inverted_index",
+    "chunk_documents",
 ]
 
 
@@ -425,4 +427,64 @@ def inverted_index(
         "token",
         "df",
         F.array_join(F.col("__post").cast("array<string>"), ",").alias("postings"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    overlapping ``chunk_tokens``-token windows advancing by ``stride``
+    tokens — the context-window packing precursor (embed a long doc,
+    index passages for retrieval, fit a training sequence length).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text). Chunk starts are
+    ``0, stride, 2·stride, …`` while ``start < max(n - overlap, 1)``
+    where ``overlap = chunk_tokens - stride``: the last window is the
+    FIRST one that reaches the document's end (coverage is guaranteed —
+    ``s_max + chunk_tokens >= n`` — and no redundant tail window that a
+    prior window already fully covers is emitted, so chunks never
+    duplicate content windows). Zero-token documents produce zero
+    chunks. Deterministic: pure per-row arithmetic, no RNG, invariant
+    to partitioning.
+
+    Plan: pure column algebra over one corpus scan — tokenize, build
+    the start sequence with ``sequence()``, explode, ``slice`` +
+    ``array_join`` per chunk. No shuffle at all; at 100 TB this is a
+    map-only stage whose output partitioning inherits the scan's.
+    """
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    from ..operators.dedup import tokenize
+
+    overlap = chunk_tokens - stride
+    toks = tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    # inclusive upper bound for starts: max(n - overlap - 1, 0)
+    last_start = F.greatest(
+        F.col("__n") - F.lit(overlap + 1), F.lit(0)
+    )
+    exploded = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), last_start, F.lit(stride))
+        ).alias("__start"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("__start") / F.lit(stride)).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )

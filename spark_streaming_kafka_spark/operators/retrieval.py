@@ -1,0 +1,207 @@
+"""Corpus-retrieval analytics: BM25 ranking and PMI collocation mining.
+
+The two IR statistics a training-data pipeline runs on top of its
+inverted index (operators/curation.py::inverted_index):
+
+- :func:`bm25_topk` — Okapi BM25 top-k document ranking for a fixed
+  query-term set. The workhorse behind "which documents should seed
+  this domain mixture" and targeted-decontamination lookups that need
+  *ranked* matches, not just posting lists.
+- :func:`pmi_collocations` — pointwise-mutual-information collocation
+  mining over consecutive-token bigrams: the standard corpus-analysis
+  pass for multi-word-expression discovery (tokenizer-merge
+  candidates, boilerplate phrase detection).
+
+Both are deterministic (unique tiebreakers, no RNG) so each has a
+value-exact DuckDB oracle in queries.py. Shapes at scale:
+
+- BM25 filters the exploded token stream to the query terms BEFORE any
+  shuffle, so the aggregation shuffle is bounded by the matching
+  postings, never the corpus; document length rides the explode as a
+  per-row constant (no separate doclen join); the term-level df/idf
+  table is |terms|-sized and broadcast; corpus-level scalars (N,
+  avgdl) are ONE bounded two-value collect.
+- PMI's bigram extraction is per-row array algebra; both count tables
+  are vocabulary-bounded hash aggregations with map-side combine (the
+  corpus text itself shuffles nowhere), and the unigram side is
+  broadcast into the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokenize, word_shingles
+from .relational import top_k
+
+__all__ = ["bm25_topk", "pmi_collocations"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k ranking of ``docs`` for ``query_terms``.
+
+    Output: (doc_id, n_terms_hit, bm25) — the ``k`` highest-scoring
+    documents, score summed over the query terms with the
+    Lucene-variant idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive, so stopword-heavy queries can't produce negative
+    contributions). Deterministic: ties broken by ascending doc id.
+
+    Plan: one corpus scan computes tokens + document length, explodes,
+    and filters to the query terms BEFORE the (doc, term) count
+    shuffle — the shuffle carries only matching postings. df per term
+    is an aggregation OF that bounded table; N and avgdl are one
+    two-scalar collect (bounded by design, like the other corpus-level
+    constants in this package). The per-term idf join is broadcast
+    (|terms| rows).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.size(toks).cast("double").alias("__dl"),
+    )
+    # Corpus constants: N docs and average document length. Two scalars,
+    # one job — bounded collect, never row data.
+    n_docs, avgdl = base.agg(
+        F.count(F.lit(1)), F.avg("__dl")
+    ).first()
+    if not n_docs:
+        raise ValueError("empty corpus")
+    term_arr = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        base.select(
+            "doc_id", "__dl", F.explode("__toks").alias("term")
+        )
+        .filter(F.array_contains(term_arr, F.col("term")))
+        .groupBy("doc_id", "term", "__dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = df_tbl.select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(float(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (F.col("tf") + norm)
+            ).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(F.sum("__s"), 6).alias("bm25"),
+        )
+    )
+    return top_k(
+        scored, [F.col("bm25").desc(), F.col("doc_id").asc()], k
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k consecutive-token collocations by pointwise mutual
+    information: ``pmi = log2(p(ab) / (p(a) p(b)))`` with token-level
+    probabilities (an LM statistic sees every occurrence, not document
+    frequency — same convention as the bigram LM in functions/text.py).
+
+    Output: (left_word, right_word, pair_count, pmi) for the ``k``
+    highest-PMI pairs with ``pair_count >= min_count`` (the standard
+    noise floor: a hapax pair has spuriously maximal PMI).
+    Deterministic: ties broken by (left_word, right_word) ascending.
+
+    Plan: bigram extraction is per-row array algebra over ONE corpus
+    scan; the pair counts are one vocab²-bounded hash aggregation with
+    map-side combine; unigram counts aggregate the same exploded
+    stream and are broadcast into the join (vocab-bounded); the two
+    corpus totals are one bounded two-scalar collect. The corpus text
+    shuffles nowhere.
+    """
+    bg = docs.select(
+        F.explode(
+            word_shingles(F.col(text_col), 2, distinct=False)
+        ).alias("bg")
+    ).select(
+        F.split(F.col("bg"), " ").getItem(0).alias("left_word"),
+        F.split(F.col("bg"), " ").getItem(1).alias("right_word"),
+    )
+    pair_counts = bg.groupBy("left_word", "right_word").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    uni = (
+        docs.select(
+            F.explode(tokenize(F.col(text_col))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    # Corpus totals: token count and bigram count. Derived from the two
+    # (already vocabulary-bounded) count tables, one two-scalar job.
+    totals = uni.agg(F.sum("c_w")).crossJoin(
+        pair_counts.agg(F.sum("c_ab"))
+    )
+    n_tokens, n_bigrams = [float(v) for v in totals.first()]
+    left = uni.select(
+        F.col("w").alias("left_word"), F.col("c_w").alias("c_a")
+    )
+    right = uni.select(
+        F.col("w").alias("right_word"), F.col("c_w").alias("c_b")
+    )
+    scored = (
+        pair_counts.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(left), "left_word")
+        .join(F.broadcast(right), "right_word")
+        .select(
+            "left_word",
+            "right_word",
+            F.col("c_ab").cast("long").alias("pair_count"),
+            F.round(
+                F.log2(
+                    (F.col("c_ab") / F.lit(n_bigrams))
+                    / (
+                        (F.col("c_a") / F.lit(n_tokens))
+                        * (F.col("c_b") / F.lit(n_tokens))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return top_k(
+        scored,
+        [
+            F.col("pmi").desc(),
+            F.col("left_word").asc(),
+            F.col("right_word").asc(),
+        ],
+        k,
+    )

@@ -104,3 +104,44 @@ def group_mode(
         F.col("__m.v").alias(alias),
         F.col("__m.c").alias(f"{alias}_count"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    part_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    window: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag rows whose value is more
+    than ``threshold`` sample standard deviations from the mean of the
+    PRECEDING ``window`` rows in their partition — the streaming-metrics
+    outlier pass (spike detection over per-type event values) expressed
+    as one window aggregation.
+
+    Appends ``zscore`` (rounded to 6, NULL while the trailing window
+    has <2 rows or zero variance) and ``is_anomaly``. The frame is
+    ``ROWS BETWEEN window PRECEDING AND 1 PRECEDING`` — strictly
+    historical, so a spike can't mask itself by inflating its own
+    baseline. Pass a total order (unique tiebreaker) in ``order_cols``
+    for deterministic results under any partitioning.
+
+    Plan: ONE shuffle on the partition keys, then a single running
+    window pass computes both moments; everything stays JVM-side. At
+    100 TB the shuffle is the per-key event history — the same key
+    layout every per-entity window query in this package uses.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col)
+    mu = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    z = F.round((v - mu) / sd, 6)
+    zscore = F.when(sd > 0, z)
+    return df.withColumn("zscore", zscore).withColumn(
+        "is_anomaly", F.coalesce(F.abs(zscore) > F.lit(threshold), F.lit(False))
+    )

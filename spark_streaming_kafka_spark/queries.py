@@ -3533,6 +3533,226 @@ def _lateral_dot_note() -> None:
     in list_transform over correlated subqueries."""
 
 
+# =====================================================================
+# Retrieval / corpus-statistics / chunking / anomaly surface
+# =====================================================================
+
+@register(
+    "bm25_topk_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+    ),
+    consts AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      WHERE term IN ('hash', 'join', 'dup')
+      GROUP BY doc_id, term
+    ),
+    dft AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    idf AS (
+      SELECT term, ln(1 + (c.n - df + 0.5) / (df + 0.5)) AS idf
+      FROM dft CROSS JOIN consts c
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_terms_hit,
+             round(sum(idf.idf * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))),
+                   6) AS bm25
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN consts c
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms_hit, bm25
+    FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a fixed query ('hash join dup' — 'dup' is the
+    corpus's one rare term, so idf actually discriminates): the ranked
+    flavor of the inverted-index lookup. One corpus scan, query-term
+    filter BEFORE the posting shuffle, |terms|-row broadcast idf join,
+    TakeOrderedAndProject cut (operators/retrieval.py::bm25_topk)."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs_fan(spark, sf_dir), ["hash", "join", "dup"], k=15
+    )
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT toks[i] AS left_word, toks[i+1] AS right_word
+      FROM tok, unnest(range(1, greatest(len(toks), 1))) r(i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (
+      SELECT left_word, right_word, count(*) AS c_ab
+      FROM bg GROUP BY left_word, right_word
+    ),
+    uni AS (
+      SELECT w, count(*) AS c_w
+      FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+    ),
+    tots AS (
+      SELECT (SELECT CAST(sum(c_w) AS DOUBLE) FROM uni) AS t,
+             (SELECT CAST(sum(c_ab) AS DOUBLE) FROM c2) AS bt
+    )
+    SELECT c2.left_word, c2.right_word,
+           CAST(c2.c_ab AS BIGINT) AS pair_count,
+           round(log2((c2.c_ab / tots.bt)
+                      / ((a.c_w / tots.t) * (b.c_w / tots.t))), 6) AS pmi
+    FROM c2
+    JOIN uni a ON a.w = c2.left_word
+    JOIN uni b ON b.w = c2.right_word
+    CROSS JOIN tots
+    WHERE c2.c_ab >= 5
+    ORDER BY pmi DESC, c2.left_word ASC, c2.right_word ASC
+    LIMIT 40
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-40 consecutive-token pairs by PMI with a
+    count≥5 noise floor — multi-word-expression discovery for tokenizer
+    merges / boilerplate phrases. Vocab²-bounded pair counts,
+    broadcast unigram joins, one bounded two-scalar collect; the corpus
+    text shuffles nowhere (operators/retrieval.py::pmi_collocations)."""
+    from .operators.retrieval import pmi_collocations
+
+    return pmi_collocations(_docs_fan(spark, sf_dir), min_count=5, k=40)
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    nn AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 9, 0), 24)) AS s
+      FROM nn
+    )
+    SELECT doc_id,
+           s // 24 AS chunk_idx,
+           CAST(len(toks[s+1 : least(s+32, n)]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[s+1 : least(s+32, n)], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token windows, stride 24): the
+    context-window prep step for embedding / retrieval indexing. Pure
+    per-row column algebra — tokenize, sequence of starts, explode,
+    slice — a map-only stage with NO shuffle; starts stop at the first
+    window reaching the document end, so no redundant tail chunk
+    (operators/curation.py::chunk_documents)."""
+    from .operators.curation import chunk_documents
+
+    return chunk_documents(
+        _docs_fan(spark, sf_dir), chunk_tokens=32, stride=24
+    )
+
+
+@register(
+    "char_entropy_scores",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+      FROM ch GROUP BY doc_id, c
+    ),
+    tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+    ent AS (
+      SELECT cnt.doc_id,
+             -sum((cnt.k / tot.n) * log2(cnt.k / tot.n)) AS e
+      FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+    )
+    SELECT d.doc_id, round(coalesce(ent.e, 0.0), 6) AS char_entropy
+    FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    quality gate that catches mojibake / base64 blobs / repetition spam
+    that ratio features miss. Pure per-row column algebra inside
+    whole-stage codegen (distinct-char occurrence counts + one
+    aggregate fold); NO shuffle, NO Python — the oracle's
+    explode-group-join plan is exactly the shape this implementation
+    avoids at 100 TB (functions/text.py::char_entropy)."""
+    from .functions.text import char_entropy
+
+    return _docs_fan(spark, sf_dir).select(
+        "doc_id", F.round(char_entropy(F.col("text")), 6).alias("char_entropy")
+    )
+
+
+@register(
+    "event_anomaly_zscore",
+    """
+    SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+           round(value, 4) AS value, zscore,
+           coalesce(abs(zscore) > 3.0, FALSE) AS is_anomaly
+    FROM (
+      SELECT event_id, event_type, ts, value,
+             CASE WHEN stddev_samp(value) OVER w > 0 THEN
+               round((value - avg(value) OVER w)
+                     / (stddev_samp(value) OVER w), 6)
+             END AS zscore
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score spike detection over per-type event values: a
+    20-row strictly-historical baseline (a spike can't inflate its own
+    window), |z| > 3 flags. ONE shuffle on event_type, one running
+    window pass for both moments, all JVM-side; the threshold compares
+    the ROUNDED z on both engines so float-library noise can't flip a
+    flag (operators/windows.py::rolling_zscore)."""
+    from .operators.windows import rolling_zscore
+
+    flagged = rolling_zscore(
+        _t(spark, sf_dir, "events"),
+        "value",
+        ["event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        window=20,
+        threshold=3.0,
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+        "zscore",
+        "is_anomaly",
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
