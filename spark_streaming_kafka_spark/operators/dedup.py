@@ -1027,3 +1027,74 @@ def _bucketed_near_dup_pairs(
         .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-duplicate pairs:
+    ``C(inner → outer) = |S(inner) ∩ S(outer)| / |S(inner)| ≥
+    threshold`` over distinct k-word shingles — the subset/superset
+    detector Jaccard structurally misses (a document pasted inside a
+    10× larger one has J ≈ 0.1 but containment ≈ 1.0; Broder's
+    original resemblance/containment pair).
+
+    Output: (inner_id, outer_id, containment) — ordered pairs, both
+    directions of each intersecting pair evaluated, inner ≠ outer.
+
+    ``max_df`` drops shingles appearing in more than ``max_df``
+    documents BEFORE both the pairing join and the per-document size
+    denominator, so the score is exact containment over the
+    discriminative-shingle universe (self-consistent numerator and
+    denominator; a stop-shingle can neither create candidate pairs nor
+    dilute the ratio). Mandatory at scale — same inverted-index blowup
+    argument as :func:`ngram_jaccard_pairs` — and the registry query
+    pins this gated form, not the unbounded one.
+
+    Plan: one shingle explode, optional df gate (shingle-keyed
+    aggregation + join), one inverted-index self-join keyed on shingle
+    (Σ df² pair rows, never corpus²), one pair-keyed count, two
+    size joins. Documents with zero surviving shingles produce no rows.
+    """
+    sh = doc_shingles(docs, text_col, id_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = common.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("inner_id"),
+        F.col("id_b").alias("outer_id"),
+        (F.col("n_common") / F.col("n_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("inner_id"),
+        F.col("id_a").alias("outer_id"),
+        (F.col("n_common") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.union(rev).filter(F.col("containment") >= threshold)

@@ -95,3 +95,40 @@ def ntile_buckets(
     order = [F.col(value).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(group).orderBy(*order)
     return df.withColumn(out, F.ntile(n).over(w))
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group: str,
+    value: str,
+    factor: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier detection per group: rows whose value falls
+    outside ``[Q1 − factor·IQR, Q3 + factor·IQR]`` of their group — the
+    robust-statistics screen (medians and quartiles, not moments, so a
+    single extreme value can't drag its own fence) behind metric-feed
+    validation and label-noise triage.
+
+    Appends ``fence_lo`` / ``fence_hi`` (rounded to 6 — the fences are
+    compared ROUNDED so an engine-parity 1e-16 interpolation wobble
+    can't flip a boundary row) and keeps only the outliers.
+
+    Plan: ONE exact-percentile hash aggregation produces the
+    |groups|-row fence table, broadcast into the scan-side filter — the
+    fact side never shuffles. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (t-digest) if the per-group sort memory of
+    exact percentiles bites; the fence semantics are unchanged.
+    """
+    q = df.groupBy(group).agg(
+        F.expr(f"percentile({value}, array(0.25, 0.75))").alias("__q")
+    )
+    q1, q3 = F.col("__q").getItem(0), F.col("__q").getItem(1)
+    fences = q.select(
+        group,
+        F.round(q1 - F.lit(factor) * (q3 - q1), 6).alias("fence_lo"),
+        F.round(q3 + F.lit(factor) * (q3 - q1), 6).alias("fence_hi"),
+    )
+    v = F.col(value)
+    return df.join(F.broadcast(fences), group).filter(
+        (v < F.col("fence_lo")) | (v > F.col("fence_hi"))
+    )

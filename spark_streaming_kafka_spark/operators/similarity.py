@@ -28,6 +28,7 @@ remains for ad-hoc wide-vector scoring.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -773,4 +774,66 @@ def semdedup_prune(
             prune,
             schema=f"{id_col} long, cluster_id int, keep boolean, pruned_by long",
         )
+    )
+
+
+def nearest_centroid_confusion(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid label check: assign every vector to the label
+    whose centroid it is most cosine-similar to, then cross-tabulate
+    against the stored label — the embedding-space confusion matrix
+    that screens a labeled corpus for systematic mislabeling before
+    training (off-diagonal mass = label noise or merged clusters).
+
+    Output: (true_label, pred_label, n, avg_cos) — n vectors with that
+    (stored, assigned) pair and their mean best-cosine. Deterministic:
+    cosines are rounded to 9 before the arg-max so engine float noise
+    can't flip an assignment, ties break toward the SMALLEST label.
+
+    Plan: centroids come from :func:`label_centroids` (dimension-sized
+    shuffle) and are collected to the driver — |labels|×dim doubles,
+    the same bounded-collect contract as the IVF codebook — then
+    scored per row as LITERAL zip_with dot products inside codegen
+    with an in-row struct arg-max: NO join, NO explode, NO per-vector
+    shuffle. The only data shuffle is the |labels|²-bounded confusion
+    aggregation. At 100 TB the vector column never moves.
+    """
+    from ..functions.vectors import l2_norm
+
+    cents = sorted(
+        (r["label"], list(r["centroid"]))
+        for r in label_centroids(vectors, label_col, vec_col).collect()
+    )
+    if not cents:
+        raise ValueError("no centroids: empty input")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vn = l2_norm(v)
+    scored = []
+    for lab, cvec in cents:
+        lits = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = math.sqrt(sum(x * x for x in cvec))
+        dot = F.aggregate(
+            F.zip_with(v, lits, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(
+            F.struct(
+                F.round(dot / (vn * F.lit(cn)), 9).alias("cos"),
+                F.lit(-lab).alias("neg_label"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    assigned = vectors.select(
+        F.col(label_col).alias("true_label"),
+        (-best["neg_label"]).alias("pred_label"),
+        best["cos"].alias("__cos"),
+    )
+    return assigned.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("__cos"), 6).alias("avg_cos"),
     )

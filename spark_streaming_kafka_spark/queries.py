@@ -3753,6 +3753,166 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM tok, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+    ),
+    rare AS (
+      SELECT shingle FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+      ) WHERE df <= 20
+    ),
+    shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM shf a JOIN shf b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT id_a, id_b, c, sa.n AS na, sb.n AS nb
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    directed AS (
+      SELECT id_a AS inner_id, id_b AS outer_id, c * 1.0 / na AS cont
+      FROM joined
+      UNION ALL
+      SELECT id_b, id_a, c * 1.0 / nb FROM joined
+    )
+    SELECT inner_id, outer_id, round(cont, 6) AS containment
+    FROM directed WHERE cont >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs (Broder's
+    containment): |S(inner) ∩ S(outer)| / |S(inner)| ≥ 0.6 — the
+    subset/superset detector Jaccard misses. Registered in the
+    SCALE-GATED form (df ≤ 20 discriminative-shingle universe, applied
+    identically to numerator and denominator on both engines), so the
+    driver pins the plan that survives 100 TB, not the unbounded one
+    (operators/dedup.py::containment_pairs)."""
+    out = dd.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_df=20
+    )
+    return out.select(
+        "inner_id", "outer_id", F.round("containment", 6).alias("containment")
+    )
+
+
+@register(
+    "iqr_outlier_events",
+    """
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25)
+                   - 1.5 * (quantile_cont(value, 0.75)
+                            - quantile_cont(value, 0.25)), 6)
+               AS fence_lo,
+             round(quantile_cont(value, 0.75)
+                   + 1.5 * (quantile_cont(value, 0.75)
+                            - quantile_cont(value, 0.25)), 6)
+               AS fence_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4) AS value,
+           q.fence_lo, q.fence_hi
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value < q.fence_lo OR e.value > q.fence_hi
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5×IQR) outlier rows per event type — the
+    robust-statistics data-validation screen (quartiles, not moments,
+    so one extreme value can't drag its own fence). One
+    exact-percentile aggregation builds a |groups|-row fence table
+    broadcast into a scan-side filter (fences compared ROUNDED on both
+    engines so interpolation float noise can't flip a boundary row);
+    the fact table never shuffles
+    (operators/percentile.py::iqr_outliers)."""
+    from .operators.percentile import iqr_outliers
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = iqr_outliers(events, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "fence_lo",
+        "fence_hi",
+    )
+
+
+@register(
+    "nearest_centroid_confusion",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clab, i, avg(val) AS cval FROM ex GROUP BY label, i
+    ),
+    cnorm AS (
+      SELECT clab, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY clab
+    ),
+    vnorm AS (
+      SELECT vec_id, sqrt(sum(val * val)) AS vn FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT ex.vec_id, cent.clab, sum(ex.val * cent.cval) AS dp
+      FROM ex JOIN cent ON ex.i = cent.i
+      GROUP BY ex.vec_id, cent.clab
+    ),
+    cosd AS (
+      SELECT d.vec_id, d.clab, round(d.dp / (v.vn * c.cn), 9) AS cos
+      FROM dots d
+      JOIN vnorm v USING (vec_id)
+      JOIN cnorm c USING (clab)
+    ),
+    best AS (
+      SELECT vec_id, clab AS pred_label, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, clab ASC) AS rn
+      FROM cosd
+    )
+    SELECT e.label AS true_label, b.pred_label,
+           CAST(count(*) AS BIGINT) AS n, round(avg(b.cos), 6) AS avg_cos
+    FROM embeddings e
+    JOIN best b ON b.vec_id = e.vec_id AND b.rn = 1
+    GROUP BY e.label, b.pred_label
+    """,
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label QC: assign every vector to its most
+    cosine-similar label centroid and cross-tabulate against the stored
+    label (off-diagonal mass = label noise / merged clusters). The
+    centroid table is a bounded |labels|×dim collect (IVF-codebook
+    contract); scoring is literal zip_with dot products + an in-row
+    struct arg-max — no join, no explode, the vector column never
+    shuffles; cosines rounded to 9 before the arg-max on BOTH engines
+    so float noise can't flip an assignment
+    (operators/similarity.py::nearest_centroid_confusion)."""
+    from .operators.similarity import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

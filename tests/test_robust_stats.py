@@ -1,0 +1,121 @@
+"""Unit tests for containment dedup, Tukey-fence outliers, and
+nearest-centroid label QC — hand-computed oracles (DuckDB value oracles
+live in queries.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_spark.operators.dedup import containment_pairs
+from spark_streaming_kafka_spark.operators.percentile import iqr_outliers
+from spark_streaming_kafka_spark.operators.similarity import (
+    nearest_centroid_confusion,
+)
+
+
+# --- containment --------------------------------------------------------
+
+def test_containment_detects_subset_doc(spark):
+    # B = 10 tokens (8 distinct 3-shingles), A = its first 5 tokens
+    # (3 shingles, all present in B): C(A→B)=1.0, C(B→A)=3/8.
+    b_text = " ".join(f"t{i}" for i in range(10))
+    a_text = " ".join(f"t{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # lower threshold exposes the reverse direction at 3/8
+    got_all = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in containment_pairs(df, threshold=0.3).collect()
+    }
+    assert got_all[(2, 1)] == pytest.approx(3 / 8)
+
+
+def test_containment_max_df_drops_stop_shingles(spark):
+    # the same shingle in 4 docs; max_df=3 removes it everywhere, so no
+    # pairs survive (each doc's only shingle was the stop shingle).
+    rows = [(i, "a b c") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(df, threshold=0.1, max_df=3).count() == 0
+    # without the gate the 4 docs are mutual exact containments
+    assert containment_pairs(df, threshold=0.99).count() == 12
+
+
+# --- IQR outliers -------------------------------------------------------
+
+def test_iqr_flags_only_the_planted_outlier(spark):
+    # values 1..9: Q1=3, Q3=7, IQR=4 → fences [-3, 13]; 100 flagged
+    rows = [(i, "g", float(v)) for i, v in enumerate(range(1, 10))]
+    rows.append((99, "g", 100.0))
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = iqr_outliers(df, "g", "v").collect()
+    assert [(r.id, r.v) for r in got] == [(99, 100.0)]
+    # fences include the outlier in their own computation: Q1/Q3 of the
+    # 10 values (1..9,100) → Q3 = 7.75, IQR = 4.5, hi = 14.5
+    assert got[0].fence_hi == pytest.approx(14.5)
+    assert got[0].fence_lo == pytest.approx(-3.5)
+
+
+def test_iqr_groups_are_independent(spark):
+    rows = [(i, "a", float(i % 5)) for i in range(20)]
+    rows += [(100 + i, "b", 1000.0 + (i % 3)) for i in range(20)]
+    rows.append((999, "b", 0.0))  # outlier only relative to group b
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = iqr_outliers(df, "g", "v").collect()
+    assert [(r.id, r.g) for r in got] == [(999, "b")]
+
+
+# --- nearest centroid ---------------------------------------------------
+
+def test_nearest_centroid_confusion_counts(spark):
+    # two orthogonal clusters; one vector carries the wrong label
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (5, [1.0, 0.05], 1),  # mislabeled: sits in cluster 0
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in nearest_centroid_confusion(df).collect()
+    }
+    assert got[(0, 0)] == 2
+    assert got[(1, 1)] == 2
+    assert got[(1, 0)] == 1
+    assert (0, 1) not in got
+
+
+def test_nearest_centroid_tie_prefers_smallest_label(spark):
+    # identical centroids for labels 3 and 7: every vector ties; the
+    # deterministic tiebreak assigns the smaller label
+    rows = [
+        (1, [1.0, 0.0], 3),
+        (2, [1.0, 0.0], 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in nearest_centroid_confusion(df).collect()
+    }
+    assert got == {(3, 3): 1, (7, 3): 1}
+
+
+def test_nearest_centroid_empty_raises(spark):
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError):
+        nearest_centroid_confusion(df)
