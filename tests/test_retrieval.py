@@ -220,3 +220,24 @@ def test_rolling_zscore_zero_variance_is_null_not_flagged(spark):
     ).collect()
     assert all(r.zscore is None for r in rows)
     assert not any(r.is_anomaly for r in rows)
+
+
+def test_with_char_entropy_matches_expression_form(spark):
+    from spark_streaming_kafka_spark.functions.text import with_char_entropy
+
+    texts = ["hello world", "aaaa", "", None, "the quick brown fox"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    expr_form = {
+        r.doc_id: r.e
+        for r in df.select(
+            "doc_id", F.round(char_entropy(F.col("text")), 6).alias("e")
+        ).collect()
+    }
+    staged = {
+        r.doc_id: r.char_entropy for r in with_char_entropy(df).collect()
+    }
+    assert staged == expr_form
+    # intermediate columns are dropped; originals preserved
+    assert with_char_entropy(df).columns == ["doc_id", "text", "char_entropy"]
