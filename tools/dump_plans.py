@@ -95,6 +95,27 @@ SHOWCASE = {
     "pagerank_source_authority": "The iterative-loop discipline: the plan "
     "shows only the FINAL iteration reading persisted ranks (InMemoryRelation) "
     "— lineage truncated per round, one join + one partial-agg sum.",
+    "bm25_topk_docs": "Query-term filter runs map-side BEFORE the (doc, "
+    "term) count shuffle — the exchange carries matching postings only; "
+    "idf is a |terms|-row BroadcastHashJoin and the final cut is "
+    "TakeOrderedAndProject (no global sort).",
+    "chunk_documents": "Map-only: tokenize → Generate(explode(sequence)) → "
+    "slice/array_join, zero hash exchanges — chunking is pure per-row "
+    "array algebra at any corpus size.",
+    "char_entropy_scores": "One Project, zero exchanges, zero Python: the "
+    "entropy fold runs inside whole-stage codegen, with chars/length/"
+    "counts STAGED as separate projections so no lambda subtree is "
+    "re-evaluated (3.4× measured win over the single-expression form).",
+    "nearest_centroid_confusion": "Centroids are plan LITERALS (bounded "
+    "|labels|×dim collect): scoring is zip_with dot products + an in-row "
+    "struct arg-max — no join, no explode; the only exchange is the "
+    "|labels|²-bounded confusion aggregate.",
+    "iqr_outlier_events": "One exact-percentile aggregation builds the "
+    "|groups|-row fence table, BroadcastExchange into a scan-side filter "
+    "— the fact table has no exchange at all.",
+    "event_anomaly_zscore": "ONE hash exchange on event_type; both rolling "
+    "moments evaluate in a single Window stage over the strictly "
+    "historical frame.",
 }
 
 
