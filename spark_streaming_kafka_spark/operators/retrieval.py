@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .dedup import tokenize, word_shingles
 from .relational import top_k
 
-__all__ = ["bm25_topk", "pmi_collocations"]
+__all__ = ["bm25_topk", "pmi_collocations", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -204,4 +204,54 @@ def pmi_collocations(
             F.col("right_word").asc(),
         ],
         k,
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 20,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists:
+    ``score(d) = Σ_lists 1 / (c + rank_list(d))`` — the standard
+    score-free hybrid-search combiner (Cormack et al.'s RRF; ``c = 60``
+    is the canonical damping constant), used to merge a lexical BM25
+    ranking with a vector-similarity ranking without calibrating their
+    incomparable score scales.
+
+    Each input needs (``id_col``, ``rank_col``) with rank 1-based;
+    items absent from a list simply contribute nothing (no imputation).
+    Output: (id, n_sources, rrf_score) — the ``k`` best, ties broken by
+    ascending id.
+
+    Plan: the inputs are top-k lists — already bounded — so the fusion
+    is a union + one tiny hash aggregation + TakeOrderedAndProject;
+    nothing here touches the corpus. Determinism: 1/(c+rank) over
+    identical integer ranks is bit-identical on any engine, and the
+    two-term sum is order-insensitive (IEEE addition is commutative).
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias("__rank")
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("__rank"))).alias(
+            "__s"
+        ),
+    )
+    top = top_k(
+        scored, [F.col("__s").desc(), F.col(id_col).asc()], k
+    )
+    return top.select(
+        id_col, "n_sources", F.round("__s", 9).alias("rrf_score")
     )

@@ -3537,10 +3537,11 @@ def _lateral_dot_note() -> None:
 # Retrieval / corpus-statistics / chunking / anomaly surface
 # =====================================================================
 
-@register(
-    "bm25_topk_docs",
-    f"""
-    WITH base AS (
+#: Okapi-BM25 CTE chain over `documents` for the fixed query
+#: 'hash join dup' — shared by the bm25 ranking query and the RRF
+#: hybrid-search query (which reuses the ranking as its lexical leg).
+_BM25_CTES = f"""
+    base AS (
       SELECT doc_id, {_sql_tokens()} AS toks FROM documents
     ),
     dl AS (
@@ -3573,7 +3574,13 @@ def _lateral_dot_note() -> None:
       JOIN dl USING (doc_id)
       CROSS JOIN consts c
       GROUP BY tf.doc_id
-    )
+    )"""
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+    WITH {_BM25_CTES}
     SELECT doc_id, n_terms_hit, bm25
     FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 15
     """,
@@ -3913,6 +3920,84 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import nearest_centroid_confusion
 
     return nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+      FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    qex AS (
+      SELECT CAST(unnest(q) AS DOUBLE) AS qval,
+             generate_subscripts(q, 1) AS i
+      FROM qv
+    ),
+    qn AS (SELECT sqrt(sum(qval * qval)) AS qnorm FROM qex),
+    vex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    vn AS (SELECT vec_id, sqrt(sum(val * val)) AS vnorm FROM vex GROUP BY vec_id),
+    dots AS (
+      SELECT vex.vec_id, sum(vex.val * qex.qval) AS dp
+      FROM vex JOIN qex USING (i) GROUP BY vex.vec_id
+    ),
+    cosd AS (
+      SELECT d.vec_id,
+             round(d.dp / (v.vnorm * q.qnorm), 6) AS cos
+      FROM dots d JOIN vn v USING (vec_id) CROSS JOIN qn q
+    ),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+      FROM cosd ORDER BY cos DESC, vec_id ASC LIMIT 50
+    ),
+    fused AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sources,
+             sum(1.0 / (60.0 + r)) AS s
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_sources, round(s, 9) AS rrf_score
+    FROM fused ORDER BY s DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (c=60) of a lexical
+    BM25 top-50 ('hash join dup') and a vector cosine top-50 (query =
+    vec 0's embedding, self-match included via a sentinel query id) —
+    the standard two-leg search stack with no score calibration. Both
+    legs rank on engine-ROUNDED scores with unique tiebreaks, so the
+    integer ranks — and therefore the fused scores — are
+    engine-exact; fusion itself is a union + one tiny aggregation +
+    TakeOrderedAndProject over already-bounded lists
+    (operators/retrieval.py::rrf_fuse)."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    docs = _docs_fan(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["hash", "join", "dup"], k=50)
+    wlex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(wlex).alias("rank")
+    )
+    # query vector: vec 0's embedding under a sentinel id so the
+    # scorer's self-match exclusion never fires (bounded 1-row collect)
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qdf = spark.createDataFrame(
+        [(-1, list(q0[0]))], "query_id long, embedding array<float>"
+    )
+    vec = cosine_topk(emb, qdf, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex_ranked, vec], k=20, c=60)
 
 
 # ---------------------------------------------------------------------

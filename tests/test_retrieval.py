@@ -241,3 +241,42 @@ def test_with_char_entropy_matches_expression_form(spark):
     assert staged == expr_form
     # intermediate columns are dropped; originals preserved
     assert with_char_entropy(df).columns == ["doc_id", "text", "char_entropy"]
+
+
+# --- RRF fusion ---------------------------------------------------------
+
+def test_rrf_fuse_hand_computed(spark):
+    from spark_streaming_kafka_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id long, rank long"
+    )
+    got = {
+        r.doc_id: (r.n_sources, r.rrf_score)
+        for r in rrf_fuse([a, b], k=10, c=60).collect()
+    }
+    assert got == {
+        10: (2, round(1 / 61 + 1 / 62, 9)),
+        20: (2, round(1 / 62 + 1 / 61, 9)),
+        30: (1, round(1 / 63, 9)),
+        40: (1, round(1 / 63, 9)),
+    }
+
+
+def test_rrf_fuse_order_and_ties(spark):
+    from spark_streaming_kafka_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (7, 1)], "doc_id long, rank long")
+    rows = rrf_fuse([a], k=10).collect()
+    # equal scores: ascending-id tiebreak
+    assert [r.doc_id for r in rows] == [5, 7]
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    from spark_streaming_kafka_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
