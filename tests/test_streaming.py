@@ -364,3 +364,68 @@ def test_falling_behind_scoped_per_query():
     assert not falling_behind(rec, 1000, window=4, query_id="fast")
     # pooled (legacy) call would have been masked by the fast stream
     assert not falling_behind(rec, 1000, window=4)
+
+
+def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
+    """Streaming twin parity: the stateful trailing-window z-score must
+    reproduce the batch rolling_zscore flags across TWO micro-batches
+    (state carries the window over the batch boundary)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.operators.windows import rolling_zscore
+    from spark_streaming_kafka_spark.streaming.anomaly import (
+        streaming_rolling_zscore,
+    )
+
+    rows = [
+        (i, "m", 1000 + i, 10.0 + (0.5 if i % 2 else -0.5))
+        for i in range(21)
+    ]
+    rows.append((21, "m", 1021, 100.0))  # spike lands in micro-batch 2
+    schema = "event_id long, event_type string, ts_ms long, value double"
+    full = spark.createDataFrame(rows, schema)
+
+    expected = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in rolling_zscore(
+            full,
+            "value",
+            ["event_type"],
+            [F.col("ts_ms").asc(), F.col("event_id").asc()],
+            window=20,
+            threshold=3.0,
+        ).collect()
+    }
+
+    data_dir = tmp_path / "anomaly_in"
+    spark.createDataFrame(rows[:15], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir))
+    _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    spark.createDataFrame(rows[15:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir))
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+    spark.sql("DROP TABLE IF EXISTS anomaly_out")
+    q = (
+        streaming_rolling_zscore(stream)
+        .writeStream.format("memory")
+        .queryName("anomaly_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "anomaly_ckpt"))
+        .start()
+    )
+    try:
+        got_rows = _await_rows(spark, "anomaly_out", len(rows))
+        got = {r.event_id: (r.zscore, r.is_anomaly) for r in got_rows}
+        assert got == expected
+        assert got[21][1] is True  # the spike is flagged in batch 2
+    finally:
+        q.stop()
