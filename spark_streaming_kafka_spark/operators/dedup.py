@@ -1070,7 +1070,11 @@ def containment_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sh = sh.persist()
+    # NOT persisted although three consumers read it: the exploded
+    # shingle table is k× corpus-sized, so materializing it at 100 TB
+    # costs more than recomputing the scan-bound tokenize+explode
+    # (AQE exchange reuse dedups the shuffles where plans allow) —
+    # same call as ngram_jaccard_pairs above.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

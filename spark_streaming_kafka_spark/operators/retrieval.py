@@ -78,6 +78,8 @@ def bm25_topk(
     ).first()
     if not n_docs:
         raise ValueError("empty corpus")
+    if not avgdl:
+        raise ValueError("corpus has no tokens (avgdl = 0)")
     term_arr = F.array(*[F.lit(t) for t in query_terms])
     tf = (
         base.select(
@@ -169,7 +171,10 @@ def pmi_collocations(
     totals = uni.agg(F.sum("c_w")).crossJoin(
         pair_counts.agg(F.sum("c_ab"))
     )
-    n_tokens, n_bigrams = [float(v) for v in totals.first()]
+    raw_tokens, raw_bigrams = totals.first()
+    if not raw_bigrams:
+        raise ValueError("no bigrams: every document has < 2 tokens")
+    n_tokens, n_bigrams = float(raw_tokens), float(raw_bigrams)
     left = uni.select(
         F.col("w").alias("left_word"), F.col("c_w").alias("c_a")
     )

@@ -804,9 +804,10 @@ def nearest_centroid_confusion(
     """
     from ..functions.vectors import l2_norm
 
+    labeled = vectors.filter(F.col(label_col).isNotNull())
     cents = sorted(
         (r["label"], list(r["centroid"]))
-        for r in label_centroids(vectors, label_col, vec_col).collect()
+        for r in label_centroids(labeled, label_col, vec_col).collect()
     )
     if not cents:
         raise ValueError("no centroids: empty input")
