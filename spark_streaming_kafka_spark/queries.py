@@ -4000,6 +4000,70 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex_ranked, vec], k=20, c=60)
 
 
+@register(
+    "expectation_report_events",
+    """
+    SELECT rule, violations, violations = 0 AS passed FROM (
+      SELECT 'not_null:props' AS rule,
+             CAST(count(*) FILTER (props IS NULL) AS BIGINT) AS violations
+      FROM events
+      UNION ALL
+      SELECT 'in_range:value[0.0,5.0]',
+             CAST(count(*) FILTER (value IS NOT NULL
+                   AND value NOT BETWEEN 0 AND 5) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'accepted_values:event_type',
+             CAST(count(*) FILTER (event_type IS NOT NULL
+                   AND event_type NOT IN ('view','click','purchase'))
+                  AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'unique:user_id,ts',
+             CAST(count(*) - count(DISTINCT (user_id, ts)) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'foreign_key:user_id',
+             CAST(count(*) FILTER (user_id IS NOT NULL
+                   AND user_id NOT IN (SELECT c_custkey FROM customer))
+                  AS BIGINT)
+      FROM events
+    ) t
+    """,
+)
+def q_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation gate (the dbt-test / expectation-suite
+    surface): five rules over events — null props, value range [0,5],
+    event-type enum, (user_id, ts) uniqueness, user_id→customer
+    referential integrity — reported as (rule, violations, passed).
+    ALL row-level rules evaluate inside ONE aggregation over a single
+    scan (conditional counts + a distinct count are just more agg
+    expressions); the FK rule is one broadcast-anti-join count; output
+    is |rules| rows (operators/expectations.py)."""
+    from .operators.expectations import (
+        accepted_values,
+        expectation_report,
+        foreign_key,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    return expectation_report(
+        spark,
+        events,
+        [
+            not_null("props"),
+            in_range("value", 0.0, 5.0),
+            accepted_values("event_type", ["view", "click", "purchase"]),
+            unique(["user_id", "ts"]),
+            foreign_key("user_id", customer, "c_custkey"),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
