@@ -881,6 +881,208 @@ def blocked_edit_distance_pairs(
     )
 
 
+def _seg_len(l2: Column, i: int, k: int) -> Column:
+    """Length of segment ``i`` (0-based) when a length-``l2`` string is
+    split into ``k`` even segments, later segments taking the remainder:
+    ``floor(l2/k) + (1 if i >= k - l2%k else 0)``. Pure column algebra so
+    the whole signature stage stays inside codegen."""
+    base = F.floor(l2 / k)
+    return (base + (F.lit(i) >= (k - l2 % k)).cast("long")).cast("int")
+
+
+def _seg_start(l2: Column, i: int, k: int) -> Column:
+    """0-based start of segment ``i`` = Σ lengths of segments < i."""
+    s = F.lit(0).cast("int")
+    for j in range(i):
+        s = s + _seg_len(l2, j, k)
+    return s
+
+
+def passjoin_edit_distance_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """Scalable fuzzy matching: pairs (id_a < id_b) within ``max_dist``
+    Levenshtein edits, same results as
+    :func:`blocked_edit_distance_pairs` but with candidate generation
+    that stays LINEAR in the corpus even when the blocking key is coarse
+    (few distinct blocks ⇒ block sizes grow with the data and
+    Σ|block|² becomes corpus-quadratic — exactly what happens blocking
+    part names by brand).
+
+    The candidate stage is the segment-signature scheme of Pass-Join
+    (Li, Deng, Feng — VLDB 2011, public literature): split every
+    *indexed* string into ``d+1`` even segments; if edit(a, b) ≤ d then
+    by pigeonhole at least one of b's segments survives untouched and
+    appears EXACTLY in a, shifted by at most d positions. So:
+
+    - index side emits its ``d+1`` segments keyed by
+      (block, length, seg_idx, seg_text) — d+1 short rows per string;
+    - probe side emits, for each hypothetical partner length
+      l2 ∈ [len−d, len+d], each segment slot of a length-l2 string, and
+      each shift δ ∈ [−d, d], the window substring at that position —
+      ≤ (2d+1)²·(d+1) short rows per string (45 for d=2), constant
+      per row, never pairwise;
+    - equi-join on the signature key yields a candidate superset
+      (provably complete), then ONE codegen'd ``levenshtein`` verifies
+      each distinct candidate pair exactly.
+
+    Shuffle carries (id, ~d+1-char segment) rows — O(n·d²) bytes — and
+    the verify join touches only true-candidate pairs, so the plan
+    survives a 1000× corpus where the brand-blocked self-join would
+    quadratically melt. Same exact output (and same DuckDB oracle) as
+    the all-pairs form; zero-length segments (strings shorter than d+1)
+    degrade gracefully to coarser candidates, never to missed pairs.
+
+    Density caveat (measured): candidate volume tracks the data's true
+    near-dup density. On the synthetic part names (5 words from a ~90
+    word vocabulary) ~2.75% of ALL in-block pairs are genuine ≤2-edit
+    matches, so the output itself — and any complete method — is
+    Θ(n²) there; on realistically diverse strings candidates collapse
+    to ~the true pairs (see tests/test_dedup.py candidate-volume
+    assertion: 3000 diverse strings → blocked compares 4.5M pairs,
+    Pass-Join verifies <1% of that).
+
+    ``candidates_only=True`` returns the distinct candidate pair set
+    (block, id_a, id_b) BEFORE the levenshtein verify — the bucket-
+    sizing diagnostic: its count over a sample is the knob for judging
+    whether the signature key is selective enough on your data.
+    """
+    k = max_dist + 1
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.length(text_col).cast("int").alias("__len"),
+    )
+
+    # Stage the per-length segment geometry (lengths + starts) as named
+    # projections: each struct below then references plain columns, so
+    # the plan stays a handful of small codegen'd Projects instead of a
+    # 45-way re-inlined expression tree that overflows janino's 64 KB
+    # method limit (same CollapseProject discipline as
+    # functions/text.py::with_char_entropy).
+    def _with_geometry(d: DataFrame, offsets: list[int]) -> DataFrame:
+        cols = {}
+        for off in offsets:
+            cols[f"__l2_{off}"] = (F.col("__len") + off).cast("int")
+        d = d.withColumns(cols)
+        cols = {}
+        for off in offsets:
+            l2 = F.col(f"__l2_{off}")
+            for i in range(k):
+                cols[f"__sl_{off}_{i}"] = _seg_len(l2, i, k)
+        d = d.withColumns(cols)
+        cols = {}
+        for off in offsets:
+            for i in range(k):
+                s = F.lit(0).cast("int")
+                for j in range(i):
+                    s = s + F.col(f"__sl_{off}_{j}")
+                cols[f"__st_{off}_{i}"] = s
+        return d.withColumns(cols)
+
+    # Index side: the d+1 segments of each string (offset 0 geometry).
+    seg_structs = [
+        F.struct(
+            F.col("__l2_0").alias("l2"),
+            F.lit(i).alias("seg"),
+            F.col("__s")
+            .substr(F.col(f"__st_0_{i}") + 1, F.col(f"__sl_0_{i}"))
+            .alias("piece"),
+        )
+        for i in range(k)
+    ]
+    index = (
+        _with_geometry(base, [0])
+        .select(
+            "block",
+            F.col("__id").alias("id_b"),
+            F.col("__s").alias("__sb"),
+            F.explode(F.array(*seg_structs)).alias("sig"),
+        )
+        .select("block", "id_b", "__sb", "sig.l2", "sig.seg", "sig.piece")
+    )
+
+    # Probe side: window substrings for every partner length / segment /
+    # shift. Invalid windows (start < 0 or past the end) are dropped —
+    # they could only have matched a wrong-length segment anyway.
+    def _probe_structs(offsets: list[int]) -> list[Column]:
+        structs = []
+        for off in offsets:
+            l2 = F.col(f"__l2_{off}")
+            for i in range(k):
+                start = F.col(f"__st_{off}_{i}")
+                slen = F.col(f"__sl_{off}_{i}")
+                for delta in range(-max_dist, max_dist + 1):
+                    pos = start + delta
+                    ok = (l2 >= 0) & (pos >= 0) & (pos + slen <= F.col("__len"))
+                    structs.append(
+                        F.struct(
+                            F.when(ok, l2).alias("l2"),
+                            F.lit(i).alias("seg"),
+                            F.col("__s")
+                            .substr(pos + 1, F.greatest(slen, F.lit(0)))
+                            .alias("piece"),
+                        )
+                    )
+        return structs
+
+    def _probe_for(offsets: list[int]) -> DataFrame:
+        return (
+            _with_geometry(base, offsets)
+            .select(
+                "block",
+                F.col("__id").alias("id_a"),
+                F.col("__s").alias("__sa"),
+                F.explode(F.array(*_probe_structs(offsets))).alias("sig"),
+            )
+            .filter(F.col("sig.l2").isNotNull())
+            .select("block", "id_a", "__sa", "sig.l2", "sig.seg", "sig.piece")
+        )
+
+    all_offsets = list(range(-max_dist, max_dist + 1))
+    if len(all_offsets) * k * len(all_offsets) <= 100:
+        probe = _probe_for(all_offsets)
+    else:
+        # Large max_dist: one Generate per offset (unioned) keeps each
+        # generated codegen method under janino's 64 KB limit, at the
+        # cost of 2d+1 scans of the (narrow) base — the verify join
+        # still dominates.
+        probe = _probe_for([all_offsets[0]])
+        for off in all_offsets[1:]:
+            probe = probe.unionByName(_probe_for([off]))
+    probe = probe.dropDuplicates(["block", "id_a", "l2", "seg", "piece"])
+
+    cand = (
+        probe.join(index, ["block", "l2", "seg", "piece"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "block",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("__sa"))
+            .otherwise(F.col("__sb"))
+            .alias("__sa"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("__sb"))
+            .otherwise(F.col("__sa"))
+            .alias("__sb"),
+        )
+        .dropDuplicates(["block", "id_a", "id_b"])
+    )
+    if candidates_only:
+        return cand.select("block", "id_a", "id_b")
+    return (
+        cand.withColumn("edit_dist", F.levenshtein(F.col("__sa"), F.col("__sb")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("block", "id_a", "id_b", "edit_dist")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

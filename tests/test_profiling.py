@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from spark_streaming_kafka_spark.operators.dedup import (
     blocked_edit_distance_pairs,
+    passjoin_edit_distance_pairs,
 )
 from spark_streaming_kafka_spark.operators.profiling import (
     column_profile,
@@ -135,3 +136,82 @@ def test_blocked_edit_distance_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_passjoin_matches_blocked_on_known_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            ("B1", 1, "red widget"),
+            ("B1", 2, "red widgets"),   # dist 1 to id 1
+            ("B1", 3, "blue bolt"),     # far from both
+            ("B2", 4, "red widget"),    # same text, different block: no pair
+        ],
+        "brand string, pk long, name string",
+    )
+    out = passjoin_edit_distance_pairs(df, "brand", "name", "pk", max_dist=2)
+    rows = [(r["id_a"], r["id_b"], r["edit_dist"]) for r in out.collect()]
+    assert rows == [(1, 2, 1)]
+
+
+def test_passjoin_parity_with_blocked_under_mutations(spark):
+    """Exhaustive parity vs the all-pairs ground truth on adversarial
+    strings: empties, sub-segment-length strings, single-char edits,
+    insertions/deletions that shift every downstream segment."""
+    import random
+
+    rng = random.Random(7)
+    words = ["red", "blue", "teal", "mint", "rose", "plum", "grey", "aqua"]
+    rows = []
+    for i in range(300):
+        name = " ".join(rng.choice(words) for _ in range(rng.randint(0, 4)))
+        r = rng.random()
+        if name and r < 0.3:  # substitution
+            p = rng.randrange(len(name))
+            name = name[:p] + rng.choice("abcxyz ") + name[p + 1 :]
+        elif name and r < 0.5:  # deletion (shifts all later segments)
+            p = rng.randrange(len(name))
+            name = name[:p] + name[p + 1 :]
+        elif r < 0.6:  # insertion
+            p = rng.randrange(len(name) + 1)
+            name = name[:p] + rng.choice("qz ") + name[p:]
+        rows.append((i, rng.choice(["b1", "b2"]), name))
+    df = spark.createDataFrame(rows, "pk int, brand string, name string")
+    for d in (1, 2, 3):
+        ref = set(
+            map(tuple, blocked_edit_distance_pairs(df, "brand", "name", "pk", d).collect())
+        )
+        new = set(
+            map(tuple, passjoin_edit_distance_pairs(df, "brand", "name", "pk", d).collect())
+        )
+        assert new == ref, f"d={d}: missing={ref - new} extra={new - ref}"
+
+
+def test_passjoin_candidates_subquadratic_on_diverse_strings(spark):
+    """The scale claim, pinned structurally rather than by timing: on
+    realistically DIVERSE strings (random 30-char, one coarse block) the
+    all-pairs form must compare n(n-1)/2 pairs while Pass-Join's
+    signature join verifies under 1% of that — only strings sharing an
+    exact segment window ever meet. (On low-diversity data where true
+    near-dups are a constant fraction of all pairs, every complete
+    method is output-bound; see the operator docstring.)"""
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    n = 2000
+    texts = ["".join(rng.choice(alpha) for _ in range(30)) for _ in range(n)]
+    # plant 10 near-dup pairs (1 substitution each)
+    rows = [("B", i, t) for i, t in enumerate(texts)]
+    for j in range(10):
+        t = texts[j]
+        rows.append(("B", n + j, t[:5] + "#" + t[6:]))
+    df = spark.createDataFrame(rows, "brand string, pk int, name string")
+    n_total = df.count()
+    all_pairs = n_total * (n_total - 1) // 2
+    cand = passjoin_edit_distance_pairs(
+        df, "brand", "name", "pk", max_dist=2, candidates_only=True
+    ).count()
+    assert cand < all_pairs * 0.01, f"{cand} candidates vs {all_pairs} all-pairs"
+    found = passjoin_edit_distance_pairs(df, "brand", "name", "pk", max_dist=2)
+    got = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    assert {(j, n + j) for j in range(10)} <= got
