@@ -4069,6 +4069,100 @@ def q_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "drift_report_docs",
+    """
+    WITH ref AS (
+      SELECT * FROM documents
+      WHERE CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) < 10
+    ),
+    cur AS (
+      SELECT * FROM documents
+      WHERE CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) >= 10
+    ),
+    rc AS (
+      SELECT feature, bin, count(*) AS ref_n FROM (
+        SELECT 'lang' AS feature, COALESCE(lang, '∅') AS bin FROM ref
+        UNION ALL
+        SELECT 'n_chars_bin',
+               COALESCE(CAST(CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS VARCHAR), '∅')
+        FROM ref
+        UNION ALL
+        SELECT 'n_words_bin',
+               COALESCE(CAST(CAST(FLOOR(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS VARCHAR), '∅')
+        FROM ref
+      ) GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT feature, bin, count(*) AS cur_n FROM (
+        SELECT 'lang' AS feature, COALESCE(lang, '∅') AS bin FROM cur
+        UNION ALL
+        SELECT 'n_chars_bin',
+               COALESCE(CAST(CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS VARCHAR), '∅')
+        FROM cur
+        UNION ALL
+        SELECT 'n_words_bin',
+               COALESCE(CAST(CAST(FLOOR(len(string_split(text, ' ')) / 10.0) AS BIGINT) AS VARCHAR), '∅')
+        FROM cur
+      ) GROUP BY 1, 2
+    ),
+    aligned AS (
+      SELECT COALESCE(rc.feature, cc.feature) AS feature,
+             COALESCE(rc.bin, cc.bin) AS bin,
+             COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+      FROM rc FULL OUTER JOIN cc
+        ON rc.feature = cc.feature AND rc.bin = cc.bin
+    ),
+    tot AS (
+      SELECT feature, SUM(ref_n) AS ref_rows, SUM(cur_n) AS cur_rows
+      FROM aligned GROUP BY 1
+    )
+    SELECT a.feature,
+           CAST(t.ref_rows AS BIGINT) AS ref_rows,
+           CAST(t.cur_rows AS BIGINT) AS cur_rows,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(
+             (GREATEST(ref_n / t.ref_rows, 1e-6) - GREATEST(cur_n / t.cur_rows, 1e-6))
+             * LN(GREATEST(ref_n / t.ref_rows, 1e-6) / GREATEST(cur_n / t.cur_rows, 1e-6))
+           ), 6) AS psi
+    FROM aligned a JOIN tot t ON a.feature = t.feature
+    GROUP BY a.feature, t.ref_rows, t.cur_rows
+    ORDER BY a.feature
+    """,
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift gate: PSI per feature (language mix, char-length
+    bins, word-count bins) between the first ten sources (reference
+    corpus) and the last ten (incoming batch). One scan per snapshot —
+    all bin assignments are row-local expressions exploded into a
+    single partial-agg groupBy; the align/total/PSI stages are
+    bin-count-sized (operators/drift.py::psi_report). The DuckDB oracle
+    recomputes the identical binning, eps floor, and rounding, so the
+    hash pins values, not just shape."""
+    from .operators.drift import psi_report
+
+    docs = _t(spark, sf_dir, "documents")
+    src_idx = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    ref = docs.filter(src_idx < 10)
+    cur = docs.filter(src_idx >= 10)
+    features = [
+        ("lang", F.col("lang")),
+        ("n_chars_bin", F.floor(F.col("n_chars") / 50.0).cast("long")),
+        (
+            "n_words_bin",
+            F.floor(F.size(F.split(F.col("text"), " ")) / 10.0).cast("long"),
+        ),
+    ]
+    out = psi_report(ref, cur, features)
+    return out.select(
+        "feature",
+        F.col("ref_rows").cast("long").alias("ref_rows"),
+        F.col("cur_rows").cast("long").alias("cur_rows"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        "psi",
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
