@@ -311,18 +311,8 @@ def minhash_lsh_pairs(
     removes LSH false positives; false-negative rate is the standard
     1-(1-s^r)^b curve (≈0 for s near 1).
     """
-    rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
-    band_structs = ", ".join(
-        "named_struct('band', {i}, 'key', concat_ws('_', {items}))".format(
-            i=i,
-            items=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
-        )
-        for i in range(bands)
-    )
-    bands_df = sigs.select(
-        "doc_id", F.expr(f"explode(array({band_structs}))").alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    bands_df = _band_keys(sigs, "doc_id", num_perm, bands)
     cand = _bucket_pairs(bands_df, ["band", "key"], "doc_id").distinct()
     if not verify:
         return cand
@@ -348,6 +338,98 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _band_keys(sigs: DataFrame, id_alias: str, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, key) rows — the LSH banding of a signature table,
+    shared by the self-pair and manifest paths. Key format matches
+    :func:`minhash_lsh_pairs` ('_'-joined band slice values)."""
+    rows = num_perm // bands
+    band_structs = ", ".join(
+        "named_struct('band', {i}, 'key', concat_ws('_', {items}))".format(
+            i=i,
+            items=", ".join(f"signature[{i * rows + j}]" for j in range(rows)),
+        )
+        for i in range(bands)
+    )
+    return sigs.select(
+        F.col("doc_id").alias(id_alias),
+        F.expr(f"explode(array({band_structs}))").alias("bk"),
+    ).select(id_alias, "bk.band", "bk.key")
+
+
+def minhash_manifest_matches(
+    new_docs: DataFrame,
+    manifest_sigs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup gate: match an incoming batch against a
+    PERSISTED signature manifest — the production shape where the
+    historical corpus is never re-read, let alone re-shingled.
+
+    ``manifest_sigs`` is (doc_id, signature array<long>) as produced by
+    :func:`minhash_signatures` on prior batches (num_perm·8 B per doc —
+    a billion-doc history is ~256 GB parquet, scan-pruned by the band
+    join; contrast a text manifest at 100 TB). Pipeline per ingest:
+    sign the new batch (one Arrow pass over NEW docs only), band both
+    sides, equi-join band keys for candidates, then estimate Jaccard
+    from the signatures themselves (matching-component fraction — the
+    unbiased MinHash estimator) and keep each new doc's best match
+    ≥ ``threshold`` (ties to the smallest historical id, so results are
+    deterministic and oracle-checkable).
+
+    Estimated — not exact — Jaccard is the point: verification against
+    text would need the historical bodies. The estimator's error is
+    O(1/√num_perm) (±0.088 at 32 perms); raise num_perm where the gate
+    feeds deletion rather than review.
+
+    Scale: the new batch is small by assumption (it rides broadcast
+    joins); the manifest contributes one band-key pass (narrow rows)
+    and one signature join-back against band-matched candidates — AQE
+    plans the latter as broadcast when the candidate set is small.
+    After the gate, append ``minhash_signatures(fresh)`` to the
+    manifest — the loop that keeps ingest N+1 as cheap as ingest N
+    (same incremental discipline as curation.manifest_dedup's
+    hash-only manifest; cites reference spark_kafka.py:96-118 batch
+    re-scan pattern this replaces).
+    """
+    new_sigs = minhash_signatures(new_docs, num_perm, k, text_col, id_col)
+    nb = _band_keys(new_sigs, "doc_id", num_perm, bands)
+    ob = _band_keys(manifest_sigs, "dup_of", num_perm, bands)
+    cand = (
+        nb.join(ob, ["band", "key"])
+        .select("doc_id", "dup_of")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )
+    sa = new_sigs.select("doc_id", F.col("signature").alias("__sa"))
+    sb = manifest_sigs.select(
+        F.col("doc_id").alias("dup_of"), F.col("signature").alias("__sb")
+    )
+    # cand is bounded (band-collision pairs), broadcast it into the new
+    # side; the manifest join-back is left to AQE (same discipline as
+    # minhash_lsh_pairs' verify joins).
+    est = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(num_perm))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("dup_of").asc()
+    )
+    return (
+        sa.join(F.broadcast(cand), "doc_id")
+        .join(sb, "dup_of")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "dup_of", "est_jaccard")
     )
 
 

@@ -4163,6 +4163,80 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_manifest_sql(num_perm: int = 32, bands: int = 16, threshold: float = 0.5) -> str:
+    """DuckDB twin of q_manifest_neardup_new: recomputes the seed-fixed
+    MinHash permutations IN SQL (the (a,b) constants are inlined from
+    the same ``minhash_params`` the engine uses — one source, no copy
+    drift) and applies the identical band gate, component-match
+    estimator, rounding, and best-match tiebreak. The hash therefore
+    pins the production signature pipeline's answers end to end — the
+    same oracle technique as embedding_near_dup_lsh's in-SQL
+    hyperplanes. Exact integer parity holds because h < P = 2^31-1 and
+    a,b < P keep a·h+b < 2^62 (functions/hashing.py)."""
+    from .functions.hashing import MERSENNE_P as P
+    from .functions.hashing import duckdb_md5_long
+
+    params_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dd.minhash_params(num_perm))
+    )
+    rows = num_perm // bands
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tok, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+), h AS (
+  SELECT doc_id, {duckdb_md5_long('shingle')} % {P} AS h FROM sh
+), params(i, a, b) AS (VALUES {params_rows}),
+sig AS (
+  SELECT doc_id, i, min((a * h + b) % {P}) AS v
+  FROM h CROSS JOIN params GROUP BY doc_id, i
+), bnd AS (
+  SELECT doc_id, i // {rows} AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, i // {rows}
+), cand AS (
+  SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
+  FROM bnd n JOIN bnd o ON n.band = o.band AND n.key = o.key
+  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+), est AS (
+  SELECT c.doc_id, c.dup_of,
+         ROUND(SUM(CASE WHEN sn.v = so.v THEN 1 ELSE 0 END) / {num_perm}.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sig sn ON sn.doc_id = c.doc_id
+  JOIN sig so ON so.doc_id = c.dup_of AND so.i = sn.i
+  GROUP BY 1, 2
+)
+SELECT doc_id, dup_of, est_jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY est_jaccard DESC, dup_of) AS rn
+  FROM est WHERE est_jaccard >= {threshold}
+) WHERE rn = 1
+"""
+
+
+@register("manifest_neardup_new", _minhash_manifest_sql())
+def q_manifest_neardup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup gate against a persisted signature manifest
+    (dedup.minhash_manifest_matches): every tenth document plays the
+    incoming batch; the rest play the historical corpus, represented
+    ONLY by their MinHash signatures (num_perm·8 B/doc — historical
+    text is never re-read or re-shingled, the property that keeps
+    ingest N+1 as cheap as ingest N). Matches report the
+    signature-estimated Jaccard, best historical doc per new doc,
+    deterministic tiebreaks. Complements manifest_dedup_new's
+    exact-hash manifest with the near-dup tier of the same incremental
+    discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    manifest = dd.minhash_signatures(old)
+    out = dd.minhash_manifest_matches(new, manifest, threshold=0.5)
+    return out.select(
+        "doc_id", "dup_of", F.col("est_jaccard").cast("double").alias("est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -515,3 +515,59 @@ def test_pagerank_matches_python_reference(spark):
         assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
     # the cycle members outrank the dangling source
     assert got[1] > got[4] and got[2] > got[4]
+
+
+def test_minhash_manifest_matches_planted(spark):
+    """Incremental gate: a new batch matched against a signature-only
+    manifest finds the planted near-copy, reports estimator=1.0 for the
+    exact copy, and ties break to the smallest historical id."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    old = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # duplicate of 1 in history: tie target
+            (3, "unrelated words about cooking pasta with garlic butter and sage and thyme leaves"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                                  # exact copy
+            (101, base.replace("tango", "whiskey")),      # near copy
+            (102, "completely novel content that shares no shingles with anything at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    manifest = dd.minhash_signatures(old)
+    out = {
+        r["doc_id"]: (r["dup_of"], r["est_jaccard"])
+        for r in dd.minhash_manifest_matches(new, manifest, threshold=0.5).collect()
+    }
+    assert out[100] == (1, 1.0)  # tie between 1 and 2 → smallest id
+    assert out[101][0] in (1, 2) and out[101][1] >= 0.5
+    assert 102 not in out
+
+
+def test_minhash_manifest_estimator_matches_signature_overlap(spark):
+    """The reported estimate IS the matching-component fraction of the
+    two signatures (computed independently here), not a recomputation
+    from text."""
+    old = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(9, "one two three four five six seven eight nine ten eleven thirteen")],
+        "doc_id long, text string",
+    )
+    s_old = old_sig = dd.minhash_signatures(old).first()["signature"]
+    s_new = dd.minhash_signatures(new).first()["signature"]
+    expected = round(sum(a == b for a, b in zip(s_new, s_old)) / 32.0, 6)
+    rows = dd.minhash_manifest_matches(
+        new, dd.minhash_signatures(old), threshold=0.0
+    ).collect()
+    if expected > 0:
+        assert rows and rows[0]["est_jaccard"] == expected
