@@ -287,6 +287,7 @@ def mixture_rates(
     weights: dict[str, float] | None = None,
     source_col: str = "source",
     text_col: str = "text",
+    alpha: float | None = None,
 ) -> "DataFrame":
     """Per-source sampling rates for a token-budgeted training mixture:
     (source, tokens_available, rate).
@@ -297,6 +298,14 @@ def mixture_rates(
     their tokens (rate 1), oversized ones downsample. One hash
     aggregate over the corpus (partial-agg, shuffle = |sources| rows);
     the rate table is dimension-sized by construction.
+
+    ``alpha`` (exclusive with ``weights``) switches to TEMPERATURE
+    weighting: w_s ∝ tokens_s^α — the standard multilingual/multi-
+    domain rebalancing exponent (α=1 reproduces the natural
+    distribution, α→0 the uniform one; 0.3–0.7 is the usual
+    flatten-the-head range). Weights are derived relationally from the
+    same totals aggregate (a window sum over the dimension-sized rate
+    table), so the plan stays one corpus pass regardless.
     """
     from pyspark.sql import functions as F
 
@@ -307,7 +316,17 @@ def mixture_rates(
         ws_token_count(F.col(text_col)).cast("long").alias("__t"),
     )
     totals = tok.groupBy("source").agg(F.sum("__t").alias("tokens_available"))
-    if weights is None:
+    if alpha is not None:
+        if weights is not None:
+            raise ValueError("pass either weights or alpha, not both")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        pw = F.pow(F.col("tokens_available").cast("double"), F.lit(float(alpha)))
+        rated = totals.withColumn(
+            "__budget", F.lit(float(token_budget)) * pw / F.sum(pw).over(w)
+        )
+    elif weights is None:
         # equal split: budget / |sources| — computed relationally so the
         # plan stays one aggregate even when sources are discovered at
         # runtime (a window count over the dimension-sized rate table).
@@ -354,6 +373,7 @@ def mixture_sample(
     source_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    alpha: float | None = None,
 ) -> "DataFrame":
     """Deterministic token-budgeted mixture sample: keep each document
     with its source's :func:`mixture_rates` probability, decided by the
@@ -370,7 +390,9 @@ def mixture_sample(
     from ..functions.hashing import md5_long
     from ..functions.text import ws_token_count
 
-    rates = mixture_rates(docs, token_budget, weights, source_col, text_col)
+    rates = mixture_rates(
+        docs, token_budget, weights, source_col, text_col, alpha
+    )
     bucket = md5_long(F.concat(F.lit("mix_"), F.col(id_col))) % 1000000
     return (
         docs.select(

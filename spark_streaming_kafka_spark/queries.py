@@ -2923,6 +2923,44 @@ def q_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_mixture_sample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_available
+      FROM tok GROUP BY source
+    ),
+    rates AS (
+      SELECT source, tokens_available,
+             round(least(1.0,
+               10000.0 * power(tokens_available, 0.7)
+               / (SELECT sum(power(tokens_available, 0.7)) FROM totals)
+               / tokens_available), 6) AS rate
+      FROM totals
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, r.rate
+    FROM tok t JOIN rates r USING (source)
+    WHERE {duckdb_md5_long("concat('mix_', t.doc_id)")} % 1000000
+          < CAST(round(r.rate * 1000000) AS BIGINT)
+    """,
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (α=0.7): source weights derived from
+    the corpus itself, w_s ∝ tokens_s^0.7 — the multilingual/
+    multi-domain flattening exponent (α=1 natural distribution, α→0
+    uniform). Same one-corpus-pass plan as mixture_budget_sample; the
+    power weights are a window expression over the dimension-sized
+    totals, so temperature adds zero passes
+    (operators/curation.py::mixture_rates alpha path)."""
+    from .operators.curation import mixture_sample
+
+    return mixture_sample(_docs_fan(spark, sf_dir), token_budget=10000, alpha=0.7)
+
+
+@register(
     "distinct_counts_monthly",
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,

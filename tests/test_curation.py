@@ -300,3 +300,32 @@ def test_substring_dedup_rewrite_cuts_all_occurrences(spark):
     assert out[4] == ("one two", 2, 0)       # untouched flows through
     assert out[5] == (None, None, 0)         # NULL text passes as NULL
     assert out[6] == ("", 0, 0)              # empty text stays empty
+
+
+def test_mixture_temperature_alpha(spark):
+    """α=1 reproduces the natural (proportional) allocation; α<1
+    shifts budget from the oversized to the undersized source; and
+    alpha+weights together is a hard error."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka_spark.operators.curation import mixture_rates
+
+    rows = (
+        [(i, "A", "t " * 9 + "t") for i in range(10)]   # 100 tokens
+        + [(100 + i, "B", "u u u u u") for i in range(2)]  # 10 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # α=1 is the natural distribution: every source samples at the SAME
+    # rate (budget/total tokens), so relative proportions are preserved
+    nat = {r["source"]: r for r in mixture_rates(df, 40, alpha=1.0).collect()}
+    assert nat["A"]["rate"] == nat["B"]["rate"] == round(40 / 110, 6)
+
+    # α=0.5 flattens: the small source's rate rises above the large
+    # source's (budget shifts from the head to the tail)
+    flat = {r["source"]: r for r in mixture_rates(df, 40, alpha=0.5).collect()}
+    assert flat["B"]["rate"] > flat["A"]["rate"]
+    assert flat["A"]["rate"] < nat["A"]["rate"]
+
+    with _pytest.raises(ValueError, match="not both"):
+        mixture_rates(df, 40, weights={"A": 1.0, "B": 0.0}, alpha=0.5)
