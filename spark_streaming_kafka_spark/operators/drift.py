@@ -25,12 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["psi_report"]
+__all__ = ["bin_counts", "psi_from_counts", "psi_report"]
 
 _NULL_BIN = "∅"
 
 
-def _bin_counts(df: DataFrame, features: list[tuple[str, Column]]) -> DataFrame:
+def bin_counts(df: DataFrame, features: list[tuple[str, Column]]) -> DataFrame:
     """(feature, bin, n) — ONE scan of ``df`` regardless of feature
     count. NULL bin values map to a sentinel so the later full-outer
     join aligns them (join keys never match on NULL)."""
@@ -67,10 +67,22 @@ def psi_report(
     per-feature totals join is broadcast-sized, and the PSI sum is a
     second tiny aggregation — the snapshots themselves never shuffle.
     """
+    return psi_from_counts(
+        bin_counts(ref, features), bin_counts(cur, features), eps, round_to
+    )
+
+
+def psi_from_counts(
+    rc: DataFrame,
+    cc: DataFrame,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI from two precomputed :func:`bin_counts` tables — the piece
+    the streaming monitor reuses so the reference corpus is binned
+    ONCE, not once per micro-batch (streaming/drift.py)."""
     from pyspark.sql.window import Window
 
-    rc = _bin_counts(ref, features)
-    cc = _bin_counts(cur, features)
     aligned = (
         rc.withColumnRenamed("n", "ref_n")
         .join(cc.withColumnRenamed("n", "cur_n"), ["feature", "bin"], "full_outer")

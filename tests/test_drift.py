@@ -76,3 +76,83 @@ def test_psi_multi_feature_single_scan(spark):
     # duplicated bin-count subtree for the totals
     assert plan.count("Generate") <= 2
     assert plan.count("Scan ExistingRDD") <= 2
+
+
+# --- streaming twin (streaming/drift.py) ------------------------------
+
+def test_streaming_drift_parity_with_batch(spark):
+    """The foreachBatch monitor must report EXACTLY what the batch
+    operator reports on the same data (it reuses psi_from_counts, so
+    this pins the wiring, incl. the cached reference)."""
+    from spark_streaming_kafka_spark.operators.drift import psi_report
+    from spark_streaming_kafka_spark.streaming.drift import (
+        drift_monitor_sink,
+        reference_counts,
+    )
+
+    ref = _docs(spark, ["a"] * 6 + ["b"] * 2)
+    batch1 = _docs(spark, ["a", "b", "b", "b"])
+    batch2 = _docs(spark, ["a", "a", "a", "b"])
+    feats = [("cat", F.col("cat"))]
+    rc = reference_counts(ref, feats)
+
+    seen = {}
+    sink = drift_monitor_sink(rc, feats, lambda bid, rows: seen.update({bid: rows}))
+    sink(batch1, 0)
+    sink(batch2, 1)
+
+    for bid, batch in [(0, batch1), (1, batch2)]:
+        expected = psi_report(ref, batch, feats).collect()
+        assert [r.asDict() for r in seen[bid]] == [r.asDict() for r in expected]
+    rc.unpersist()
+
+
+def test_streaming_drift_skips_trivial_batches(spark):
+    from spark_streaming_kafka_spark.streaming.drift import (
+        drift_monitor_sink,
+        reference_counts,
+    )
+
+    ref = _docs(spark, ["a", "b"])
+    feats = [("cat", F.col("cat"))]
+    rc = reference_counts(ref, feats)
+    calls = []
+    sink = drift_monitor_sink(rc, feats, lambda bid, rows: calls.append(bid), min_rows=3)
+    sink(_docs(spark, ["a"]), 0)          # 1 row < min_rows: skipped
+    sink(_docs(spark, ["a", "b", "a"]), 1)
+    assert calls == [1]
+    rc.unpersist()
+
+
+def test_streaming_drift_live_stream_smoke(spark, tmp_path):
+    """End-to-end on a real stream: rate source → foreachBatch monitor
+    emits at least one report with the expected shape."""
+    import time
+
+    from spark_streaming_kafka_spark.streaming.drift import (
+        drift_monitor_sink,
+        reference_counts,
+    )
+
+    ref = spark.range(100).select((F.col("id") % 7).alias("mod7"))
+    feats = [("mod7", F.col("mod7"))]
+    rc = reference_counts(ref, feats)
+    reports = []
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select((F.col("value") % 7).alias("mod7"))
+    )
+    q = stream.writeStream.foreachBatch(
+        drift_monitor_sink(rc, feats, lambda bid, rows: reports.append(rows), min_rows=5)
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    try:
+        deadline = time.time() + 30
+        while not reports and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rc.unpersist()
+    assert reports, "no drift report emitted within 30s"
+    row = reports[0][0]
+    assert row["feature"] == "mod7" and row["ref_rows"] == 100
+    assert row["psi"] is not None
