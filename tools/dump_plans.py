@@ -116,6 +116,23 @@ SHOWCASE = {
     "event_anomaly_zscore": "ONE hash exchange on event_type; both rolling "
     "moments evaluate in a single Window stage over the strictly "
     "historical frame.",
+    "fuzzy_part_names": "Pass-Join candidate generation: segment geometry "
+    "STAGED as separate projections (codegen survives — no 64 KB method "
+    "blowup), signature equi-join + distinct, ONE levenshtein verify over "
+    "candidates — no block self-join, no CartesianProduct, linear shuffle "
+    "however coarse the blocking key.",
+    "drift_report_docs": "One scan per snapshot: every feature's bin lands "
+    "in a single Generate→partial-agg pair; totals via a window over the "
+    "bin-sized aligned table (NOT a join-back that would duplicate the "
+    "subtree) — corpus rows never shuffle.",
+    "expectation_report_events": "All row-level rules in ONE HashAggregate "
+    "over a single events scan (conditional counts + a distinct count); "
+    "the FK rule is a BroadcastHashJoin LeftAnti count — adding rules adds "
+    "aggregate expressions, not passes.",
+    "manifest_neardup_new": "Incremental gate: mapInPandas signatures for "
+    "the NEW batch only; band keys equi-join against the (signature-only) "
+    "manifest; the bounded candidate set broadcasts into the estimator "
+    "join — historical text appears nowhere in the plan.",
 }
 
 
