@@ -4275,6 +4275,73 @@ def q_manifest_neardup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_canonical_keep",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cc AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    q AS (SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality FROM documents),
+    j AS (
+      SELECT cc.doc_id, cc.cluster_id, q.quality
+      FROM cc JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality,
+           first_value(doc_id) OVER (
+             PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+           ) AS canonical_id,
+           doc_id = first_value(doc_id) OVER (
+             PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+           ) AS keep
+    FROM j
+    """,
+)
+def q_cluster_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that turns near-dup clusters into a deduped corpus:
+    within every cluster keep the HIGHEST-QUALITY member (not the
+    arbitrary min-id) — composite quality score, ties to the smaller
+    id. Composes three green operators end to end: MinHash-LSH
+    clusters (dd.dedup_clusters) ⋈ quality scores (column algebra)
+    → one window per cluster for the canonical pick. Ranking happens
+    on the ROUNDED score so both engines order identically. Clusters
+    are tiny (near-dup groups), so the window exchange carries only
+    clustered docs — the corpus-scale work is all in the (already
+    sub-quadratic) cluster stage."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, threshold=0.5)
+    q = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    joined = clusters.join(q, "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    canonical = F.first("doc_id").over(w)
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
