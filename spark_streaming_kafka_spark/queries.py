@@ -4342,6 +4342,44 @@ def q_cluster_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_calibrated_by_source",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source, round({_QUALITY_SQL}, 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY quality, doc_id
+           ), 6) AS calibrated
+    FROM q
+    """,
+)
+def q_quality_calibrated_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain score calibration: raw quality scores are not
+    comparable across sources (a mid-tier web page and a mid-tier code
+    file score differently), so curation thresholds use the WITHIN-
+    SOURCE percentile instead — quantile normalization. One window per
+    source over (doc_id, source, quality) rows; ranking on the ROUNDED
+    score with a doc_id tiebreak so both engines produce the identical
+    rank order. At 100 TB this is one shuffle of 24-byte rows keyed by
+    source (salt a mega-source or swap percent_rank for an
+    approx-quantile bucket join if a single source dominates)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs_fan(spark, sf_dir)
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    return q.withColumn("calibrated", F.round(F.percent_rank().over(w), 6))
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
