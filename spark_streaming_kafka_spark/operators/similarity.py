@@ -838,3 +838,185 @@ def nearest_centroid_confusion(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg("__cos"), 6).alias("avg_cos"),
     )
+
+
+# --- product quantization (PQ) ----------------------------------------
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "sample",
+) -> list[list[list[float]]]:
+    """Train a PQ codebook: ``codebook[j][c]`` = centroid ``c`` of
+    subspace ``j`` (the dim/m-wide slice ``[j*ds, (j+1)*ds)``).
+
+    ``"sample"`` (default) takes the ``k`` lowest-id vectors' subvectors
+    as centroids — deterministic and SQL-reproducible, the same oracle
+    discipline as :func:`ivf_topk`'s sample codebook. ``"kmeans"`` runs
+    :func:`kmeans_codebook` per subspace (real Lloyd's on the slice —
+    the production choice; everything downstream is identical).
+
+    The codebook is m·k·(dim/m) floats (1024 for 64-dim, m=8, k=16) —
+    a bounded driver object that ships in task closures like any model.
+    """
+    from pyspark.sql import functions as F
+
+    if strategy == "sample":
+        rows = sorted(
+            (int(r[0]), list(r[1]))
+            for r in emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+        )
+        vecs = [v for _, v in rows]
+        if len(vecs) < k:
+            raise ValueError(f"need ids 0..{k-1} present for the sample codebook")
+        dim = len(vecs[0])
+    elif strategy == "kmeans":
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
+        ds = dim // m
+        out = []
+        for j in range(m):
+            sub = emb.select(
+                F.slice(F.col(vec_col), j * ds + 1, ds).alias(vec_col)
+            )
+            cents = kmeans_codebook(sub, k, vec_col)
+            out.append([list(c) for _, c in sorted(cents)])
+        return out
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    ds = dim // m
+    return [[v[j * ds : (j + 1) * ds] for v in vecs] for j in range(m)]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: (id, codes array<int> of length m,
+    recon_err double = ||v − reconstruction||², the sum of each
+    subspace's winning distance).
+
+    The 100 TB story: a 64-dim float32 vector is 256 B; its PQ code is
+    m bytes (8 here, a 32× compression) plus one shared codebook —
+    the standard way a billion-vector index fits in RAM. Encoding is
+    ONE Arrow-batched pass, shuffle-free (codes are per-row facts):
+    per batch, distances to all m·k centroids come from one vectorized
+    (n, m, k, ds) broadcast subtract+square+sum; ties take the lowest
+    code id (np.argmin first-occurrence), which is what the DuckDB
+    oracle's (dist2, c) ordering reproduces.
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    m = len(codebook)
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, ds)
+    ds = cb.shape[2]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            S = V.reshape(len(V), m, 1, ds)           # (n, m, 1, ds)
+            d2 = ((S - cb[None, :, :, :]) ** 2).sum(axis=-1)  # (n, m, k)
+            codes = d2.argmin(axis=-1)                 # (n, m); ties -> lowest c
+            recon = np.take_along_axis(d2, codes[:, :, None], axis=-1).sum(axis=(1, 2))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "codes": [c.astype("int32").tolist() for c in codes],
+                    "recon_err": recon,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"vec_id long, codes array<int>, recon_err double"
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    n_queries: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    an (m, k) lookup table of exact subspace distances to every
+    centroid ONCE, then any database vector's approximate distance is
+    m table lookups summed over its codes — no float vectors touched
+    at query time, which is why PQ search scans billions of codes at
+    memory bandwidth.
+
+    Queries are the ``n_queries`` lowest ids (the registry's bounded
+    convention). Plan: one shuffle-free encode pass over the corpus
+    (:func:`pq_encode`), LUTs in the task closure, per-batch partial
+    top-k, one final |Q|·k-row window cut. Returns (query_id,
+    neighbor_id, adc_dist rounded, rank); ties rank by neighbor id.
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    m = len(codebook)
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, ds)
+    ds = cb.shape[2]
+    qrows = sorted(
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in emb.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("no query vectors below n_queries")
+    # (|Q|, m, k) exact subspace distances — the ADC lookup tables
+    Q = np.stack([q for _, q in qrows]).reshape(len(qrows), m, 1, ds)
+    luts = ((Q - cb[None, :, :, :]) ** 2).sum(axis=-1)
+    qids = [qid for qid, _ in qrows]
+
+    codes_df = pq_encode(emb, codebook, id_col, vec_col)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([np.asarray(c) for c in pdf["codes"]])  # (n, m)
+            # dists[q, n] = sum_j luts[q, j, C[n, j]] — one gather per
+            # subspace (m is small; the gather is the whole ADC trick)
+            dists = np.zeros((len(qids), len(C)))
+            for j in range(m):
+                dists += luts[:, j, C[:, j]]
+            out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qi, qid in enumerate(qids):
+                row = dists[qi]
+                nb = pdf["vec_id"].to_numpy()
+                keep = nb != qid
+                row, nbk = row[keep], nb[keep]
+                cut = np.argsort(row, kind="stable")[:k]  # per-batch partial top-k
+                out["query_id"] += [qid] * len(cut)
+                out["neighbor_id"] += nbk[cut].tolist()
+                out["adc_dist"] += row[cut].tolist()
+            yield pd.DataFrame(out)
+
+    partial = codes_df.mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("adc_dist", 6).asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("adc_dist", F.round("adc_dist", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )

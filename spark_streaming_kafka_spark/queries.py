@@ -4380,6 +4380,102 @@ def q_quality_calibrated_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     return q.withColumn("calibrated", F.round(F.percent_rank().over(w), 6))
 
 
+_PQ_CODES_SQL_BODY = """
+    sub AS (
+      SELECT e.vec_id, r.i // 8 AS j, cb.vec_id AS c,
+             sum(power(e.embedding[r.i + 1]::DOUBLE
+                       - cb.embedding[r.i + 1]::DOUBLE, 2)) AS dist2
+      FROM embeddings e
+      CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) r
+      JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) cb
+        ON TRUE
+      GROUP BY e.vec_id, r.i // 8, cb.vec_id
+    ),
+    best AS (
+      SELECT vec_id, j, c, dist2,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, c) AS rn
+      FROM sub
+    ),
+    codes AS (SELECT vec_id, j, c, dist2 FROM best WHERE rn = 1)
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    f"""
+    WITH {_PQ_CODES_SQL_BODY}
+    SELECT vec_id,
+           string_agg(CAST(c AS VARCHAR), '_' ORDER BY j) AS codes,
+           round(sum(dist2), 6) AS recon_err
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: every 64-dim vector compressed to 8
+    sub-space codes (32× vs float32 — how a billion-vector index fits
+    in RAM) plus its reconstruction error. Deterministic sample
+    codebook (the 16 lowest-id vectors' subvectors — the ivf_topk
+    oracle discipline, so the DuckDB twin DERIVES the codebook from
+    the table rather than trusting inlined constants); encoding is one
+    shuffle-free Arrow pass, ties to the lowest code
+    (operators/similarity.py::pq_encode). Codes join to a string so
+    the hash pins every assignment."""
+    from .operators.similarity import pq_codebook, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=8, k=16)
+    out = pq_encode(emb, cb)
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("codes"), "_").alias("codes"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+@register(
+    "ann_topk_pq",
+    f"""
+    WITH {_PQ_CODES_SQL_BODY},
+    luts AS (
+      SELECT q.vec_id AS query_id, r.i // 8 AS j, cb.vec_id AS c,
+             sum(power(q.embedding[r.i + 1]::DOUBLE
+                       - cb.embedding[r.i + 1]::DOUBLE, 2)) AS dist2
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+      CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) r
+      JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) cb
+        ON TRUE
+      GROUP BY q.vec_id, r.i // 8, cb.vec_id
+    ),
+    adc AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id,
+             round(sum(l.dist2), 6) AS adc_dist
+      FROM codes k JOIN luts l ON l.j = k.j AND l.c = k.c
+      WHERE k.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+          FROM adc)
+    WHERE rn <= 10
+    """,
+)
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search: 3 queries build (m×k) exact
+    lookup tables once; every database vector's approximate distance
+    is 8 table lookups summed over its codes — query-time work never
+    touches a float vector, the memory-bandwidth-bound scan that makes
+    PQ the billion-scale ANN workhorse. One shuffle-free encode pass +
+    per-batch partial top-k + a |Q|·k window cut; completes the ANN
+    family (brute / sign-LSH / IVF / PQ)
+    (operators/similarity.py::pq_adc_topk)."""
+    from .operators.similarity import pq_adc_topk, pq_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=8, k=16)
+    return pq_adc_topk(emb, cb, n_queries=3, k=10)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -571,3 +571,62 @@ def test_minhash_manifest_estimator_matches_signature_overlap(spark):
     ).collect()
     if expected > 0:
         assert rows and rows[0]["est_jaccard"] == expected
+
+
+# --- product quantization (similarity.pq_*) ---------------------------
+
+def test_pq_encode_matches_numpy_reference(spark, emb):
+    import numpy as np
+
+    cb = sim.pq_codebook(emb, m=8, k=16)
+    CB = np.asarray(cb, dtype=np.float64)
+    assert CB.shape == (8, 16, 8)
+    got = {r["vec_id"]: r for r in sim.pq_encode(emb, cb).collect()}
+    ref_rows = {
+        int(r[0]): np.asarray(list(r[1]), dtype=np.float64)
+        for r in emb.limit(50).collect()
+    }
+    for vid, v in ref_rows.items():
+        d2 = ((v.reshape(8, 1, 8) - CB) ** 2).sum(-1)
+        assert list(d2.argmin(-1)) == list(got[vid]["codes"])
+        assert abs(d2.min(-1).sum() - got[vid]["recon_err"]) < 1e-9
+
+
+def test_pq_adc_matches_exhaustive_lookup(spark, emb):
+    import numpy as np
+
+    cb = sim.pq_codebook(emb, m=8, k=16)
+    CB = np.asarray(cb, dtype=np.float64)
+    out = sim.pq_adc_topk(emb, cb, n_queries=2, k=5).collect()
+    allv = {
+        int(r[0]): np.asarray(list(r[1]), dtype=np.float64)
+        for r in emb.collect()
+    }
+    for qid in (0, 1):
+        lut = ((allv[qid].reshape(8, 1, 8) - CB) ** 2).sum(-1)
+        dists = {}
+        for vid, v in allv.items():
+            if vid == qid:
+                continue
+            codes = ((v.reshape(8, 1, 8) - CB) ** 2).sum(-1).argmin(-1)
+            dists[vid] = sum(lut[j, codes[j]] for j in range(8))
+        ref = sorted(dists.items(), key=lambda kv: (round(kv[1], 6), kv[0]))[:5]
+        got = [
+            (r["neighbor_id"], r["adc_dist"])
+            for r in sorted(out, key=lambda r: r["rank"])
+            if r["query_id"] == qid
+        ]
+        assert [(i, round(d, 6)) for i, d in ref] == got
+
+
+def test_pq_kmeans_codebook_strategy(spark, emb):
+    """The production (per-subspace Lloyd's) codebook plugs into the
+    same encode/search path; reconstruction error must not be worse on
+    average than the sample codebook it replaces."""
+    cb_s = sim.pq_codebook(emb, m=8, k=8, strategy="sample")
+    cb_k = sim.pq_codebook(emb, m=8, k=8, strategy="kmeans")
+    import pyspark.sql.functions as F
+
+    err_s = sim.pq_encode(emb, cb_s).agg(F.avg("recon_err")).first()[0]
+    err_k = sim.pq_encode(emb, cb_k).agg(F.avg("recon_err")).first()[0]
+    assert err_k <= err_s * 1.05
