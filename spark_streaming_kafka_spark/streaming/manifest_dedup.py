@@ -1,0 +1,103 @@
+"""Streaming incremental dedup against persisted manifests — the
+streaming twin of ``curation.manifest_dedup`` (exact tier) and
+``dedup.minhash_manifest_matches`` (near-dup tier).
+
+The production loop this wires: a document stream lands in
+micro-batches; each batch is (1) exact-deduped against the hash
+manifest and within itself, (2) its survivors near-dup-checked against
+the signature manifest, and (3) the kept documents handed to the
+caller's sink while BOTH manifests grow by exactly the kept rows — so
+batch N+1 deduplicates against everything batch N kept, and a restart
+resumes from the persisted manifests rather than rescanning history.
+
+State lives in the manifests (plain parquet the caller owns), not the
+state store: the checkpoint carries only source offsets, manifests are
+append-only (each batch appends its kept hashes/signatures once —
+re-delivered batches re-derive the same keeps because the manifest
+append happens after the dedup read in the same batch function, and
+appends are idempotent per batch id if the caller routes them through
+``sinks.idempotent_parquet_sink``).
+
+Batch/streaming parity is by construction: the batch operators run
+verbatim inside ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import manifest_dedup
+from ..operators.dedup import minhash_manifest_matches, minhash_signatures
+
+__all__ = ["incremental_dedup_sink"]
+
+
+def incremental_dedup_sink(
+    spark: SparkSession,
+    hash_manifest_path: str,
+    sig_manifest_path: str,
+    on_kept: Callable[[DataFrame, int], None],
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` callable implementing the two-tier
+    incremental dedup loop. ``on_kept(kept_df, batch_id)`` receives the
+    batch's surviving documents (exact-fresh AND not a near-dup of any
+    manifest signature); the manifests at the two paths are read at
+    batch start and appended at batch end.
+
+    Scale: per batch, the hash manifest contributes one anti-join (16
+    B/doc history; bloom-prefilterable) and the signature manifest one
+    band-key join (256 B/doc history) — history is never re-read as
+    text. The batch's own work is one signature pass over the batch.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            hashes = spark.read.parquet(hash_manifest_path)
+        except Exception:
+            hashes = spark.createDataFrame([], "text_hash string")
+        try:
+            sigs = spark.read.parquet(sig_manifest_path)
+        except Exception:
+            sigs = spark.createDataFrame(
+                [], f"doc_id long, signature array<bigint>"
+            )
+
+        # tier 1: exact — drop manifest-seen texts, dedup within batch
+        fresh_keys = manifest_dedup(batch_df, hashes, text_col, id_col)
+        fresh = batch_df.join(
+            F.broadcast(fresh_keys.select(id_col)), id_col
+        ).persist()
+        # tier 2: near-dup vs the signature manifest
+        if sigs.isEmpty():
+            kept = fresh
+        else:
+            near = minhash_manifest_matches(
+                fresh, sigs, threshold=threshold,
+                text_col=text_col, id_col=id_col,
+            )
+            kept = fresh.join(
+                F.broadcast(near.select(F.col("doc_id").alias(id_col))),
+                id_col,
+                "left_anti",
+            )
+        kept = kept.persist()
+        on_kept(kept, batch_id)
+        # grow both manifests by exactly the kept rows
+        kept.select(F.md5(F.col(text_col)).alias("text_hash")).write.mode(
+            "append"
+        ).parquet(hash_manifest_path)
+        minhash_signatures(kept, text_col=text_col, id_col=id_col).write.mode(
+            "append"
+        ).parquet(sig_manifest_path)
+        kept.unpersist()
+        fresh.unpersist()
+
+    return sink

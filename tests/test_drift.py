@@ -156,3 +156,57 @@ def test_streaming_drift_live_stream_smoke(spark, tmp_path):
     row = reports[0][0]
     assert row["feature"] == "mod7" and row["ref_rows"] == 100
     assert row["psi"] is not None
+
+
+# --- streaming incremental dedup (streaming/manifest_dedup.py) --------
+
+def test_streaming_incremental_dedup_two_tiers(spark, tmp_path):
+    """Across micro-batches: tier 1 drops exact manifest hits, tier 2
+    drops near-dups of manifest signatures, kept rows grow BOTH
+    manifests, and a rebuilt sink (fresh manifest read — the restart
+    path) keeps deduplicating against everything previously kept."""
+    from spark_streaming_kafka_spark.streaming.manifest_dedup import (
+        incremental_dedup_sink,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    hp, sp = str(tmp_path / "hashes"), str(tmp_path / "sigs")
+    kept_ids: dict[int, set] = {}
+    sink = incremental_dedup_sink(
+        spark, hp, sp,
+        lambda df, bid: kept_ids.update({bid: {r["doc_id"] for r in df.collect()}}),
+    )
+
+    b0 = spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")
+    sink(b0, 0)
+    assert kept_ids[0] == {1, 2}
+
+    b1 = spark.createDataFrame(
+        [
+            (10, base),                               # exact dup of kept 1 → tier 1
+            (11, base.replace("tango", "whiskey")),   # near dup of kept 1 → tier 2
+            (12, "completely novel words that overlap with nothing else at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b1, 1)
+    assert kept_ids[1] == {12}
+
+    # restart: a brand-new sink instance must see the grown manifests
+    sink2 = incremental_dedup_sink(
+        spark, hp, sp,
+        lambda df, bid: kept_ids.update({bid: {r["doc_id"] for r in df.collect()}}),
+    )
+    b2 = spark.createDataFrame(
+        [(20, other.replace("twenty", "thirty")), (21, base)],  # near dup of 2; exact dup of 1
+        "doc_id long, text string",
+    )
+    sink2(b2, 2)
+    assert kept_ids[2] == set()
