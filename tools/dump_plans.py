@@ -133,6 +133,17 @@ SHOWCASE = {
     "the NEW batch only; band keys equi-join against the (signature-only) "
     "manifest; the bounded candidate set broadcasts into the estimator "
     "join — historical text appears nowhere in the plan.",
+    "ann_topk_pq": "PQ ADC search: ONE shuffle-free mapInPandas encode "
+    "pass chained into the scoring pass (codes never hit a shuffle), "
+    "per-batch partial top-k, then a |Q|·k-row window cut — query-time "
+    "work is table lookups, no float vectors, no joins.",
+    "cluster_canonical_keep": "Cluster composition: the sub-quadratic "
+    "cluster subtree feeds ONE window partitioned by cluster_id over "
+    "(doc_id, cluster_id, quality) rows — canonical pick and keep flag "
+    "in the same window stage, no second pass over documents.",
+    "quality_calibrated_by_source": "One window exchange keyed by source "
+    "over 24-byte (id, source, quality) rows; the percent_rank and its "
+    "rounding evaluate inside the window stage.",
 }
 
 
