@@ -11,11 +11,14 @@ batch N+1 deduplicates against everything batch N kept, and a restart
 resumes from the persisted manifests rather than rescanning history.
 
 State lives in the manifests (plain parquet the caller owns), not the
-state store: the checkpoint carries only source offsets, manifests are
-append-only (each batch appends its kept hashes/signatures once —
-re-delivered batches re-derive the same keeps because the manifest
-append happens after the dedup read in the same batch function, and
-appends are idempotent per batch id if the caller routes them through
+state store: the checkpoint carries only source offsets, and each
+batch's manifest growth lands in its OWN ``batch_id=N`` partition,
+dynamically overwritten — so a crash-replayed batch (a) does not read
+its failed attempt's partition back as "history" (which would make the
+batch drop itself and silently deliver nothing), and (b) rewrites the
+identical partition instead of double-growing the manifest. Replay is
+therefore exactly-once into the manifests and at-least-once into
+``on_kept`` (pair it with an idempotent downstream sink, e.g.
 ``sinks.idempotent_parquet_sink``).
 
 Batch/streaming parity is by construction: the batch operators run
@@ -56,19 +59,40 @@ def incremental_dedup_sink(
     text. The batch's own work is one signature pass over the batch.
     """
 
+    def _read_manifest(path: str, schema: str, batch_id: int) -> DataFrame:
+        # Exclude the CURRENT batch id: on crash-replay the failed
+        # attempt's manifest partition already exists, and reading it
+        # would make the batch see ITSELF as history — tier 1 would
+        # drop every row and the replay would deliver nothing
+        # downstream (silent data loss). Filtering on the partition
+        # column prunes, never scans, the excluded directory.
+        try:
+            return spark.read.parquet(path).filter(
+                F.col("batch_id") != batch_id
+            )
+        except Exception:
+            return spark.createDataFrame([], schema + ", batch_id long")
+
+    def _write_manifest(df: DataFrame, path: str, batch_id: int) -> None:
+        # One partition directory per batch, OVERWRITTEN on replay —
+        # the same kept rows are recomputed (the dedup read above is
+        # deterministic given prior batches), so a replayed write is
+        # byte-idempotent instead of double-growing the manifest.
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            hashes = spark.read.parquet(hash_manifest_path)
-        except Exception:
-            hashes = spark.createDataFrame([], "text_hash string")
-        try:
-            sigs = spark.read.parquet(sig_manifest_path)
-        except Exception:
-            sigs = spark.createDataFrame(
-                [], f"doc_id long, signature array<bigint>"
-            )
+        hashes = _read_manifest(hash_manifest_path, "text_hash string", batch_id)
+        sigs = _read_manifest(
+            sig_manifest_path, "doc_id long, signature array<bigint>", batch_id
+        )
 
         # tier 1: exact — drop manifest-seen texts, dedup within batch
         fresh_keys = manifest_dedup(batch_df, hashes, text_col, id_col)
@@ -80,7 +104,7 @@ def incremental_dedup_sink(
             kept = fresh
         else:
             near = minhash_manifest_matches(
-                fresh, sigs, threshold=threshold,
+                fresh, sigs.select("doc_id", "signature"), threshold=threshold,
                 text_col=text_col, id_col=id_col,
             )
             kept = fresh.join(
@@ -91,12 +115,16 @@ def incremental_dedup_sink(
         kept = kept.persist()
         on_kept(kept, batch_id)
         # grow both manifests by exactly the kept rows
-        kept.select(F.md5(F.col(text_col)).alias("text_hash")).write.mode(
-            "append"
-        ).parquet(hash_manifest_path)
-        minhash_signatures(kept, text_col=text_col, id_col=id_col).write.mode(
-            "append"
-        ).parquet(sig_manifest_path)
+        _write_manifest(
+            kept.select(F.md5(F.col(text_col)).alias("text_hash")),
+            hash_manifest_path,
+            batch_id,
+        )
+        _write_manifest(
+            minhash_signatures(kept, text_col=text_col, id_col=id_col),
+            sig_manifest_path,
+            batch_id,
+        )
         kept.unpersist()
         fresh.unpersist()
 

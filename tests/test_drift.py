@@ -210,3 +210,31 @@ def test_streaming_incremental_dedup_two_tiers(spark, tmp_path):
     )
     sink2(b2, 2)
     assert kept_ids[2] == set()
+
+
+def test_streaming_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay of a micro-batch (same batch id delivered twice —
+    the foreachBatch at-least-once contract): the replay must NOT see
+    its failed attempt's manifest partition as history (which would
+    drop every row and lose the batch), and must not double-grow the
+    manifests."""
+    from spark_streaming_kafka_spark.streaming.manifest_dedup import (
+        incremental_dedup_sink,
+    )
+
+    hp, sp = str(tmp_path / "hashes"), str(tmp_path / "sigs")
+    kept: list[tuple[int, frozenset]] = []
+    sink = incremental_dedup_sink(
+        spark, hp, sp,
+        lambda df, bid: kept.append((bid, frozenset(r["doc_id"] for r in df.collect()))),
+    )
+    b = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet")],
+        "doc_id long, text string",
+    )
+    sink(b, 0)
+    sink(b, 0)  # replay of the SAME batch id
+    assert kept == [(0, frozenset({1})), (0, frozenset({1}))]
+    hashes = spark.read.parquet(hp)
+    assert hashes.count() == 1  # not double-grown
+    assert spark.read.parquet(sp).count() == 1
