@@ -31,6 +31,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..operators.curation import manifest_dedup
 from ..operators.dedup import minhash_manifest_matches, minhash_signatures
@@ -70,8 +71,20 @@ def incremental_dedup_sink(
             return spark.read.parquet(path).filter(
                 F.col("batch_id") != batch_id
             )
-        except Exception:
-            return spark.createDataFrame([], schema + ", batch_id long")
+        except AnalysisException as exc:
+            # ONLY the first-batch no-manifest case may fail open. Any
+            # other read failure (corrupt parquet, permissions, storage
+            # outage) must abort the batch — returning empty there would
+            # silently disable dedup history and let duplicates flow to
+            # on_kept AND into the manifests permanently.
+            msg = str(exc)
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
+                return spark.createDataFrame([], schema + ", batch_id long")
+            raise
 
     def _write_manifest(df: DataFrame, path: str, batch_id: int) -> None:
         # One partition directory per batch, OVERWRITTEN on replay —

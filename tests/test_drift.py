@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka_spark.operators.drift import psi_report
@@ -238,3 +239,24 @@ def test_streaming_incremental_dedup_replay_is_idempotent(spark, tmp_path):
     hashes = spark.read.parquet(hp)
     assert hashes.count() == 1  # not double-grown
     assert spark.read.parquet(sp).count() == 1
+
+
+def test_streaming_incremental_dedup_corrupt_manifest_aborts(spark, tmp_path):
+    """A genuinely unreadable manifest (corrupt parquet — storage fault,
+    not first-batch-missing) must ABORT the batch, not fail open: a
+    silent empty-manifest fallback would disable dedup history and let
+    duplicates flow downstream and into the manifests permanently."""
+    import os
+
+    from spark_streaming_kafka_spark.streaming.manifest_dedup import (
+        incremental_dedup_sink,
+    )
+
+    hp, sp = str(tmp_path / "hashes"), str(tmp_path / "sigs")
+    os.makedirs(hp)
+    with open(os.path.join(hp, "part-00000.parquet"), "wb") as f:
+        f.write(b"definitely not a parquet footer" * 8)
+    sink = incremental_dedup_sink(spark, hp, sp, lambda df, bid: df.collect())
+    b = spark.createDataFrame([(1, "alpha bravo")], "doc_id long, text string")
+    with pytest.raises(Exception, match="[Pp]arquet"):
+        sink(b, 1)

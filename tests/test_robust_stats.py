@@ -119,3 +119,53 @@ def test_nearest_centroid_empty_raises(spark):
     )
     with pytest.raises(ValueError):
         nearest_centroid_confusion(df)
+
+
+def test_nearest_centroid_string_labels(spark):
+    # the index-based tiebreak must work for non-numeric labels too
+    rows = [
+        (1, [1.0, 0.0], "news"),
+        (2, [0.9, 0.1], "news"),
+        (3, [0.0, 1.0], "code"),
+        (4, [1.0, 0.05], "code"),  # mislabeled: sits in the news cluster
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in nearest_centroid_confusion(df).collect()
+    }
+    assert got == {("news", "news"): 2, ("code", "code"): 1, ("code", "news"): 1}
+
+
+def test_nearest_centroid_string_tie_prefers_smallest_label(spark):
+    rows = [(1, [1.0, 0.0], "zebra"), (2, [1.0, 0.0], "apple")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in nearest_centroid_confusion(df).collect()
+    }
+    assert got == {("zebra", "apple"): 1, ("apple", "apple"): 1}
+
+
+def test_nearest_centroid_null_labels_scored_as_null_true(spark):
+    # NULL-label rows contribute nothing to centroids but ARE scored:
+    # they surface as true_label=NULL cells (oracle-parity behavior)
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.95, 0.05], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in nearest_centroid_confusion(df).collect()
+    }
+    assert got[(None, 0)] == 1
+    assert got[(0, 0)] == 1
+    assert got[(1, 1)] == 1
