@@ -1,0 +1,177 @@
+"""The composed end-to-end corpus-curation pipeline — every stage the
+package ships, run in sequence as ONE dataflow, the way a real
+pretraining data pass uses them:
+
+    exact dedup → MinHash near-dup clusters → SemDeDup semantic prune
+    → benchmark decontamination → per-source quality calibration
+    → temperature-mixture sampling → sequence packing
+    → per-source attrition/packing report
+
+The individual operators each carry their own DuckDB value oracle
+(queries.py); this module is the evidence that their COMPOSITION is
+correct too — :func:`curate_corpus` is registered as
+``corpus_curation_e2e`` with an oracle that replays the identical
+seven stages in SQL and pins the final per-source counts.
+
+Scale shape (the 100 TB story):
+
+- Document BODIES never shuffle. Every stage reduces the corpus scan
+  to id-keyed facts (hashes, signatures, shingle counts, quality
+  scores, token counts); inter-stage composition is id-only
+  semi/anti-joins. In a production run the tiers additionally
+  materialize survivors between passes (see
+  ``streaming/manifest_dedup.py`` for the incremental form); inside
+  one query the id-set joins express the same thing.
+- Population-dependent stages come AFTER all drops: quality
+  calibration (percent_rank within source) and mixture rates (from
+  survivor token totals) are computed over id+source+score rows only.
+- The final report is a |sources|-sized aggregate; nothing wide
+  survives to the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import md5_long
+from ..functions.text import quality_score
+from .curation import benchmark_contamination, mixture_sample
+from .dedup import dedup_clusters, exact_dedup
+from .similarity import semdedup_prune
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    emb: DataFrame,
+    benchmark: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    sem_threshold: float = 0.45,
+    contamination_max: float = 0.8,
+    calibration_min: float = 0.1,
+    token_budget: int = 10000,
+    alpha: float = 0.7,
+    chunk_tokens: int = 256,
+    shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Run the full curation pipeline and return the per-source report
+    ``(source, kept_docs, kept_tokens, packed_seqs)`` — documents
+    surviving all seven stages, their token volume, and how many packed
+    training sequences they start or continue.
+
+    Stage semantics (each delegating to the registered operator):
+
+    1. *Exact dedup* — keep each byte-identical text's canonical
+       (minimum-id) copy (:func:`..dedup.exact_dedup`).
+    2. *Near-dup clusters* — MinHash-LSH candidates → exact-Jaccard
+       verify → connected components over the exact-dedup survivors;
+       keep only each cluster's minimum-id representative
+       (:func:`..dedup.dedup_clusters`).
+    3. *SemDeDup prune* — embedding-space within-cluster domination,
+       decided CORPUS-WIDE (:func:`..similarity.semdedup_prune`): the
+       decision table is population-independent, and a dominating
+       lower-id mate that earlier tiers dropped was itself replaced by
+       an even-lower-id (near-)identical copy, so corpus-wide decisions
+       compose soundly with the dedup tiers.
+    4. *Decontamination* — drop survivors whose 5-gram shingle overlap
+       with the benchmark set reaches ``contamination_max``
+       (benchmark members self-report 1.0 and are dropped too;
+       :func:`..curation.benchmark_contamination`). Per-doc scores are
+       population-independent, so scoring only the survivors equals
+       scoring everything and intersecting.
+    5. *Quality calibration* — within-source percent_rank of the
+       rounded quality score over the SURVIVOR population; drop the
+       bottom ``calibration_min`` quantile per source (the
+       quality_calibrated_by_source semantics).
+    6. *Temperature mixture* — tokens_s^alpha-weighted budget rates
+       from SURVIVOR totals, deterministic per-doc hash gate
+       (:func:`..curation.mixture_sample`).
+    7. *Sequence packing* — hash-sharded concat-and-chunk every
+       ``chunk_tokens`` tokens (the sequence_packing semantics);
+       ``packed_seqs`` counts the distinct (shard, seq) chunks a
+       source's documents START in.
+
+    ``benchmark`` defaults to the ``doc_id % 97 == 0`` slice of the
+    input (the registry convention for a stand-in eval set).
+    """
+    if benchmark is None:
+        benchmark = docs.filter(F.col(id_col) % 97 == 0)
+
+    # 1. exact: canonical ids only (id-keyed drop decision)
+    canon = exact_dedup(docs, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    s1 = docs.join(F.broadcast(canon), id_col, "left_semi")
+
+    # 2. near-dup clusters over survivors; keep cluster representatives
+    clusters = dedup_clusters(
+        s1, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+    )
+    drop2 = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    s2 = s1.join(F.broadcast(drop2), id_col, "left_anti")
+
+    # 3. semantic prune decisions (corpus-wide, embedding side)
+    sem_drop = (
+        semdedup_prune(emb, threshold=sem_threshold)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias(id_col))
+    )
+    s3 = s2.join(F.broadcast(sem_drop), id_col, "left_anti")
+
+    # 4. decontamination vs the (external, fixed) benchmark shingles
+    contam = benchmark_contamination(
+        s3, benchmark, k=5, text_col=text_col, id_col=id_col
+    )
+    drop4 = contam.filter(
+        F.col("contamination") >= contamination_max
+    ).select(id_col)
+    s4 = s3.join(F.broadcast(drop4), id_col, "left_anti")
+
+    # 5. per-source quality calibration over the survivor population
+    q = s4.select(
+        id_col,
+        F.col(source_col).alias("source"),
+        text_col,
+        F.round(quality_score(F.col(text_col)), 6).alias("__quality"),
+    )
+    w5 = Window.partitionBy("source").orderBy(
+        F.col("__quality").asc(), F.col(id_col).asc()
+    )
+    s5 = (
+        q.withColumn("__cal", F.round(F.percent_rank().over(w5), 6))
+        .filter(F.col("__cal") >= calibration_min)
+        .select(id_col, "source", text_col)
+    )
+
+    # 6. temperature mixture from survivor totals
+    s6 = mixture_sample(
+        s5, token_budget=token_budget, alpha=alpha,
+        source_col="source", text_col=text_col, id_col=id_col,
+    ).select(id_col, "source", "n_tokens")
+
+    # 7. pack and report
+    t = s6.withColumn(
+        "shard",
+        md5_long(F.concat(F.lit("pack_"), F.col(id_col))) % shards,
+    )
+    w7 = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "cum_before", F.sum("n_tokens").over(w7) - F.col("n_tokens")
+    ).withColumn("seq_id", F.expr(f"cum_before div {chunk_tokens}"))
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.countDistinct(
+            F.col("shard") * 1000000 + F.col("seq_id")
+        ).cast("long").alias("packed_seqs"),
+    )

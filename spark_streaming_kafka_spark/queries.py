@@ -4530,6 +4530,166 @@ def q_ann_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk_refined(emb, cb, n_queries=3, k=10, refine_n=200)
 
 
+@register(
+    "corpus_curation_e2e",
+    f"""
+    WITH RECURSIVE
+    d1 AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) c
+        USING (doc_id)
+    ),
+    tok1 AS (
+      SELECT doc_id, {_sql_tokens()} AS toks FROM d1
+    ),
+    sh1 AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM tok1, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+    ),
+    sizes1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+    common1 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs1 AS (
+      SELECT id_a, id_b FROM common1
+      JOIN sizes1 sa ON sa.doc_id = id_a
+      JOIN sizes1 sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ),
+    edges1 AS (
+      SELECT id_a AS a, id_b AS b FROM pairs1
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs1
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges1
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges1 e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a),
+    d2 AS (
+      SELECT d1.* FROM d1 LEFT JOIN cc ON cc.doc_id = d1.doc_id
+      WHERE cc.doc_id IS NULL OR cc.cluster_id = d1.doc_id
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_vec::DOUBLE[]), 6) DESC,
+                        c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    dom AS (
+      SELECT a.vec_id
+      FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+      GROUP BY a.vec_id
+    ),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT vec_id FROM dom)),
+    w3 AS (SELECT doc_id, {_sql_tokens()} AS w FROM d3),
+    s3 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 3),
+                                          i -> array_to_string(w[i:i+4], ' '))) AS shs
+      FROM w3
+    ),
+    flat3 AS (SELECT doc_id, unnest(shs) AS shingle FROM s3),
+    benchw AS (SELECT {_sql_tokens()} AS w FROM documents WHERE doc_id % 97 = 0),
+    benchs AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+                                            i -> array_to_string(w[i:i+4], ' '))) AS shingle
+      FROM benchw
+    ),
+    hits3 AS (
+      SELECT f.doc_id, count(*) AS n_hit
+      FROM flat3 f JOIN benchs USING (shingle) GROUP BY f.doc_id
+    ),
+    contam AS (
+      SELECT s.doc_id,
+             round(CASE WHEN len(shs) > 0
+                        THEN coalesce(h.n_hit, 0) * 1.0 / len(shs)
+                        ELSE 0.0 END, 6) AS contamination
+      FROM s3 s LEFT JOIN hits3 h USING (doc_id)
+    ),
+    d4 AS (
+      SELECT d3.* FROM d3 JOIN contam USING (doc_id)
+      WHERE contamination < 0.8
+    ),
+    q4 AS (
+      SELECT doc_id, source, round({_QUALITY_SQL}, 6) AS quality FROM d4
+    ),
+    cal AS (
+      SELECT doc_id,
+             round(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality, doc_id), 6) AS calibrated
+      FROM q4
+    ),
+    d5 AS (
+      SELECT d4.* FROM d4 JOIN cal USING (doc_id) WHERE calibrated >= 0.1
+    ),
+    tok5 AS (
+      SELECT doc_id, source, CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+      FROM d5
+    ),
+    totals AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_available
+      FROM tok5 GROUP BY source
+    ),
+    rates AS (
+      SELECT source,
+             round(least(1.0,
+               10000.0 * power(tokens_available, 0.7)
+               / (SELECT sum(power(tokens_available, 0.7)) FROM totals)
+               / tokens_available), 6) AS rate
+      FROM totals
+    ),
+    d6 AS (
+      SELECT t.doc_id, t.source, t.n_tokens
+      FROM tok5 t JOIN rates r USING (source)
+      WHERE {duckdb_md5_long("concat('mix_', t.doc_id)")} % 1000000
+            < CAST(round(r.rate * 1000000) AS BIGINT)
+    ),
+    c6 AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS cum_before
+      FROM (SELECT *, {duckdb_md5_long("concat('pack_', doc_id)")} % 8 AS shard
+            FROM d6)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(count(DISTINCT shard * 1000000 + cum_before // 256) AS BIGINT)
+             AS packed_seqs
+    FROM c6 GROUP BY source
+    """,
+)
+def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED pipeline — exact dedup → MinHash near-dup clusters
+    → SemDeDup prune → benchmark decontamination → per-source quality
+    calibration → temperature mixture → sequence packing — run as one
+    dataflow and reported as per-source (kept_docs, kept_tokens,
+    packed_seqs). Each stage is an already-oracle-green operator; this
+    entry pins their composition, the thing a real curation run
+    executes. The oracle replays all seven stages in SQL (recursive-CTE
+    connected components included). Bodies never shuffle: every
+    inter-stage hand-off is an id-keyed semi/anti-join
+    (operators/pipeline.py::curate_corpus)."""
+    from .operators.pipeline import curate_corpus
+
+    return curate_corpus(
+        _docs_fan(spark, sf_dir), _t(spark, sf_dir, "embeddings")
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

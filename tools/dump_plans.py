@@ -144,6 +144,18 @@ SHOWCASE = {
     "quality_calibrated_by_source": "One window exchange keyed by source "
     "over 24-byte (id, source, quality) rows; the percent_rank and its "
     "rounding evaluate inside the window stage.",
+    "ann_topk_pq_refined": "IVF-PQ refine: the ADC subtree's candidate ids "
+    "BroadcastExchange back into the corpus scan (semi-join-shaped vector "
+    "fetch, column-pruned to id+embedding, corpus never shuffles), then a "
+    "|Q|·refine_n-row mapInPandas exact re-rank and one window cut — the "
+    "only exchanges are the ADC partial top-k and the final tiny window.",
+    "corpus_curation_e2e": "The composed seven-stage pipeline: every "
+    "inter-stage hand-off is a BroadcastHashJoin LeftSemi/LeftAnti on "
+    "id-only decision sets (no document-body shuffle anywhere); the "
+    "population-dependent windows (calibration percent_rank, packing "
+    "cumsum) key on source/shard over narrow fact rows; final aggregate "
+    "is |sources|-sized. No CartesianProduct outside the bounded "
+    "16-centroid SemDeDup assignment.",
 }
 
 
