@@ -376,6 +376,75 @@ def kmeans_codebook(
     ]
 
 
+def lloyd_codebook_fixed(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic fixed-iteration Lloyd's refinement of the sample
+    codebook — the oracle-checkable face of the trained-codebook path
+    that :func:`kmeans_codebook` (pyspark.ml KMeans) represents in
+    production.
+
+    Init is the ``n_centroids`` lowest-id vectors (the same convention
+    as every "sample" codebook here); each iteration assigns all
+    vectors with the EXACT :func:`ivf_assign` rule (max rounded cosine,
+    lowest cid tiebreak) and re-centers each cell at its per-dimension
+    double mean; an empty cell keeps its previous centroid. Every step
+    is engine-portable, so a DuckDB oracle can UNROLL the iterations in
+    SQL and pin the resulting centroids — and any downstream ANN answer
+    built on them — value-for-value. pyspark.ml's k-means|| init is
+    seeded but partitioning-sensitive, which is why the production
+    trainer can't be value-pinned directly; this fixed-init twin runs
+    the same Lloyd's update the trainer converges with.
+
+    Cost: per iteration, one shuffle-free assignment pass plus one
+    dimension-sized aggregation (the :func:`label_centroids` shape —
+    the shuffle carries k·dim partial means, never vectors); the
+    centroid collect is k·dim doubles. ``iterations`` is fixed and
+    small because the codebook is trained once per corpus generation.
+    """
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"need ids 0..{n_centroids - 1} present for the fixed init"
+        )
+    dim = len(rows[0][1])
+    centroids: list[tuple[int, list[float]]] = [
+        (i, v) for i, (_vid, v) in enumerate(rows)
+    ]
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, centroids, vec_col=vec_col, out_col="__cid")
+        per_dim = (
+            assigned.select(
+                "__cid", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .select("__cid", "pos", F.col("val").cast("double").alias("val"))
+            .groupBy("__cid", "pos")
+            .agg(F.avg("val").alias("cval"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in per_dim:
+            means.setdefault(int(r["__cid"]), {})[int(r["pos"])] = float(
+                r["cval"]
+            )
+        centroids = [
+            (cid, [means[cid][p] for p in range(dim)])
+            if cid in means
+            else (cid, old)
+            for cid, old in centroids
+        ]
+    return centroids
+
+
 def ivf_topk(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -630,3 +630,53 @@ def test_pq_kmeans_codebook_strategy(spark, emb):
     err_s = sim.pq_encode(emb, cb_s).agg(F.avg("recon_err")).first()[0]
     err_k = sim.pq_encode(emb, cb_k).agg(F.avg("recon_err")).first()[0]
     assert err_k <= err_s * 1.05
+
+
+def test_lloyd_codebook_fixed_refines_and_stays_bounded(spark, emb):
+    """The oracle-checkable trained codebook: iterations move the
+    centroids off the init vectors, each cell's centroid is the mean
+    of its members under the ivf_assign rule, and the k x dim shape is
+    stable."""
+    import numpy as np
+
+    cb0 = sim.lloyd_codebook_fixed(emb, n_centroids=4, iterations=0)
+    cb2 = sim.lloyd_codebook_fixed(emb, n_centroids=4, iterations=2)
+    assert [c for c, _ in cb0] == [0, 1, 2, 3] == [c for c, _ in cb2]
+    dim = len(cb0[0][1])
+    assert all(len(v) == dim for _, v in cb2)
+    # iterations=0 IS the sample codebook (same init convention)
+    init = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert all(
+        np.allclose(v, init[i][1]) for i, (_, v) in enumerate(cb0)
+    )
+    assert any(
+        not np.allclose(v0, v2)
+        for (_, v0), (_, v2) in zip(cb0, cb2)
+    )
+    # one more iteration from the returned centroids reproduces the
+    # operator's own update: centroid = per-dim mean of assigned cell
+    assigned = sim.ivf_assign(emb, cb2, out_col="cid")
+    pdf = assigned.select("cid", "embedding").toPandas()
+    for cid, vec in sim.lloyd_codebook_fixed(emb, n_centroids=4, iterations=3):
+        members = np.array(
+            [np.asarray(v, dtype=np.float64)
+             for v in pdf[pdf["cid"] == cid]["embedding"]]
+        )
+        if len(members):
+            assert np.allclose(vec, members.mean(axis=0), atol=1e-9)
+
+
+def test_lloyd_codebook_fixed_missing_init_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError):
+        sim.lloyd_codebook_fixed(df, n_centroids=4)
