@@ -680,3 +680,28 @@ def test_lloyd_codebook_fixed_missing_init_raises(spark):
     )
     with pytest.raises(ValueError):
         sim.lloyd_codebook_fixed(df, n_centroids=4)
+
+
+def test_pq_adc_tie_cut_is_partition_invariant(spark):
+    """>k vectors with IDENTICAL PQ codes tie exactly on ADC distance;
+    the per-batch partial top-k must keep the lowest neighbor ids (the
+    final window's tiebreak), not whatever batch order delivered —
+    regression for the lexsort cut."""
+    import numpy as np
+
+    dim, k = 8, 3
+    # ids 0..1 are the codebook/init ids (k=2 codebook); 20 clones of
+    # the same vector => identical codes => identical ADC distance.
+    # The clones arrive in one partition in DESCENDING id order: a
+    # batch-order cut would keep 29, 28, 27 and the rightful winners
+    # 10, 11, 12 would never reach the final window.
+    rows = [(0, [1.0] * dim), (1, [0.0] * dim)]
+    rows += [(29 - i, [1.0] * dim) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    cb = sim.pq_codebook(emb, m=2, k=2)
+    out = sim.pq_adc_topk(emb, cb, n_queries=1, k=k).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # query 0's nearest ties are every clone; lowest ids win: 10, 11, 12
+    assert got == [10, 11, 12]
