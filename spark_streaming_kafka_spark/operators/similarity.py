@@ -376,6 +376,69 @@ def kmeans_codebook(
     ]
 
 
+def max_cosine_to_set(
+    emb: DataFrame,
+    ref: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector nearest member of a reference set: (id,
+    nearest_ref_id, max_cosine rounded 6, flagged = max ≥ threshold).
+
+    The semantic decontamination primitive — the embedding-space
+    sibling of :func:`..curation.benchmark_contamination`'s n-gram
+    check: flag corpus documents whose embedding is close to any
+    eval-benchmark embedding (paraphrased leakage that shingle overlap
+    misses). Also serves as nearest-exemplar QC against any curated
+    reference set.
+
+    Scale shape: benchmark/reference sets are small by nature — the
+    ref matrix is a bounded driver collect that ships in the task
+    closure (the cosine_topk contract), and the corpus streams ONCE
+    through ``mapInPandas`` scoring each Arrow batch against all refs
+    with one BLAS matmul. No join, no shuffle, no corpus movement; ties
+    on the rounded cosine resolve to the LOWEST ref id (np.argmax
+    first-occurrence over id-ascending refs), so results are
+    partition-invariant and SQL-reproducible.
+    """
+    import numpy as np
+
+    refs = sorted(
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in ref.select(ref_id_col, vec_col).collect()
+    )
+    if not refs:
+        raise ValueError("empty reference set")
+    rids = np.array([i for i, _ in refs])
+    rmat = np.stack([v for _, v in refs])
+    rmat = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ rmat.T, 6)
+            best = sims.argmax(axis=1)  # first max ⇒ lowest ref id
+            mx = sims[np.arange(len(best)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "nearest_ref_id": rids[best],
+                    "max_cosine": mx,
+                    "flagged": mx >= threshold,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        score,
+        schema="vec_id long, nearest_ref_id long, max_cosine double, flagged boolean",
+    )
+
+
 def lloyd_codebook_fixed(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -4811,6 +4811,42 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_contamination",
+    """
+    WITH bench AS (
+      SELECT vec_id AS bid, embedding FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, b.bid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings e CROSS JOIN bench b
+    ),
+    best AS (
+      SELECT vec_id, bid, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, bid AS nearest_ref_id, cos AS max_cosine,
+           (cos >= 0.5) AS flagged
+    FROM best WHERE rn = 1
+    """,
+)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling
+    of benchmark_contamination's n-gram check: every corpus vector
+    reports its nearest benchmark member (vec_id % 97 slice, the
+    registry's stand-in eval set) and is flagged when max cosine ≥ 0.5,
+    catching paraphrased eval leakage that shingle overlap misses.
+    Benchmark matrix is a bounded collect shipped in the task closure;
+    the corpus streams once through an Arrow/BLAS pass — no join, no
+    shuffle, vectors never move
+    (operators/similarity.py::max_cosine_to_set)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    return sim.max_cosine_to_set(emb, bench, threshold=0.5)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -705,3 +705,35 @@ def test_pq_adc_tie_cut_is_partition_invariant(spark):
     got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     # query 0's nearest ties are every clone; lowest ids win: 10, 11, 12
     assert got == [10, 11, 12]
+
+
+def test_max_cosine_to_set_flags_and_ties(spark):
+    ref = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (7, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0]), (102, [1.0, 1.0]),
+         (103, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in sim.max_cosine_to_set(emb, ref, 0.9).collect()}
+    # exact tie between refs 0 and 7 -> lowest ref id wins
+    assert got[100]["nearest_ref_id"] == 0 and got[100]["flagged"]
+    assert got[101]["nearest_ref_id"] == 9 and got[101]["flagged"]
+    assert abs(got[102]["max_cosine"] - 0.707107) < 1e-6
+    assert not got[102]["flagged"]
+    # best of {-1 (refs 0,7), 0 (ref 9)} is 0.0 via ref 9
+    assert got[103]["max_cosine"] == 0.0
+    assert got[103]["nearest_ref_id"] == 9 and not got[103]["flagged"]
+
+
+def test_max_cosine_to_set_empty_ref_raises(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    ref = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        sim.max_cosine_to_set(emb, ref)
