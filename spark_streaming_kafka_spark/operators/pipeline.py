@@ -41,7 +41,7 @@ from .curation import benchmark_contamination, mixture_sample
 from .dedup import dedup_clusters, exact_dedup
 from .similarity import semdedup_prune
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curation_attrition", "curation_stages"]
 
 
 def curate_corpus(
@@ -100,6 +100,81 @@ def curate_corpus(
     ``benchmark`` defaults to the ``doc_id % 97 == 0`` slice of the
     input (the registry convention for a stand-in eval set).
     """
+    stages = curation_stages(
+        docs, emb, benchmark, jaccard_threshold, sem_threshold,
+        contamination_max, calibration_min, token_budget, alpha,
+        text_col, id_col, source_col,
+    )
+    s6 = stages["s6"]
+
+    # 7. pack and report
+    t = s6.withColumn(
+        "shard",
+        md5_long(F.concat(F.lit("pack_"), F.col(id_col))) % shards,
+    )
+    w7 = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "cum_before", F.sum("n_tokens").over(w7) - F.col("n_tokens")
+    ).withColumn("seq_id", F.expr(f"cum_before div {chunk_tokens}"))
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.countDistinct(
+            F.col("shard") * 1000000 + F.col("seq_id")
+        ).cast("long").alias("packed_seqs"),
+    )
+
+
+def curation_attrition(
+    docs: DataFrame,
+    emb: DataFrame,
+    benchmark: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Per-stage survivor counts for the curation pipeline — the
+    attrition report every corpus run publishes: (stage int, name,
+    docs). Stage frames are the exact :func:`curate_corpus` dataflow;
+    each count is a count-only aggregate over the stage's id-keyed
+    survivor set (no extra body scans beyond the pipeline's own)."""
+    stages = curation_stages(docs, emb, benchmark, **kwargs)
+    names = [
+        ("input", "input"),
+        ("s1", "exact_dedup"),
+        ("s2", "near_dup_clusters"),
+        ("s3", "semdedup"),
+        ("s4", "decontaminated"),
+        ("s5", "calibrated"),
+        ("s6", "mixture"),
+    ]
+    spark = docs.sparkSession
+    counts = [
+        (i, label, stages[key].count()) for i, (key, label) in enumerate(names)
+    ]
+    return spark.createDataFrame(counts, "stage int, name string, docs long")
+
+
+def curation_stages(
+    docs: DataFrame,
+    emb: DataFrame,
+    benchmark: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    sem_threshold: float = 0.45,
+    contamination_max: float = 0.8,
+    calibration_min: float = 0.1,
+    token_budget: int = 10000,
+    alpha: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> dict[str, DataFrame]:
+    """The shared stage dataflow behind :func:`curate_corpus` and
+    :func:`curation_attrition`: returns {input, s1..s6} survivor
+    frames (s6 carries (id, source, n_tokens); the rest carry the
+    document columns)."""
     if benchmark is None:
         benchmark = docs.filter(F.col(id_col) % 97 == 0)
 
@@ -155,23 +230,12 @@ def curate_corpus(
         source_col="source", text_col=text_col, id_col=id_col,
     ).select(id_col, "source", "n_tokens")
 
-    # 7. pack and report
-    t = s6.withColumn(
-        "shard",
-        md5_long(F.concat(F.lit("pack_"), F.col(id_col))) % shards,
-    )
-    w7 = (
-        Window.partitionBy("shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = t.withColumn(
-        "cum_before", F.sum("n_tokens").over(w7) - F.col("n_tokens")
-    ).withColumn("seq_id", F.expr(f"cum_before div {chunk_tokens}"))
-    return packed.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("kept_docs"),
-        F.sum("n_tokens").cast("long").alias("kept_tokens"),
-        F.countDistinct(
-            F.col("shard") * 1000000 + F.col("seq_id")
-        ).cast("long").alias("packed_seqs"),
-    )
+    return {
+        "input": docs,
+        "s1": s1,
+        "s2": s2,
+        "s3": s3,
+        "s4": s4,
+        "s5": s5,
+        "s6": s6,
+    }

@@ -4651,10 +4651,7 @@ def q_ann_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk_refined(emb, cb, n_queries=3, k=10, refine_n=200)
 
 
-@register(
-    "corpus_curation_e2e",
-    f"""
-    WITH RECURSIVE
+_CURATION_CTES = f"""
     d1 AS (
       SELECT d.* FROM documents d
       JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) c
@@ -4776,7 +4773,15 @@ def q_ann_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok5 t JOIN rates r USING (source)
       WHERE {duckdb_md5_long("concat('mix_', t.doc_id)")} % 1000000
             < CAST(round(r.rate * 1000000) AS BIGINT)
-    ),
+    )
+"""
+
+
+@register(
+    "corpus_curation_e2e",
+    f"""
+    WITH RECURSIVE
+    {_CURATION_CTES},
     c6 AS (
       SELECT *,
              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -4807,6 +4812,35 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pipeline import curate_corpus
 
     return curate_corpus(
+        _docs_fan(spark, sf_dir), _t(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
+    "corpus_curation_attrition",
+    f"""
+    WITH RECURSIVE
+    {_CURATION_CTES}
+    SELECT CAST(0 AS INTEGER) AS stage, 'input' AS name,
+           (SELECT count(*) FROM documents)::BIGINT AS docs
+    UNION ALL SELECT 1, 'exact_dedup', (SELECT count(*) FROM d1)::BIGINT
+    UNION ALL SELECT 2, 'near_dup_clusters', (SELECT count(*) FROM d2)::BIGINT
+    UNION ALL SELECT 3, 'semdedup', (SELECT count(*) FROM d3)::BIGINT
+    UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM d4)::BIGINT
+    UNION ALL SELECT 5, 'calibrated', (SELECT count(*) FROM d5)::BIGINT
+    UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM d6)::BIGINT
+    """,
+)
+def q_corpus_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's per-stage attrition report — the
+    (stage, name, surviving-docs) table every corpus run publishes.
+    Stage frames are the exact curate_corpus dataflow; the oracle
+    re-counts each stage of the same SQL CTE chain, so the composed
+    pipeline's INTERMEDIATE populations are pinned too, not just its
+    final output (operators/pipeline.py::curation_attrition)."""
+    from .operators.pipeline import curation_attrition
+
+    return curation_attrition(
         _docs_fan(spark, sf_dir), _t(spark, sf_dir, "embeddings")
     )
 
