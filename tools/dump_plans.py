@@ -156,6 +156,16 @@ SHOWCASE = {
     "cumsum) key on source/shard over narrow fact rows; final aggregate "
     "is |sources|-sized. No CartesianProduct outside the bounded "
     "16-centroid SemDeDup assignment.",
+    "ann_topk_ivf_trained": "Trained-codebook IVF: the Lloyd's centroids "
+    "are driver-side model state (two bounded assignment+mean jobs), so "
+    "this plan is IDENTICAL in shape to ann_topk_ivf — shuffle-free "
+    "mapInPandas cell assignment, broadcast probe rows, one window cut; "
+    "swapping the codebook changed zero plan structure, which is the "
+    "point of the pluggable-codebook design.",
+    "semantic_contamination": "Benchmark matrix in the task closure: one "
+    "mapInPandas over the corpus scan, NO join and NO exchange at all "
+    "before the collect — the flag/nearest-id columns are computed "
+    "in-batch against the broadcast-like ref matrix.",
 }
 
 
