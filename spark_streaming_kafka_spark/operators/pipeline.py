@@ -120,11 +120,14 @@ def curate_corpus(
     packed = t.withColumn(
         "cum_before", F.sum("n_tokens").over(w7) - F.col("n_tokens")
     ).withColumn("seq_id", F.expr(f"cum_before div {chunk_tokens}"))
+    # composite-key multiplier 1e12: seq_id stays unique per shard up to
+    # 2.56e14 tokens/shard (1e6 would collide at a mere 256M tokens —
+    # trivially reached at the module's advertised scale)
     return packed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("kept_docs"),
         F.sum("n_tokens").cast("long").alias("kept_tokens"),
         F.countDistinct(
-            F.col("shard") * 1000000 + F.col("seq_id")
+            F.col("shard") * F.lit(1_000_000_000_000) + F.col("seq_id")
         ).cast("long").alias("packed_seqs"),
     )
 
@@ -151,9 +154,21 @@ def curation_attrition(
         ("s6", "mixture"),
     ]
     spark = docs.sparkSession
-    counts = [
-        (i, label, stages[key].count()) for i, (key, label) in enumerate(names)
-    ]
+    # Persist each stage while counting: stage N's lineage contains all
+    # earlier stages, so seven uncached counts would re-run the LSH +
+    # connected-components + SemDeDup subtrees up to 7x. With the
+    # persists, each stage computes once and later counts reuse it.
+    persisted = [stages[key] for key, _ in names[1:]]
+    for df in persisted:
+        df.persist()
+    try:
+        counts = [
+            (i, label, stages[key].count())
+            for i, (key, label) in enumerate(names)
+        ]
+    finally:
+        for df in persisted:
+            df.unpersist()
     return spark.createDataFrame(counts, "stage int, name string, docs long")
 
 

@@ -402,18 +402,30 @@ def max_cosine_to_set(
     on the rounded cosine resolve to the LOWEST ref id (np.argmax
     first-occurrence over id-ascending refs), so results are
     partition-invariant and SQL-reproducible.
+
+    Duplicate ref ids and zero-norm refs raise (a benchmark table
+    should be deduped and non-degenerate); a zero-norm CORPUS vector
+    has no defined cosine and surfaces as max_cosine = NaN with
+    flagged = false — visible, never silently matched.
     """
     import numpy as np
 
-    refs = sorted(
+    collected = [
         (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
         for r in ref.select(ref_id_col, vec_col).collect()
-    )
-    if not refs:
+    ]
+    if not collected:
         raise ValueError("empty reference set")
+    # sort on id alone (tuple-sort would compare ndarrays on id ties)
+    refs = sorted(collected, key=lambda t: t[0])
     rids = np.array([i for i, _ in refs])
+    if len(set(rids.tolist())) != len(rids):
+        raise ValueError("duplicate ids in reference set")
     rmat = np.stack([v for _, v in refs])
-    rmat = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
+    norms = np.linalg.norm(rmat, axis=1, keepdims=True)
+    if not norms.all():
+        raise ValueError("zero-norm vector in reference set")
+    rmat = rmat / norms
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

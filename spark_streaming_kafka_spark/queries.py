@@ -1549,11 +1549,15 @@ def q_kmeans_codebook_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), n_centroids=8, iterations=2
     )
     rows = [
-        (int(cid), int(pos), round(float(v), 6))
+        (int(cid), int(pos), float(v))
         for cid, vec in cb
         for pos, v in enumerate(vec)
     ]
-    return spark.createDataFrame(rows, "cid int, pos int, val double")
+    # round via F.round (HALF_UP, matching DuckDB round()) — Python's
+    # built-in round is half-to-even and would diverge on boundaries
+    return spark.createDataFrame(
+        rows, "cid int, pos int, val double"
+    ).select("cid", "pos", F.round("val", 6).alias("val"))
 
 
 @register(
@@ -4793,7 +4797,7 @@ _CURATION_CTES = f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS kept_docs,
            CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
-           CAST(count(DISTINCT shard * 1000000 + cum_before // 256) AS BIGINT)
+           CAST(count(DISTINCT shard * 1000000000000 + cum_before // 256) AS BIGINT)
              AS packed_seqs
     FROM c6 GROUP BY source
     """,

@@ -77,11 +77,14 @@ def incremental_dedup_sink(
             # outage) must abort the batch — returning empty there would
             # silently disable dedup history and let duplicates flow to
             # on_kept AND into the manifests permanently.
-            msg = str(exc)
+            msg = str(exc).lower()
             if (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg
+                "path_not_found" in msg
+                or "path does not exist" in msg
+                # empty manifest dir (created but never written) — both
+                # the Spark 4 error-class token and the 3.x prose form
+                or "unable_to_infer_schema" in msg
+                or "unable to infer schema" in msg
             ):
                 return spark.createDataFrame([], schema + ", batch_id long")
             raise

@@ -35,6 +35,8 @@ _raw = list(sys.argv[1:])
 JSON_OUT = None
 if "--json" in _raw:
     i = _raw.index("--json")
+    if i + 1 >= len(_raw) or _raw[i + 1].startswith("--"):
+        sys.exit("usage: --json OUT.json requires a filename")
     JSON_OUT = _raw[i + 1]
     del _raw[i : i + 2]
 _ARGS = [a for a in _raw if a != "--vanilla"]

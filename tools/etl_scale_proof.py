@@ -33,30 +33,12 @@ WORK = sys.argv[2] if len(sys.argv) > 2 else "/tmp/etl_sf1"
 REPS = 10
 OFFSET = 100_000_000
 
-ETL_SQL = """
-    WITH trip AS (
-      SELECT o.o_custkey AS user_id, l.l_partkey AS song_id,
-             CAST(l.l_quantity AS BIGINT) AS listen_count
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ),
-    f1 AS (SELECT * FROM trip WHERE listen_count >= 2),
-    tot AS (SELECT user_id, sum(listen_count) AS total FROM f1 GROUP BY user_id),
-    f2 AS (SELECT f1.* FROM f1 JOIN tot USING (user_id) WHERE tot.total >= 20),
-    q AS (SELECT user_id, quantile_cont(listen_count, [0.2, 0.4, 0.6, 0.8]) AS qs
-          FROM f2 GROUP BY user_id),
-    rated AS (
-      SELECT f2.user_id, f2.song_id,
-             CASE WHEN listen_count >= qs[4] THEN 5.0
-                  WHEN listen_count >= qs[3] THEN 4.0
-                  WHEN listen_count >= qs[2] THEN 3.0
-                  WHEN listen_count >= qs[1] THEN 2.0
-                  ELSE 1.0 END AS rating
-      FROM f2 JOIN q USING (user_id)
-    ),
-    songtot AS (SELECT song_id, sum(listen_count) AS total FROM f2 GROUP BY song_id),
-    cat AS (SELECT song_id FROM songtot ORDER BY total DESC, song_id ASC LIMIT 200)
-    SELECT r.user_id, r.song_id, r.rating FROM rated r JOIN cat USING (song_id)
-"""
+def _etl_sql() -> str:
+    """The REGISTERED oracle string — not a copy, so the proof always
+    measures exactly the query the correctness gate pins."""
+    from spark_streaming_kafka_spark.queries import REGISTRY
+
+    return REGISTRY["etl_ratings_pipeline"][1]
 
 
 def synthesize(spark) -> None:
@@ -119,11 +101,12 @@ def time_duck(sf_dir: str) -> float:
             and not os.path.isfile(f"{sf_dir}/{t}.parquet")
             else f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    con.execute(ETL_SQL).fetchall()  # warm
+    sql = _etl_sql()
+    con.execute(sql).fetchall()  # warm
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        con.execute(ETL_SQL).fetchall()
+        con.execute(sql).fetchall()
         best = min(best, time.time() - t0)
     con.close()
     return best
