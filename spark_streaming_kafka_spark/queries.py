@@ -1068,9 +1068,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-_JACCARD_SQL = """
-WITH tok AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+def _jaccard_ctes(src: str = "documents") -> str:
+    """Shared 3-gram Jaccard CTE chain over ``src``: tok/sh/sizes/
+    common plus a threshold-gated ``pairs`` (id_a, id_b) — the ONE
+    definition every Jaccard-pair oracle builds on (standalone pairs,
+    clustering, canonical-keep, and the curation pipeline's d1-scoped
+    variant), so a semantics fix propagates everywhere."""
+    return f"""tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM {src}
 ), sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
   FROM tok, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
@@ -1079,7 +1084,36 @@ common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+)"""
+
+
+def _cc_over_pairs(out_id: str = "doc_id") -> str:
+    """Connected components over a CTE named ``pairs`` (id_a, id_b):
+    edges/reach/cc with each node labeled by its component's minimum
+    id — the shared recursion behind every clustering oracle. Must be
+    used inside a ``WITH RECURSIVE``."""
+    return f"""edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cc AS (SELECT a AS {out_id}, least(a, min(b)) AS cluster_id
+       FROM reach GROUP BY a)"""
+
+
+_JACCARD_SQL = f"""
+WITH {_jaccard_ctes()}
 SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
@@ -1144,19 +1178,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_SQL = f"""
-WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-FROM reach GROUP BY a
+WITH RECURSIVE {_jaccard_ctes()},
+{_cc_over_pairs()}
+SELECT doc_id, cluster_id FROM cc
 """
 
 
@@ -1170,24 +1194,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-_SEMANTIC_CC_SQL = """
+_SEMANTIC_CC_SQL = f"""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 ),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS vec_id, least(a, min(b)) AS cluster_id
-FROM reach GROUP BY a
+{_cc_over_pairs(out_id="vec_id")}
+SELECT vec_id, cluster_id FROM cc
 """
 
 
@@ -1333,18 +1347,8 @@ def _semantic_cc_lsh_sql() -> str:
     WITH RECURSIVE pairs AS (
     {_near_dup_lsh_sql()}
     ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION
-      SELECT id_b AS a, id_a AS b FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
-    SELECT a AS vec_id, least(a, min(b)) AS cluster_id
-    FROM reach GROUP BY a
+    {_cc_over_pairs(out_id="vec_id")}
+    SELECT vec_id, cluster_id FROM cc
     """
 
 
@@ -1645,10 +1649,10 @@ def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semdedup_prune",
-    """
-    WITH cent AS (
+#: SemDeDup oracle CTE chain (cent/assign/cells/dom) — the one
+#: definition shared by the standalone ``semdedup_prune`` query and the
+#: curation pipeline's stage-3 drop set (``_CURATION_CTES``).
+_SEMDEDUP_CTES = """cent AS (
       SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16
     ),
     assign AS (
@@ -1665,7 +1669,13 @@ def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
       WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
       GROUP BY a.vec_id
-    )
+    )"""
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH {_SEMDEDUP_CTES}
     SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cluster_id,
            (d.vec_id IS NULL) AS keep, d.pruned_by
     FROM cells c LEFT JOIN dom d ON d.vec_id = c.vec_id
@@ -4403,21 +4413,8 @@ def q_manifest_neardup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_canonical_keep",
     f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION
-      SELECT id_b AS a, id_a AS b FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    ),
-    cc AS (
-      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-      FROM reach GROUP BY a
-    ),
+    WITH RECURSIVE {_jaccard_ctes()},
+    {_cc_over_pairs()},
     q AS (SELECT doc_id, round({_QUALITY_SQL}, 6) AS quality FROM documents),
     j AS (
       SELECT cc.doc_id, cc.cluster_id, q.quality
@@ -4661,59 +4658,13 @@ _CURATION_CTES = f"""
       JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) c
         USING (doc_id)
     ),
-    tok1 AS (
-      SELECT doc_id, {_sql_tokens()} AS toks FROM d1
-    ),
-    sh1 AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-      FROM tok1, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
-    ),
-    sizes1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
-    common1 AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs1 AS (
-      SELECT id_a, id_b FROM common1
-      JOIN sizes1 sa ON sa.doc_id = id_a
-      JOIN sizes1 sb ON sb.doc_id = id_b
-      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-    ),
-    edges1 AS (
-      SELECT id_a AS a, id_b AS b FROM pairs1
-      UNION
-      SELECT id_b AS a, id_a AS b FROM pairs1
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges1
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges1 e ON r.b = e.a
-    ),
-    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           FROM reach GROUP BY a),
+    {_jaccard_ctes("d1")},
+    {_cc_over_pairs()},
     d2 AS (
       SELECT d1.* FROM d1 LEFT JOIN cc ON cc.doc_id = d1.doc_id
       WHERE cc.doc_id IS NULL OR cc.cluster_id = d1.doc_id
     ),
-    cent AS (
-      SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16
-    ),
-    assign AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_vec::DOUBLE[]), 6) DESC,
-                        c.cid ASC) AS rn
-      FROM embeddings e CROSS JOIN cent c
-    ),
-    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
-    dom AS (
-      SELECT a.vec_id
-      FROM cells a JOIN cells b ON a.cid = b.cid AND b.vec_id < a.vec_id
-      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
-      GROUP BY a.vec_id
-    ),
+    {_SEMDEDUP_CTES},
     d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT vec_id FROM dom)),
     w3 AS (SELECT doc_id, {_sql_tokens()} AS w FROM d3),
     s3 AS (
