@@ -1095,6 +1095,24 @@ def pq_encode(
     )
 
 
+def _pq_query_rows(emb, n_queries, id_col, vec_col):
+    """THE query-selection convention for the PQ search family (the
+    ``n_queries`` lowest ids, id-sorted): one definition so the ADC
+    scan and the refine re-rank can never disagree about which vectors
+    are the queries."""
+    import numpy as np
+
+    qrows = sorted(
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in emb.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("no query vectors below n_queries")
+    return qrows
+
+
 def pq_adc_topk(
     emb: DataFrame,
     codebook: list[list[list[float]]],
@@ -1126,14 +1144,7 @@ def pq_adc_topk(
     m = len(codebook)
     cb = np.asarray(codebook, dtype=np.float64)  # (m, k, ds)
     ds = cb.shape[2]
-    qrows = sorted(
-        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
-        for r in emb.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    if not qrows:
-        raise ValueError("no query vectors below n_queries")
+    qrows = _pq_query_rows(emb, n_queries, id_col, vec_col)
     # (|Q|, m, k) exact subspace distances — the ADC lookup tables
     Q = np.stack([q for _, q in qrows]).reshape(len(qrows), m, 1, ds)
     luts = ((Q - cb[None, :, :, :]) ** 2).sum(axis=-1)
@@ -1220,13 +1231,7 @@ def pq_adc_topk_refined(
         emb, codebook, n_queries=n_queries, k=refine_n,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
-    qrows = sorted(
-        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
-        for r in emb.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    Q = {qid: qv for qid, qv in qrows}
+    Q = dict(_pq_query_rows(emb, n_queries, id_col, vec_col))
 
     # Fetch exact vectors for candidates only: broadcast the tiny
     # candidate frame into the corpus scan (column-pruned to id+vec).
