@@ -1209,7 +1209,7 @@ def pq_adc_topk_refined(
     squared-L2. This is the production shape (Jégou et al. 2011 §V;
     faiss ``IndexIVFPQR``): the compressed scan does the winnowing, the
     exact pass fixes quantization's rank errors — recall@10 goes from
-    the 0.26–0.52 of raw ADC (docs/RECALL.md) to 1.0 at refine_n=200
+    the 0.26–0.52 of raw ADC (docs/RECALL.md) to ~0.98 at refine_n=200
     on the near-random worst-case testdata (structured real embeddings
     reach ≥0.9 at refine_n≈5·k) while the corpus's float vectors are
     touched for only refine_n rows per query.

@@ -4639,7 +4639,7 @@ def q_ann_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     those |Q|·200 rows get their float vectors fetched (broadcast
     candidate-id semi-join — the corpus never shuffles) and re-ranked
     by true squared-L2. Raw ADC recall@10 is 0.26–0.52 at this (m, k);
-    the refine at refine_n=200 measures recall@10 = 1.0 even on this
+    the refine at refine_n=200 measures recall@10 ≈ 0.98 even on this
     near-random worst-case testdata (docs/RECALL.md; real embeddings
     with low-dim structure need far smaller over-fetch) while keeping
     the compressed-scan economics — this is the registered operator
