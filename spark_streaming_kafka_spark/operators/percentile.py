@@ -132,3 +132,45 @@ def iqr_outliers(
     return df.join(F.broadcast(fences), group).filter(
         (v < F.col("fence_lo")) | (v > F.col("fence_hi"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group: str,
+    value: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median-absolute-deviation outliers per group (Iglewicz–Hoaglin
+    modified z-score): rows where |0.6745·(v − median)/MAD| exceeds
+    ``threshold`` (3.5 is the published default). The heavier-duty
+    sibling of :func:`iqr_outliers` — MAD's breakdown point is 50%, so
+    the screen survives even a near-majority of corrupted values.
+
+    Appends ``med``, ``mad``, and the ROUNDED ``mz`` (the filter
+    compares the rounded score, so engine interpolation wobble can't
+    flip a boundary row). Groups with MAD = 0 (a majority of identical
+    values — every deviation would be infinitely outlying) are
+    excluded, deliberately and visibly: degenerate groups need a
+    different screen, not a division by zero.
+
+    Plan: two dimension-sized exact-percentile aggregations (medians,
+    then MADs of the deviations), each broadcast back — the fact side
+    never shuffles. Swap ``percentile`` → ``percentile_approx`` at
+    extreme group sizes, same trade as iqr_outliers.
+    """
+    med = df.groupBy(group).agg(
+        F.expr(f"percentile({value}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group).withColumn(
+        "__dev", F.abs(F.col(value) - F.col("med"))
+    )
+    mad = dev.groupBy(group).agg(F.expr("percentile(__dev, 0.5)").alias("mad"))
+    scored = dev.join(
+        F.broadcast(mad.filter(F.col("mad") > 0)), group
+    ).withColumn(
+        "mz",
+        F.round(
+            F.lit(0.6745) * (F.col(value) - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return scored.filter(F.abs(F.col("mz")) > threshold).drop("__dev")

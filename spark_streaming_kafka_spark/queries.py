@@ -4045,6 +4045,92 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_outlier_events",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dv
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dv, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round(med, 6) AS med, round(mad, 6) AS mad, mz
+    FROM (
+      SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+             round(0.6745 * (d.value - d.med) / m.mad, 6) AS mz
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE m.mad > 0
+    )
+    WHERE abs(mz) > 3.5
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD (modified z-score) outlier rows per event type — the
+    50%-breakdown robust screen completing the outlier family
+    (z-score → rolling z → IQR → MAD). Two dimension-sized
+    exact-percentile aggregations broadcast back; the fact side never
+    shuffles; the filter compares the ROUNDED score on both engines;
+    MAD=0 groups are excluded by contract
+    (operators/percentile.py::mad_outliers)."""
+    from .operators.percentile import mad_outliers
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = mad_outliers(events, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "mz",
+    )
+
+
+@register(
+    "corr_quantity_price",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation / sample covariance / stddevs —
+    the column-relationship profile a feature-engineering pass runs
+    before trusting a derived signal. ONE partial-aggregated hash
+    aggregation (corr/covar/stddev all stream through Spark's
+    moment accumulators — no second pass, no row materialization);
+    outputs rounded so the two engines' accumulation orders agree."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+@register(
     "nearest_centroid_confusion",
     """
     WITH ex AS (

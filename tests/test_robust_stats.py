@@ -169,3 +169,30 @@ def test_nearest_centroid_null_labels_scored_as_null_true(spark):
     assert got[(None, 0)] == 1
     assert got[(0, 0)] == 1
     assert got[(1, 1)] == 1
+
+
+# --- MAD outliers -------------------------------------------------------
+
+def test_mad_outliers_known_values(spark):
+    from spark_streaming_kafka_spark.operators.percentile import mad_outliers
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = mad_outliers(df, "g", "v").collect()
+    # median 5.5, deviations [4.5..0.5, 94.5] -> MAD 2.5;
+    # mz(100) = 0.6745*94.5/2.5 = 25.5 -> only the 100 row flags
+    assert [(r.id, r.v) for r in got] == [(9, 100.0)]
+    assert abs(got[0].mz - round(0.6745 * 94.5 / 2.5, 6)) < 1e-9
+
+
+def test_mad_outliers_degenerate_group_excluded(spark):
+    from spark_streaming_kafka_spark.operators.percentile import mad_outliers
+
+    # >50% identical values => MAD 0 => group excluded by contract,
+    # even though 99.0 is wildly off-median
+    rows = [(i, "a", 5.0) for i in range(6)] + [(6, "a", 99.0)]
+    rows += [(10, "b", 1.0), (11, "b", 2.0), (12, "b", 3.0), (13, "b", 50.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = mad_outliers(df, "g", "v").collect()
+    assert all(r.g == "b" for r in got)
+    assert {r.id for r in got} == {13}
