@@ -74,11 +74,15 @@ def curate_corpus(
        keep only each cluster's minimum-id representative
        (:func:`..dedup.dedup_clusters`).
     3. *SemDeDup prune* — embedding-space within-cluster domination,
-       decided CORPUS-WIDE (:func:`..similarity.semdedup_prune`): the
-       decision table is population-independent, and a dominating
-       lower-id mate that earlier tiers dropped was itself replaced by
-       an even-lower-id (near-)identical copy, so corpus-wide decisions
-       compose soundly with the dedup tiers.
+       decided CORPUS-WIDE (:func:`..similarity.semdedup_prune`). This
+       is a deliberate convention, not a proven-sound composition: a
+       doc's dominating lower-id mate may itself have been dropped by
+       the text-dedup tiers without an embedding-close survivor
+       standing in (exact/near TEXT duplicates need not be
+       embedding-near). Deciding over the full corpus keeps the stage
+       population-independent (and oracle-replayable); a stricter
+       variant would recompute the prune over the stage-2 survivors'
+       embedding subset.
     4. *Decontamination* — drop survivors whose 5-gram shingle overlap
        with the benchmark set reaches ``contamination_max``
        (benchmark members self-report 1.0 and are dropped too;
@@ -142,7 +146,13 @@ def curation_attrition(
     attrition report every corpus run publishes: (stage int, name,
     docs). Stage frames are the exact :func:`curate_corpus` dataflow;
     each count is a count-only aggregate over the stage's id-keyed
-    survivor set (no extra body scans beyond the pipeline's own)."""
+    survivor set (no extra body scans beyond the pipeline's own).
+
+    Accepts the full :func:`curate_corpus` kwarg set; the
+    packing-only params (``chunk_tokens``, ``shards``) are ignored
+    since the report stops before stage 7."""
+    kwargs.pop("chunk_tokens", None)
+    kwargs.pop("shards", None)
     stages = curation_stages(docs, emb, benchmark, **kwargs)
     names = [
         ("input", "input"),

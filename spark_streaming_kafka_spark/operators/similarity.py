@@ -405,7 +405,8 @@ def max_cosine_to_set(
 
     Duplicate ref ids and zero-norm refs raise (a benchmark table
     should be deduped and non-degenerate); a zero-norm CORPUS vector
-    has no defined cosine and surfaces as max_cosine = NaN with
+    has no defined cosine and surfaces as max_cosine = NULL (the
+    batch-local NaN crosses the Arrow boundary as null) with
     flagged = false — visible, never silently matched.
     """
     import numpy as np
@@ -432,7 +433,11 @@ def max_cosine_to_set(
             if pdf.empty:
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # zero-norm corpus rows yield NaN similarity (documented
+            # fallback) — silence the divide warning so the behavior
+            # holds under np.seterr / warnings-as-errors configs too
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = np.round(mat @ rmat.T, 6)
             best = sims.argmax(axis=1)  # first max ⇒ lowest ref id
             mx = sims[np.arange(len(best)), best]

@@ -329,3 +329,32 @@ def test_mixture_temperature_alpha(spark):
 
     with _pytest.raises(ValueError, match="not both"):
         mixture_rates(df, 40, weights={"A": 1.0, "B": 0.0}, alpha=0.5)
+
+
+def test_curation_attrition_accepts_curate_corpus_kwargs(spark):
+    # curate_corpus and curation_attrition advertise the same pipeline;
+    # the packing-only kwargs (chunk_tokens/shards) must not raise even
+    # though the attrition report stops before the packing stage.
+    from spark_streaming_kafka_spark.operators.pipeline import curation_attrition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "web"),
+            (2, "alpha beta gamma delta epsilon", "web"),
+            (3, "completely different words here entirely", "books"),
+            (4, "yet another unrelated document body text", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = curation_attrition(docs, emb, chunk_tokens=128, shards=4)
+    rows = {r["name"]: r["docs"] for r in out.collect()}
+    assert rows["input"] == 4
+    assert rows["exact_dedup"] == 3  # doc 2 is a byte-identical copy of 1
+    assert set(rows) == {
+        "input", "exact_dedup", "near_dup_clusters", "semdedup",
+        "decontaminated", "calibrated", "mixture",
+    }

@@ -737,3 +737,18 @@ def test_max_cosine_to_set_empty_ref_raises(spark):
     ref = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         sim.max_cosine_to_set(emb, ref)
+
+
+def test_max_cosine_to_set_zero_norm_corpus_row_is_nan(spark):
+    ref = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in sim.max_cosine_to_set(emb, ref, 0.5).collect()}
+    # zero-norm corpus vector: documented null fallback (batch-local
+    # NaN crosses the Arrow boundary as null), never flagged
+    assert got[1]["max_cosine"] is None and not got[1]["flagged"]
+    assert got[2]["max_cosine"] == 1.0 and got[2]["flagged"]
