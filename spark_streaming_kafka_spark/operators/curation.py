@@ -46,6 +46,9 @@ __all__ = [
     "mixture_sample",
     "inverted_index",
     "chunk_documents",
+    "boilerplate_shingles",
+    "boilerplate_ratio",
+    "source_cap_sample",
 ]
 
 
@@ -509,4 +512,139 @@ def chunk_documents(
         (F.col("__start") / F.lit(stride)).cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    k: int = 3,
+    min_share: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source boilerplate dictionary — the k-word shingles that
+    appear in at least ``min_share`` of the source's documents
+    (``(source, shingle, df, share)``).
+
+    The template-text detector behind C4/CCNet-style boilerplate
+    removal: navigation chrome, license banners, and cookie notices
+    repeat across most pages of a site, so a shingle's per-source
+    document frequency separates template from content. Downstream,
+    :func:`boilerplate_ratio` scores each document against this
+    dictionary.
+
+    Scale shape: shingles are distinct-per-document
+    (:func:`..dedup.word_shingles`), so ``count(*)`` per
+    (source, shingle) IS document frequency — one explode, one
+    shuffle keyed by (source, shingle), map-side partial counts. The
+    |sources|-row totals table broadcasts. Output size is bounded by
+    construction: a shingle needs df ≥ min_share·n_docs, so each
+    source emits at most avg_distinct_shingles_per_doc / min_share
+    rows — independent of corpus size. (At 100 TB the shuffle would
+    carry md5 shingle hashes instead of strings; strings are kept
+    here for the value-exact oracle and human-readable dictionary.)
+    """
+    flat = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    totals = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfc = flat.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfc.join(F.broadcast(totals), "source")
+        .withColumn("share", F.round(F.col("df") / F.col("n_docs"), 6))
+        .filter(F.col("share") >= min_share)
+        .select("source", "shingle", "df", "share")
+    )
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    k: int = 3,
+    min_share: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document boilerplate score: the fraction of a doc's distinct
+    k-word shingles that are in its source's boilerplate dictionary
+    (``(doc_id, n_shingles, n_boiler, boilerplate_ratio)``).
+
+    The filtering face of :func:`boilerplate_shingles` — docs that are
+    mostly template text (high ratio) get dropped or down-weighted by
+    a quality gate, exactly how public web-corpus pipelines cut
+    chrome-only pages.
+
+    Scale shape: the dictionary subtree is corpus-size-bounded per
+    source (see :func:`boilerplate_shingles`), so the doc-side join is
+    a BROADCAST hash join on (source, shingle) — the corpus's exploded
+    shingles never shuffle; the only wide exchange is the per-doc
+    count aggregate keyed by doc_id.
+    """
+    dictionary = boilerplate_shingles(
+        docs, k, min_share, text_col, id_col, source_col
+    ).select("source", "shingle", F.lit(1).alias("__boiler"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode_outer(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    marked = exploded.join(F.broadcast(dictionary), ["source", "shingle"], "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.count("__boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_boiler") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+def source_cap_sample(
+    docs: DataFrame,
+    cap: int = 100,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source document cap: keep at most ``cap``
+    documents from each source, chosen by hash order
+    (``(doc_id, source, cap_rank)``).
+
+    The over-represented-domain guard every web corpus applies —
+    without it one crawl-heavy site dominates the mixture. Hash order
+    (not id order) makes the kept set a uniform sample of the source,
+    and rerun/engine-invariant: whether a doc survives is recomputable
+    from (id, cap) alone.
+
+    Scale shape: one shuffle keyed by source for the rank window; rows
+    carry (id, source, hash) only. Skewed giant sources rank in one
+    partition by design (the cap decision is inherently per-source
+    sequential) — at extreme skew, pre-filter with an approximate
+    per-source count gate before the window.
+    """
+    from pyspark.sql import Window
+
+    h = md5_long(F.concat(F.lit("cap_"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+        )
+        .withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= cap)
     )

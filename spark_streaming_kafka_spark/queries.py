@@ -4922,6 +4922,119 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.max_cosine_to_set(emb, bench, threshold=0.5)
 
 
+@register(
+    "boilerplate_ngrams",
+    """
+    WITH words AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM words
+    ),
+    flat AS (SELECT doc_id, source, unnest(shs) AS shingle FROM sh),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    dfc AS (SELECT source, shingle, count(*) AS df FROM flat GROUP BY source, shingle)
+    SELECT d.source, d.shingle, CAST(df AS BIGINT) AS df,
+           round(df * 1.0 / n_docs, 6) AS share
+    FROM dfc d JOIN nd USING (source)
+    WHERE round(df * 1.0 / n_docs, 6) >= 0.05
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate dictionary — the C4/CCNet template-text
+    detector: 3-word shingles present in ≥5% of a source's documents
+    (site chrome, banners, cookie notices repeat across most pages of
+    a site). Shingles are distinct-per-doc so count(*) IS document
+    frequency; one explode + one (source, shingle)-keyed shuffle with
+    map-side partial counts; the |sources|-row totals broadcast. The
+    dictionary is corpus-size-bounded by construction: ≤
+    distinct_shingles_per_doc / min_share rows per source
+    (operators/curation.py::boilerplate_shingles)."""
+    from .operators.curation import boilerplate_shingles
+
+    return boilerplate_shingles(_docs_fan(spark, sf_dir), k=3, min_share=0.05)
+
+
+@register(
+    "boilerplate_doc_ratio",
+    """
+    WITH words AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM words
+    ),
+    flat AS (SELECT doc_id, source, unnest(shs) AS shingle FROM sh),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    dfc AS (SELECT source, shingle, count(*) AS df FROM flat GROUP BY source, shingle),
+    dict AS (
+      SELECT d.source, d.shingle FROM dfc d JOIN nd USING (source)
+      WHERE round(df * 1.0 / n_docs, 6) >= 0.05
+    ),
+    hits AS (
+      SELECT f.doc_id, count(*) AS n_b
+      FROM flat f JOIN dict USING (source, shingle) GROUP BY f.doc_id
+    )
+    SELECT s.doc_id, CAST(len(shs) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_b, 0) AS BIGINT) AS n_boiler,
+           round(CASE WHEN len(shs) > 0
+                      THEN coalesce(n_b, 0) * 1.0 / len(shs)
+                      ELSE 0.0 END, 6) AS boilerplate_ratio
+    FROM sh s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_boilerplate_doc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate score — fraction of a doc's distinct
+    3-word shingles in its source's boilerplate dictionary; the
+    filtering face of boilerplate_ngrams (mostly-template pages get
+    cut by a ratio gate). The dictionary subtree is size-bounded per
+    source, so the corpus side joins it BROADCAST on (source, shingle)
+    — exploded shingles never shuffle; the only wide exchange is the
+    per-doc count aggregate (operators/curation.py::boilerplate_ratio)."""
+    from .operators.curation import boilerplate_ratio
+
+    return boilerplate_ratio(_docs_fan(spark, sf_dir), k=3, min_share=0.05)
+
+
+@register(
+    "source_cap_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duckdb_md5_long("concat('cap_', CAST(doc_id AS VARCHAR))")} ASC,
+                        doc_id ASC
+             ) AS cap_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(cap_rank AS INT) AS cap_rank
+    FROM ranked WHERE cap_rank <= 10
+    """,
+)
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap — keep ≤10 docs per
+    source in hash order: the over-represented-domain guard applied
+    before mixing so one crawl-heavy site cannot dominate the corpus.
+    Hash order makes the kept set a uniform, rerun/engine-invariant
+    sample; rows carry (id, source, hash) only through the one
+    source-keyed rank shuffle
+    (operators/curation.py::source_cap_sample)."""
+    from .operators.curation import source_cap_sample
+
+    return source_cap_sample(_docs_fan(spark, sf_dir), cap=10)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -358,3 +358,57 @@ def test_curation_attrition_accepts_curate_corpus_kwargs(spark):
         "input", "exact_dedup", "near_dup_clusters", "semdedup",
         "decontaminated", "calibrated", "mixture",
     }
+
+
+def test_boilerplate_dictionary_and_ratio(spark):
+    from spark_streaming_kafka_spark.operators.curation import (
+        boilerplate_ratio,
+        boilerplate_shingles,
+    )
+
+    # "cookie notice here" is template text on 3 of 4 site-A pages;
+    # site B shares the phrase but only on 1 of 2 pages.
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie notice here unique alpha words", "A"),
+            (2, "cookie notice here unique beta words", "A"),
+            (3, "cookie notice here unique gamma words", "A"),
+            (4, "totally organic content only", "A"),
+            (5, "cookie notice here something else", "B"),
+            (6, "organic page no template", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    d = boilerplate_shingles(docs, k=3, min_share=0.75)
+    rows = {(r["source"], r["shingle"]): r for r in d.collect()}
+    assert ("A", "cookie notice here") in rows
+    assert rows[("A", "cookie notice here")]["df"] == 3
+    # B's copy is only in 1/2 docs -> below the 0.75 share gate
+    assert not any(src == "B" for src, _ in rows)
+
+    r = {x["doc_id"]: x for x in boilerplate_ratio(docs, k=3, min_share=0.75).collect()}
+    # doc 1 has 4 distinct trigrams, 2 of which are boilerplate
+    # ("cookie notice here" AND "notice here unique" are each in 3/4 docs)
+    assert r[1]["n_shingles"] == 4 and r[1]["n_boiler"] == 2
+    assert abs(r[1]["boilerplate_ratio"] - 0.5) < 1e-9
+    assert r[4]["n_boiler"] == 0
+    assert r[5]["n_boiler"] == 0  # dict is per-source
+
+
+def test_source_cap_sample_deterministic_uniform(spark):
+    from spark_streaming_kafka_spark.operators.curation import source_cap_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "big" if i < 40 else "small") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    out1 = {(r["doc_id"], r["source"]) for r in source_cap_sample(docs, cap=5).collect()}
+    out2 = {(r["doc_id"], r["source"]) for r in source_cap_sample(docs, cap=5).collect()}
+    assert out1 == out2  # rerun-invariant
+    by_src = {}
+    for d, s in out1:
+        by_src.setdefault(s, set()).add(d)
+    assert len(by_src["big"]) == 5
+    assert len(by_src["small"]) == 5
+    # hash order, not id order: the kept big-source set is NOT 0..4
+    assert by_src["big"] != {0, 1, 2, 3, 4}
