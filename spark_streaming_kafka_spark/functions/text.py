@@ -393,3 +393,42 @@ def with_char_entropy(
         .otherwise(F.lit(0.0))
         .alias(out),
     )
+
+
+# --- logistic quality classifier ----------------------------------------
+
+#: Frozen linear quality-classifier weights over the
+#: :func:`quality_features` signals — the fastText-style "quality
+#: classifier" gate public LM pipelines run (a linear model over cheap
+#: text features). Weights are FROZEN here so corpus scoring is
+#: deterministic and engine-portable (the DuckDB oracle replays the
+#: same arithmetic); the in-repo training path that produces such
+#: weights is :mod:`..operators.quality_clf` (pyspark.ml logistic
+#: regression over the same feature frame).
+QUALITY_LR_WEIGHTS: dict[str, float] = {
+    "bias": -2.0,
+    "len_norm": 2.5,        # applied to min(n_tokens/50, 1)
+    "stopword_ratio": 6.0,
+    "punct_ratio": -8.0,
+}
+
+
+def logistic_quality(text: Column) -> Column:
+    """P(keep) from the frozen linear quality classifier:
+    sigmoid(w·features), pure column algebra (codegen'd, no UDF).
+
+    The linear term is rounded to 6 digits BEFORE the sigmoid so both
+    engines exponentiate bit-identical inputs; the output is rounded
+    again by callers per the registry's double-output convention.
+    """
+    ft = quality_features(text)
+    w = QUALITY_LR_WEIGHTS
+    len_norm = F.least(ft["n_tokens"] / F.lit(50.0), F.lit(1.0))
+    z = F.round(
+        F.lit(w["bias"])
+        + F.lit(w["len_norm"]) * len_norm
+        + F.lit(w["stopword_ratio"]) * ft["stopword_ratio"]
+        + F.lit(w["punct_ratio"]) * ft["punct_ratio"],
+        6,
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -4923,6 +4923,51 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_classifier_scores",
+    f"""
+    WITH ft AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_sql_tokens()}, t -> list_contains({_STOP_SQL}, lower(t)))) AS BIGINT) AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             round(-2.0 + 2.5 * least(n_tokens / 50.0, 1.0)
+                   + 6.0 * (CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END)
+                   - 8.0 * (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END),
+                   6) AS z
+      FROM ft
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 6) AS prob,
+           (round(1.0 / (1.0 + exp(-z)), 6) >= 0.5) AS keep
+    FROM z
+    """,
+)
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weight logistic quality classifier — the fastText-style
+    linear gate public LM pipelines score corpora with: P(keep) =
+    sigmoid(w·[len_norm, stopword_ratio, punct_ratio]) with FROZEN
+    weights (functions/text.py::QUALITY_LR_WEIGHTS) so scoring is
+    deterministic and engine-portable. The linear term is rounded
+    before the sigmoid so both engines exponentiate identical inputs.
+    Pure codegen'd column algebra, no UDF, no shuffle. The pyspark.ml
+    TRAINED path (same features, LBFGS logistic regression) lives in
+    operators/quality_clf.py with pytest evidence — the ALS/kmeans
+    convention for non-oracle-able training."""
+    from .functions.text import logistic_quality
+
+    docs = _docs_fan(spark, sf_dir)
+    prob = F.round(logistic_quality(F.col("text")), 6)
+    return docs.select(
+        "doc_id", prob.alias("prob"), (prob >= 0.5).alias("keep")
+    )
+
+
+@register(
     "boilerplate_ngrams",
     """
     WITH words AS (

@@ -149,3 +149,62 @@ def test_bigram_conditional_topk(spark):
     assert rows[("a", 2)]["next_word"] == "c"
     # 1-token doc contributes nothing; 'z' never a head
     assert not any(h == "z" for h, _ in rows)
+
+
+def test_logistic_quality_frozen_scorer_separates(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.functions.text import logistic_quality
+
+    good = "the cat sat on the mat and looked out of the window for a while"
+    bad = "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", F.round(logistic_quality(F.col("text")), 6).alias("p")
+        ).collect()
+    }
+    assert out[1] > 0.5 > out[2]
+
+
+def test_trained_quality_classifier_agrees_with_frozen_gate(spark):
+    """The production pyspark.ml path: train on labeled exemplars,
+    score held-out docs, and agree with the frozen-weight gate on the
+    obvious cases."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.operators.quality_clf import (
+        score_quality_model,
+        train_quality_classifier,
+    )
+
+    goods = [
+        f"the number {i} is on the list of things to do in the morning and the evening"
+        for i in range(30)
+    ]
+    bads = [f"@@{i}@@ ### !!! $$$ %% ^^ && ** (( ))" for i in range(30)]
+    labeled = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(goods)]
+        + [(100 + i, t, 0) for i, t in enumerate(bads)],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_classifier(labeled)
+
+    held = spark.createDataFrame(
+        [
+            (900, "a walk in the park is one of the things we like to do"),
+            (901, "%% !! @@ ## ^^ && ** ~~ ``"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in score_quality_model(model, held).collect()}
+    assert got[900]["keep"] and got[900]["prob"] > 0.5
+    assert not got[901]["keep"] and got[901]["prob"] < 0.5
+
+    # determinism: refit on identical data reproduces identical scores
+    model2 = train_quality_classifier(labeled)
+    got2 = {r["doc_id"]: r["prob"] for r in score_quality_model(model2, held).collect()}
+    assert got2 == {k: v["prob"] for k, v in got.items()}
