@@ -4923,6 +4923,47 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fim_splits",
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM words WHERE len(w) >= 4
+    ),
+    cuts AS (
+      SELECT doc_id, w, n,
+             CAST(2 + {duckdb_md5_long("concat('fim_a_', CAST(doc_id AS VARCHAR))")} % (n - 2) AS INT) AS a
+      FROM base
+    ),
+    cuts2 AS (
+      SELECT doc_id, w, n, a,
+             CAST(1 + {duckdb_md5_long("concat('fim_l_', CAST(doc_id AS VARCHAR))")} % (n - a) AS INT) AS l
+      FROM cuts
+    )
+    SELECT doc_id, n AS n_tokens,
+           array_to_string(w[1:a-1], ' ')                 AS prefix,
+           array_to_string(w[a:a+l-1], ' ')               AS middle,
+           array_to_string(w[a+l:CAST(n AS INT)], ' ')    AS suffix
+    FROM cuts2
+    """,
+)
+def q_fim_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform — deterministically cut
+    each document into non-empty (prefix, middle, suffix) at
+    hash-derived token offsets, the FIM preprocessing public code
+    models train with. No RNG state: cut points are md5(doc id), so
+    results are identical across engines/partitionings/reruns. Pure
+    codegen'd column algebra (tokenize + two hashes + three slices),
+    zero shuffle — a map-only pass over the corpus scan
+    (operators/augment.py::fim_split)."""
+    from .operators.augment import fim_split
+
+    return fim_split(_docs_fan(spark, sf_dir))
+
+
+@register(
     "quality_classifier_scores",
     f"""
     WITH ft AS (
