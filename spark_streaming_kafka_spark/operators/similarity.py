@@ -1276,3 +1276,111 @@ def pq_adc_topk_refined(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive training-pair mining: for each query vector, its
+    nearest same-label neighbour (the positive) and nearest
+    different-label neighbour (the HARD negative) — ``(query_id,
+    label, positive_id, positive_cos, negative_id, negative_cos)``.
+
+    The retrieval/embedding-finetune data builder: hard negatives
+    (closest wrong-label items) are what make contrastive training
+    effective, and mining them is a corpus-scale nearest-neighbour
+    pass. Queries lacking either a same-label or different-label
+    mate are dropped (inner semantics — a pair needs both legs).
+
+    Scale shape (the cosine_topk contract): queries are a bounded
+    collect shipped in the task closure; the corpus streams ONCE
+    through ``mapInPandas``, each Arrow batch scored against all
+    queries with one BLAS matmul and cut to a per-batch best per
+    (query, leg) — the shuffle into the final ranking carries ≤
+    2·|queries| rows per batch. Ties on the rounded cosine resolve to
+    the lowest candidate id (stable argmax over id-sorted rows), so
+    results are partition-invariant and SQL-reproducible.
+    """
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, label_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_rows = sorted(q_rows, key=lambda r: r[0])
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_labs = np.array([r[1] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[2]) for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    digits = round_digits
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            order = np.argsort(ids, kind="stable")
+            ids, labs, mat = ids[order], labs[order], mat[order]
+            sims = np.round(mat @ q_mat.T, digits)  # (batch, nq)
+            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # self
+            same = labs[:, None] == q_labs[None, :]
+            out_q, out_same, out_id, out_cos = [], [], [], []
+            for flag, mask in ((1, same), (0, ~same)):
+                s = np.where(mask, sims, -np.inf)
+                best = s.argmax(axis=0)  # stable: lowest row (= id) on ties
+                cos = s[best, np.arange(len(q_ids))]
+                keep = np.isfinite(cos)
+                out_q.append(q_ids[keep])
+                out_same.append(np.full(keep.sum(), flag))
+                out_id.append(ids[best[keep]])
+                out_cos.append(cos[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "same": np.concatenate(out_same),
+                    "cand_id": np.concatenate(out_id),
+                    "cos": np.concatenate(out_cos),
+                }
+            )
+
+    from .skew import fan_out
+    from .windows import per_group_top_k
+
+    scored = fan_out(emb.select(id_col, label_col, vec_col)).mapInPandas(
+        score, schema="query_id long, same int, cand_id long, cos double"
+    )
+    best = per_group_top_k(
+        scored,
+        ["query_id", "same"],
+        [F.col("cos").desc(), F.col("cand_id").asc()],
+        1,
+    )
+    pos = best.filter(F.col("same") == 1).select(
+        "query_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cos").alias("positive_cos"),
+    )
+    neg = best.filter(F.col("same") == 0).select(
+        "query_id",
+        F.col("cand_id").alias("negative_id"),
+        F.col("cos").alias("negative_cos"),
+    )
+    qlab = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return (
+        pos.join(neg, "query_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id", "label", "positive_id", "positive_cos",
+            "negative_id", "negative_cos",
+        )
+    )

@@ -4923,6 +4923,47 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_pairs",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlab, embedding AS qe
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, q.qlab, e.vec_id AS cand_id, (e.label = q.qlab) AS same,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    best AS (
+      SELECT query_id, qlab, cand_id, cos, same,
+             row_number() OVER (PARTITION BY query_id, same
+                                ORDER BY cos DESC, cand_id ASC) AS rn
+      FROM scored
+    )
+    SELECT p.query_id, p.qlab AS label,
+           p.cand_id AS positive_id, p.cos AS positive_cos,
+           n.cand_id AS negative_id, n.cos AS negative_cos
+    FROM (SELECT * FROM best WHERE same AND rn = 1) p
+    JOIN (SELECT * FROM best WHERE NOT same AND rn = 1) n
+      ON p.query_id = n.query_id
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining — per query vector (the
+    vec_id % 97 slice), the nearest same-label neighbour (positive)
+    and nearest different-label neighbour (HARD negative): the data
+    builder for embedding/retrieval finetuning. Queries ship in the
+    task closure; the corpus streams once through an Arrow/BLAS pass
+    emitting a per-batch best per (query, leg), so the ranking shuffle
+    carries ≤ 2·|queries| rows per batch; rounded-cosine ties resolve
+    to the lowest candidate id
+    (operators/similarity.py::contrastive_pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.contrastive_pairs(emb, emb.filter(F.col("vec_id") % 97 == 0))
+
+
+@register(
     "fim_splits",
     f"""
     WITH words AS (

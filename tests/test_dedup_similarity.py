@@ -752,3 +752,36 @@ def test_max_cosine_to_set_zero_norm_corpus_row_is_nan(spark):
     # NaN crosses the Arrow boundary as null), never flagged
     assert got[1]["max_cosine"] is None and not got[1]["flagged"]
     assert got[2]["max_cosine"] == 1.0 and got[2]["flagged"]
+
+
+def test_contrastive_pairs_semantics(spark):
+    # label 0 cluster near x-axis, label 1 cluster near y-axis, plus a
+    # label-1 vector close to the query: the hard negative.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),       # query
+            (1, [0.99, 0.14], 0),     # positive (same label, closest)
+            (2, [0.5, 0.86], 0),      # same label, farther
+            (3, [0.97, 0.24], 1),     # HARD negative (diff label, close)
+            (4, [0.0, 1.0], 1),       # diff label, far
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter("vec_id = 0")
+    got = sim.contrastive_pairs(emb, q).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["query_id"] == 0 and r["label"] == 0
+    assert r["positive_id"] == 1
+    assert r["negative_id"] == 3
+    assert r["positive_cos"] > r["negative_cos"] > 0.9
+
+
+def test_contrastive_pairs_drops_one_legged_queries(spark):
+    # query's label is unique -> no positive leg -> dropped
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 5), (1, [0.9, 0.1], 1), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter("vec_id = 0")
+    assert sim.contrastive_pairs(emb, q).count() == 0
