@@ -5187,6 +5187,15 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_user_event, first_event_per_user, union_event_counts,
 # grouped_sum_events (driver-green in rounds 1–4; simple relational
 # shapes with no scale risk).
+#
+# Round-6 rotation: IN — the six new round-6 operators
+# (quality_classifier_scores, boilerplate_ngrams,
+# boilerplate_doc_ratio, source_cap_sample, fim_splits,
+# contrastive_pairs) so each earns a driver-green row immediately.
+# OUT — the five round-5 rotations (now driver-green:
+# normalize_text_regex, ntile_buckets, sentiment_by_group,
+# split_first_token, type_token_ratio) plus token_counts
+# (driver-green since round 2; simple column algebra, no scale risk).
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "counts_and_averages", "top_revenue_join",
     "topk_orders", "filter_project", "customers_without_orders",
@@ -5194,7 +5203,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "top_words", "json_extract_sum", "percentile_buckets",
     "etl_ratings_pipeline", "window_topk_per_customer",
     "running_revenue_per_customer", "order_gap_days", "group_quantiles",
-    "rmse_vs_constant", "token_counts",
+    "rmse_vs_constant",
     "quality_scores", "unigram_logprob_scores", "langid_confusion",
     "sentiment_scores", "doc_fingerprints", "hash_sample_split",
     "tfidf_top_terms", "dedup_exact", "dedup_ngram_jaccard",
@@ -5206,8 +5215,9 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "salted_bigjoin_revenue", "bloom_prefilter_orders",
     "benchmark_contamination", "corpus_curation_e2e",
     "ann_topk_pq_refined",
-    "normalize_text_regex", "ntile_buckets", "sentiment_by_group",
-    "split_first_token", "type_token_ratio",
+    "quality_classifier_scores", "boilerplate_ngrams",
+    "boilerplate_doc_ratio", "source_cap_sample", "fim_splits",
+    "contrastive_pairs",
 ]
 
 assert len(_DRIVER_SAMPLE_FIRST) == 50
