@@ -1386,3 +1386,64 @@ def containment_pairs(
         (F.col("n_common") / F.col("n_b")).alias("containment"),
     )
     return fwd.union(rev).filter(F.col("containment") >= threshold)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): ``(doc_id, pos, fp)`` — the minimal k-gram hash of
+    every w-hash window, ties to the RIGHTMOST minimum, selections
+    deduplicated.
+
+    The document-fingerprinting guarantee MinHash does not give:
+    any shared run of ≥ w+k-1 tokens between two documents is
+    certain to share at least one selected fingerprint, while only
+    ~2/(w+1) of hashes are kept. The local-match primitive behind
+    plagiarism/clone detection and substring-level dedup at scale.
+
+    Positions are 1-based k-gram offsets. Documents with fewer than
+    ``w`` k-grams contribute their single global minimum (one window
+    over the whole doc); docs shorter than ``k`` tokens yield nothing.
+
+    Scale shape: pure column algebra — positional shingles, one md5
+    per k-gram, a ``transform`` over window starts with
+    ``slice``/``array_min``/``reverse``/``array_position`` for the
+    rightmost-min rule, then ``array_distinct`` BEFORE the explode so
+    the exploded row count is the selected-fingerprint count
+    (~2n/(w+1)), not n·w. Zero shuffle: a map-only pass that stays in
+    whole-stage codegen; downstream joins on (fp) find local overlaps.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    sh = word_shingles(F.col(text_col), k, distinct=False)
+    hs = F.transform(sh, lambda s: md5_long(s))
+    m = F.size(hs)
+    starts = F.when(
+        m >= F.lit(w), F.sequence(F.lit(1), m - F.lit(w - 1))
+    ).otherwise(
+        F.when(m >= F.lit(1), F.sequence(F.lit(1), F.lit(1))).otherwise(
+            F.expr("array()").cast("array<int>")
+        )
+    )
+    def _select(i):
+        win = F.slice(hs, i, w)
+        mn = F.array_min(win)
+        rpos = (
+            i.cast("long")
+            - F.lit(1)
+            + F.size(win).cast("long")
+            - F.array_position(F.reverse(win), mn)
+            + F.lit(1)
+        )
+        return F.struct(rpos.cast("long").alias("pos"), mn.alias("fp"))
+
+    sels = F.array_distinct(F.transform(starts, _select))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sels).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )

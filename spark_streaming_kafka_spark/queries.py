@@ -4923,6 +4923,59 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_fingerprints",
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS shs
+      FROM words
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shs, s -> {duckdb_md5_long("s")}) AS h,
+             len(shs) AS m
+      FROM sh
+    ),
+    st AS (
+      SELECT doc_id, h,
+             CASE WHEN m >= 4 THEN range(1, m - 2)
+                  WHEN m >= 1 THEN [CAST(1 AS BIGINT)]
+                  ELSE CAST([] AS BIGINT[]) END AS starts
+      FROM hs
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_transform(starts, i -> {{
+               'pos': i - 1 + len(h[i:i+3])
+                      - list_position(list_reverse(h[i:i+3]), list_min(h[i:i+3])) + 1,
+               'fp': list_min(h[i:i+3])
+             }}) AS sels
+      FROM st
+    )
+    SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.fp AS BIGINT) AS fp
+    FROM (SELECT doc_id, unnest(sels) AS u FROM sel)
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken) —
+    the minimal 3-gram hash of every 4-hash window, ties to the
+    rightmost minimum: guarantees any shared token run of ≥ w+k-1 = 6
+    tokens between two docs shares a selected fingerprint while
+    keeping only ~2/(w+1) of hashes. The local-overlap primitive
+    behind clone/plagiarism detection and substring-level dedup.
+    Pure codegen'd column algebra, array_distinct BEFORE the explode,
+    zero shuffle (operators/dedup.py::winnowing_fingerprints)."""
+    from .operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs_fan(spark, sf_dir), k=3, w=4)
+
+
+@register(
     "contrastive_pairs",
     """
     WITH q AS (

@@ -785,3 +785,54 @@ def test_contrastive_pairs_drops_one_legged_queries(spark):
     )
     q = emb.filter("vec_id = 0")
     assert sim.contrastive_pairs(emb, q).count() == 0
+
+
+def test_winnowing_shared_run_guarantee_and_density(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(200)]
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    a = " ".join(rng.choice(vocab) for _ in range(40)) + " " + shared
+    b = shared + " " + " ".join(rng.choice(vocab) for _ in range(40))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    fp = dd.winnowing_fingerprints(docs, k=3, w=4)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # SWA guarantee: a shared run of >= w+k-1 tokens shares a fingerprint
+    assert by_doc[1] & by_doc[2]
+    # density: ~2/(w+1) of the ~44 k-gram hashes, far fewer than all
+    n_grams = 40 + 6 - 2
+    assert len(by_doc[1]) < n_grams * 0.6
+
+
+def test_winnowing_rightmost_tie_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 tokens -> 2 trigram hashes -> fewer than w=4: one global-min window
+            (1, "a b c d"),
+            # repeated identical k-grams -> min ties -> rightmost position wins
+            (2, "x y z x y z x y z x y z"),
+            (3, "ab"),  # < k tokens -> nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.winnowing_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    assert len(by_doc[1]) == 1  # single window over the short doc
+    assert 3 not in by_doc
+    # doc 2: "x y z" appears at positions 1,4,7,10 — every window's min
+    # tie resolves to the window's RIGHTMOST copy, and selections dedupe
+    poss = sorted(p for p, _ in by_doc[2])
+    assert poss == sorted(set(poss))
+    # rerun-stability
+    again = dd.winnowing_fingerprints(docs, k=3, w=4).collect()
+    assert sorted((r["doc_id"], r["pos"], r["fp"]) for r in again) == sorted(
+        (r["doc_id"], r["pos"], r["fp"]) for r in out
+    )
