@@ -4923,6 +4923,127 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_corpus_gate",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS shs
+      FROM words
+    ),
+    flat AS (SELECT doc_id, source, unnest(shs) AS shingle FROM sh),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    dfc AS (SELECT source, shingle, count(*) AS df FROM flat GROUP BY source, shingle),
+    dict AS (
+      SELECT d.source, d.shingle FROM dfc d JOIN nd USING (source)
+      WHERE round(df * 1.0 / n_docs, 6) >= 0.05
+    ),
+    bhits AS (
+      SELECT f.doc_id, count(*) AS n_b
+      FROM flat f JOIN dict USING (source, shingle) GROUP BY f.doc_id
+    ),
+    ratio AS (
+      SELECT s.doc_id,
+             round(CASE WHEN len(shs) > 0
+                        THEN coalesce(n_b, 0) * 1.0 / len(shs)
+                        ELSE 0.0 END, 6) AS r
+      FROM sh s LEFT JOIN bhits USING (doc_id)
+    ),
+    ft AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_sql_tokens()}, t -> list_contains({_STOP_SQL}, lower(t)))) AS BIGINT) AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             round(-2.0 + 2.5 * least(n_tokens / 50.0, 1.0)
+                   + 6.0 * (CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END)
+                   - 8.0 * (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END),
+                   6) AS z
+      FROM ft
+    ),
+    keepq AS (SELECT doc_id FROM z WHERE round(1.0 / (1.0 + exp(-z)), 6) >= 0.5),
+    surv AS (
+      SELECT d.doc_id, d.source
+      FROM documents d
+      JOIN ratio USING (doc_id) JOIN keepq USING (doc_id)
+      WHERE r <= 0.1
+    ),
+    capd AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duckdb_md5_long("concat('cap_', CAST(doc_id AS VARCHAR))")} ASC,
+                        doc_id ASC
+             ) AS rn
+      FROM surv
+    ),
+    g AS (SELECT source, count(*) AS gated_docs FROM surv GROUP BY source),
+    k AS (SELECT source, count(*) AS kept_docs FROM capd WHERE rn <= 15 GROUP BY source)
+    SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS total_docs,
+           CAST(coalesce(gated_docs, 0) AS BIGINT) AS gated_docs,
+           CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs
+    FROM nd LEFT JOIN g USING (source) LEFT JOIN k USING (source)
+    """,
+)
+def q_web_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-corpus ingest gate — boilerplate-ratio cut
+    (≤ 0.1 of shingles template), frozen-weight quality-classifier
+    keep, then a per-source document cap (15, hash order) — reporting
+    per-source (total_docs, gated_docs, kept_docs): the attrition
+    summary a crawl-ingest pass publishes. Composition evidence for
+    the three round-6 gates the way corpus_curation_e2e is for the
+    dedup tiers. Gate decisions are id-keyed semi-joins (bodies never
+    shuffle twice); the boilerplate dictionary broadcasts; the final
+    report is |sources|-sized."""
+    from .functions.text import logistic_quality
+    from .operators.curation import boilerplate_ratio, source_cap_sample
+
+    docs = _docs_fan(spark, sf_dir)
+    br_keep = (
+        boilerplate_ratio(docs, k=3, min_share=0.05)
+        .filter(F.col("boilerplate_ratio") <= 0.1)
+        .select("doc_id")
+    )
+    prob = F.round(logistic_quality(F.col("text")), 6)
+    q_keep = (
+        docs.select("doc_id", prob.alias("__p"))
+        .filter(F.col("__p") >= 0.5)
+        .select("doc_id")
+    )
+    surv = (
+        docs.select("doc_id", "source")
+        .join(br_keep, "doc_id", "left_semi")
+        .join(q_keep, "doc_id", "left_semi")
+    )
+    kept = (
+        source_cap_sample(surv, cap=15)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+    )
+    gated = surv.groupBy("source").agg(F.count(F.lit(1)).alias("gated_docs"))
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        totals.join(gated, "source", "left")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "total_docs",
+            F.coalesce("gated_docs", F.lit(0)).cast("long").alias("gated_docs"),
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        )
+    )
+
+
+@register(
     "winnowing_fingerprints",
     f"""
     WITH words AS (
@@ -5247,16 +5368,17 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contrastive_pairs) so each earns a driver-green row immediately.
 # OUT — the five round-5 rotations (now driver-green:
 # normalize_text_regex, ntile_buckets, sentiment_by_group,
-# split_first_token, type_token_ratio) plus token_counts
-# (driver-green since round 2; simple column algebra, no scale risk).
+# split_first_token, type_token_ratio) plus token_counts,
+# group_quantiles, and rmse_vs_constant (driver-green since rounds
+# 1–2; simple shapes with no scale risk). The round-6 IN set also
+# includes winnowing_fingerprints and the composed web_corpus_gate.
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "counts_and_averages", "top_revenue_join",
     "topk_orders", "filter_project", "customers_without_orders",
     "customers_with_urgent_orders", "word_count",
     "top_words", "json_extract_sum", "percentile_buckets",
     "etl_ratings_pipeline", "window_topk_per_customer",
-    "running_revenue_per_customer", "order_gap_days", "group_quantiles",
-    "rmse_vs_constant",
+    "running_revenue_per_customer", "order_gap_days",
     "quality_scores", "unigram_logprob_scores", "langid_confusion",
     "sentiment_scores", "doc_fingerprints", "hash_sample_split",
     "tfidf_top_terms", "dedup_exact", "dedup_ngram_jaccard",
@@ -5270,7 +5392,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "ann_topk_pq_refined",
     "quality_classifier_scores", "boilerplate_ngrams",
     "boilerplate_doc_ratio", "source_cap_sample", "fim_splits",
-    "contrastive_pairs",
+    "contrastive_pairs", "winnowing_fingerprints", "web_corpus_gate",
 ]
 
 assert len(_DRIVER_SAMPLE_FIRST) == 50
