@@ -166,6 +166,31 @@ SHOWCASE = {
     "mapInPandas over the corpus scan, NO join and NO exchange at all "
     "before the collect — the flag/nearest-id columns are computed "
     "in-batch against the broadcast-like ref matrix.",
+    "boilerplate_doc_ratio": "The per-source boilerplate dictionary is "
+    "size-bounded by construction (df >= share·n_docs), so it arrives as "
+    "a BroadcastExchange and the exploded corpus shingles join it "
+    "BroadcastHashJoin — the corpus side's only wide exchange is the "
+    "per-doc count aggregate.",
+    "quality_classifier_scores": "Frozen-weight sigmoid over the quality "
+    "features: one codegen'd Project over the parquet scan — no UDF, no "
+    "join; the only Exchange is fan_out's round-robin split of the "
+    "single-file testdata scan (a no-op on a many-split 100 TB scan).",
+    "fim_splits": "Map-only training-example construction: tokenize + two "
+    "md5 hashes + three slices as chained Projects over the scan; no "
+    "join, no aggregate — the only Exchange is fan_out's testdata "
+    "round-robin (no-op at scale).",
+    "contrastive_pairs": "Query matrix in the task closure; one "
+    "mapInPandas over the corpus emits <= 2 rows per query per batch, so "
+    "the only exchange is the tiny (query, leg) ranking window.",
+    "winnowing_fingerprints": "Fingerprint selection entirely inside "
+    "codegen'd Projects (positional shingles, per-k-gram md5, window "
+    "minima via slice/array_min, array_distinct BEFORE the explode) — no "
+    "join/aggregate shuffle; the only Exchange is fan_out's testdata "
+    "round-robin, and the exploded output is the ~2n/(w+1) selected set.",
+    "web_corpus_gate": "Three gates composed: the boilerplate dictionary "
+    "and the classifier verdicts reduce to id-keyed LeftSemi joins; the "
+    "per-source cap is one narrow rank window; the report aggregate is "
+    "|sources|-sized. Document bodies are scanned, never shuffled.",
 }
 
 
