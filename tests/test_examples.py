@@ -22,6 +22,7 @@ EXAMPLES = [
     "examples/corpus_curation.py",
     "examples/retrieval_search.py",
     "examples/quality_gates.py",
+    "examples/training_examples.py",
 ]
 
 
