@@ -72,20 +72,19 @@ def main() -> None:
     print("=== per-source gate report ===")
     report.show(25, truncate=False)
 
-    # 4. FIM training splits over the survivors
-    fim = fim_split(kept)
-    n_fim = fim.count()
-    fim.write.mode("overwrite").parquet(os.path.join(out_dir, "fim_examples"))
+    # 4-6. write each output once, then count the written parquet —
+    # count()-then-write would recompute every uncached dataflow twice
+    def write_and_count(df, name):
+        path = os.path.join(out_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
 
-    # 5. winnowing fingerprints (local-overlap index for substring dedup)
-    fp = winnowing_fingerprints(kept, k=3, w=4)
-    n_fp = fp.count()
-    fp.write.mode("overwrite").parquet(os.path.join(out_dir, "fingerprints"))
-
-    # 6. contrastive pairs for embedding finetuning
-    pairs = contrastive_pairs(emb, emb.filter(F.col("vec_id") % 97 == 0))
-    n_pairs = pairs.count()
-    pairs.write.mode("overwrite").parquet(os.path.join(out_dir, "contrastive_pairs"))
+    n_fim = write_and_count(fim_split(kept), "fim_examples")
+    n_fp = write_and_count(winnowing_fingerprints(kept, k=3, w=4), "fingerprints")
+    n_pairs = write_and_count(
+        contrastive_pairs(emb, emb.filter(F.col("vec_id") % 97 == 0)),
+        "contrastive_pairs",
+    )
 
     print(
         f"wrote {n_fim} FIM examples, {n_fp} fingerprints, "

@@ -520,7 +520,6 @@ def boilerplate_shingles(
     k: int = 3,
     min_share: float = 0.05,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """Per-source boilerplate dictionary — the k-word shingles that
@@ -585,7 +584,7 @@ def boilerplate_ratio(
     count aggregate keyed by doc_id.
     """
     dictionary = boilerplate_shingles(
-        docs, k, min_share, text_col, id_col, source_col
+        docs, k, min_share, text_col=text_col, source_col=source_col
     ).select("source", "shingle", F.lit(1).alias("__boiler"))
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -638,8 +637,8 @@ def source_cap_sample(
     """
     from pyspark.sql import Window
 
-    h = md5_long(F.concat(F.lit("cap_"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    h = md5_long(F.concat(F.lit("cap_"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),

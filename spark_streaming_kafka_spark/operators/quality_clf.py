@@ -92,9 +92,9 @@ def score_quality_model(
 
     feats = quality_feature_frame(docs, text_col, id_col)
     out = model.transform(feats)
-    prob = vector_to_array(F.col("probability"))[1]
+    prob = F.round(vector_to_array(F.col("probability"))[1], 6)
     return out.select(
         "doc_id",
-        F.round(prob, 6).alias("prob"),
+        prob.alias("prob"),
         (prob >= 0.5).alias("keep"),
     )

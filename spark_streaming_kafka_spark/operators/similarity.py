@@ -1316,7 +1316,10 @@ def contrastive_pairs(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_labs = np.array([r[1] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[2]) for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    if not qn.all():
+        raise ValueError("zero-norm vector in query set")
+    q_mat /= qn
     digits = round_digits
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1326,10 +1329,14 @@ def contrastive_pairs(
             ids = pdf[id_col].to_numpy()
             labs = pdf[label_col].to_numpy()
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            # zero-norm corpus rows can never match: NaN similarities
+            # are forced to -inf so they cannot hijack the argmax
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             order = np.argsort(ids, kind="stable")
             ids, labs, mat = ids[order], labs[order], mat[order]
             sims = np.round(mat @ q_mat.T, digits)  # (batch, nq)
+            sims[np.isnan(sims)] = -np.inf
             sims[ids[:, None] == q_ids[None, :]] = -np.inf  # self
             same = labs[:, None] == q_labs[None, :]
             out_q, out_same, out_id, out_cos = [], [], [], []

@@ -73,6 +73,11 @@ def gate_stream(
     side, so batch/stream decisions agree exactly.
     """
     cols = list(docs.columns)
+    # cheap codegen'd classifier gate FIRST: Catalyst cannot push a
+    # filter through the opaque mapInPandas, so rows failing the
+    # sigmoid must die before paying the Python shingle pass
+    prob = F.round(logistic_quality(F.col(text_col)), 6)
+    docs = docs.filter(prob >= prob_min)
 
     def ratio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,10 +102,4 @@ def gate_stream(
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
     with_ratio = docs.mapInPandas(ratio_batches, schema=schema + ", __ratio double")
-    prob = F.round(logistic_quality(F.col(text_col)), 6)
-    return (
-        with_ratio.filter(
-            (F.col("__ratio") <= ratio_max) & (prob >= prob_min)
-        )
-        .select(*cols)
-    )
+    return with_ratio.filter(F.col("__ratio") <= ratio_max).select(*cols)

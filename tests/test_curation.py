@@ -412,3 +412,14 @@ def test_source_cap_sample_deterministic_uniform(spark):
     assert len(by_src["small"]) == 5
     # hash order, not id order: the kept big-source set is NOT 0..4
     assert by_src["big"] != {0, 1, 2, 3, 4}
+
+
+def test_source_cap_sample_custom_columns(spark):
+    from spark_streaming_kafka_spark.operators.curation import source_cap_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(20)], "id long, site string"
+    )
+    out = source_cap_sample(docs, cap=3, id_col="id", source_col="site").collect()
+    assert len(out) == 6
+    assert {r["source"] for r in out} == {"s0", "s1"}

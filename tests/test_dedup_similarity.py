@@ -836,3 +836,28 @@ def test_winnowing_rightmost_tie_and_short_docs(spark):
     assert sorted((r["doc_id"], r["pos"], r["fp"]) for r in again) == sorted(
         (r["doc_id"], r["pos"], r["fp"]) for r in out
     )
+
+
+def test_contrastive_pairs_zero_norm_rows(spark):
+    import pytest as _pytest
+
+    # zero-norm corpus row never matches; zero-norm query raises
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 0.0], 0),   # zero-norm: must not hijack the argmax
+            (2, [0.9, 0.1], 0),
+            (3, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter("vec_id = 0")
+    r = sim.contrastive_pairs(emb, q).collect()[0]
+    assert r["positive_id"] == 2  # not the NaN row
+    assert r["negative_id"] == 3
+
+    zq = spark.createDataFrame(
+        [(9, [0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with _pytest.raises(ValueError, match="zero-norm"):
+        sim.contrastive_pairs(emb, zq)
