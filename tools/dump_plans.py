@@ -118,9 +118,14 @@ SHOWCASE = {
     "historical frame.",
     "fuzzy_part_names": "Pass-Join candidate generation: segment geometry "
     "STAGED as separate projections (codegen survives — no 64 KB method "
-    "blowup), signature equi-join + distinct, ONE levenshtein verify over "
-    "candidates — no block self-join, no CartesianProduct, linear shuffle "
-    "however coarse the blocking key.",
+    "blowup); signature rows carry only (block, id, l2, seg, piece) — "
+    "never string bodies — through an equi-join whose stage width is "
+    "PINNED by an explicit repartition (AQE coalesces by input bytes and "
+    "is blind to candidate blowup; a default-heap session OOMs without "
+    "the pin); distinct ids-only candidates, strings fetched back by two "
+    "linear (block, id) joins, ONE levenshtein verify — no block "
+    "self-join, no CartesianProduct, linear shuffle however coarse the "
+    "blocking key.",
     "drift_report_docs": "One scan per snapshot: every feature's bin lands "
     "in a single Generate→partial-agg pair; totals via a window over the "
     "bin-sized aligned table (NOT a join-back that would duplicate the "
