@@ -52,3 +52,42 @@ def test_embedding_lsh_query_is_bucketed(spark, sf_dir):
     # of the corpus against itself.
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_passjoin_candidate_stage_is_narrow_and_pinned(spark, sf_dir):
+    """Pins the two halves of the Pass-Join memory fix (the sf0.1
+    default-heap OOM): (a) the signature-join stage width is an
+    EXPLICIT user repartition — AQE coalesces shuffles by input bytes
+    and is blind to candidate-join output blowup, so leaving the width
+    to AQE plans a handful of fat tasks whose partial dedup
+    aggregation exhausts a 1g-heap session; (b) string bodies never
+    ride the signature rows — candidates are deduplicated as ids only
+    and the two strings are fetched back per DISTINCT pair."""
+    from spark_streaming_kafka_spark.operators.dedup import (
+        passjoin_edit_distance_pairs,
+    )
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    cand = passjoin_edit_distance_pairs(
+        part, "p_brand", "p_name", "p_partkey", max_dist=2, candidates_only=True
+    )
+    plan = explain_str(cand, "simple")
+    # (a) pinned width: the signature-key exchange is user-specified,
+    # exempt from AQE coalescing.
+    assert "REPARTITION_BY_NUM" in plan, (
+        "signature-join stage width left to AQE — output-blowup OOM risk"
+    )
+    # (b) narrow candidates: the dedup aggregate carries ids only, no
+    # renamed string-body columns survive to the candidate output.
+    assert "__sa" not in plan and "__sb" not in plan, (
+        "string bodies flow through the candidate join/dedup"
+    )
+
+    full = passjoin_edit_distance_pairs(
+        part, "p_brand", "p_name", "p_partkey", max_dist=2
+    )
+    fplan = explain_str(full, "simple")
+    # the codegen'd verify survives (textually repeated across the
+    # Filter/Project pair that shares the expression)
+    assert "levenshtein" in fplan
