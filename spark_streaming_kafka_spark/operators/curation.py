@@ -49,6 +49,10 @@ __all__ = [
     "boilerplate_shingles",
     "boilerplate_ratio",
     "source_cap_sample",
+    "leakage_safe_split",
+    "takedown_propagation",
+    "mixture_epochs",
+    "content_defined_chunks",
 ]
 
 
@@ -647,3 +651,261 @@ def source_cap_sample(
         .withColumn("cap_rank", F.row_number().over(w))
         .filter(F.col("cap_rank") <= cap)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    eval_mod: int = 10,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware train/eval split: ``(doc_id, group_id, split)``
+    where no near-duplicate pair ever straddles the split.
+
+    A plain hash split leaks: a doc and its 99%-similar copy land on
+    opposite sides and the eval set silently measures memorization.
+    Here the split unit is the near-dup CLUSTER (``dedup_clusters``:
+    MinHash-LSH candidates, exact-Jaccard verify, connected
+    components), singleton docs form their own group, and the whole
+    group goes to eval iff ``md5_long('split_' || group_id) %
+    eval_mod == 0`` — deterministic, engine-portable, rerun-stable.
+
+    Scale shape: everything up to the group id is the established
+    sub-quadratic cluster path; the split decision itself adds one
+    group-keyed left join (cluster table is pair-bounded, far smaller
+    than the corpus) and pure column algebra — no new wide shuffle.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        docs, threshold=threshold, k=k, text_col=text_col, id_col=id_col
+    )
+    gid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            gid.alias("group_id"),
+            F.when(
+                md5_long(F.concat(F.lit("split_"), gid.cast("string")))
+                % F.lit(eval_mod)
+                == 0,
+                F.lit("eval"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def takedown_propagation(
+    docs: DataFrame,
+    optout_mod: int = 7,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Opt-out/takedown deletion propagated through the duplicate
+    graph: ``(doc_id, reason)`` for every document that must be
+    removed when a set of sources opts out of training.
+
+    Deleting only ``source IN optout`` is not enough — the same text
+    typically survives as crawl copies under OTHER sources, so honest
+    takedown must also remove every document in the same (near-)dup
+    cluster as any directly-opted-out doc. ``reason`` distinguishes
+    ``source_optout`` (direct hit) from ``duplicate_of_optout``
+    (removed because a near-identical copy was opted out).
+
+    The opt-out set here is derived deterministically
+    (``md5_long('optout_' || source) % optout_mod == 0``) so the
+    operator is oracle-checkable; production callers pass their own
+    list by pre-filtering and unioning on the same shape.
+
+    Scale shape: clusters come from the sub-quadratic
+    ``dedup_clusters`` path; the propagation adds one group-sized
+    aggregate (any-direct-hit flag per group) and one group-keyed
+    join — group tables are pair-bounded, corpus bodies never
+    re-shuffle.
+    """
+    from .dedup import dedup_clusters
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            md5_long(F.concat(F.lit("optout_"), F.col(source_col)))
+            % F.lit(optout_mod)
+            == 0
+        ).alias("direct"),
+    )
+    clusters = dedup_clusters(
+        docs, threshold=threshold, k=k, text_col=text_col, id_col=id_col
+    )
+    g = base.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "direct",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("gid"),
+    )
+    flagged = g.groupBy("gid").agg(F.max("direct").alias("group_hit"))
+    return (
+        g.join(flagged, "gid")
+        .filter(F.col("group_hit"))
+        .select(
+            "doc_id",
+            F.when(F.col("direct"), F.lit("source_optout"))
+            .otherwise(F.lit("duplicate_of_optout"))
+            .alias("reason"),
+        )
+    )
+
+
+def mixture_epochs(
+    docs: DataFrame,
+    temperature: float = 0.7,
+    budget_factor: float = 1.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source mixture SCHEDULE under a global token budget:
+    ``(source, n_docs, tokens, weight, epochs)``.
+
+    The planning twin of ``temperature_mixture_sample``: instead of
+    sampling rows, it computes how many PASSES (epochs / repeat
+    factors) over each source a training run should take so the
+    realized token mixture matches the temperature-scaled weights —
+    the "small high-quality sources repeat, the big crawl runs
+    under one epoch" schedule large-LM data recipes publish.
+
+    - ``weight_s = share_s^T / Σ share^T`` (T<1 flattens toward
+      uniform, lifting small sources),
+    - ``epochs_s = (budget_factor · total_tokens · weight_s) /
+      tokens_s``.
+
+    Scale shape: ONE aggregation pass over the corpus (per-source doc
+    and token counts — map-side combined), then pure column algebra
+    over the source-sized table with the totals carried by a window
+    over that table, not a join-back that would rescan the corpus.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import tokenize
+
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col(text_col)))).alias("tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("tokens") / F.sum("tokens").over(w)
+    powed = F.pow(share, F.lit(float(temperature)))
+    weight = powed / F.sum(powed).over(w)
+    epochs = (
+        F.lit(float(budget_factor)) * F.sum("tokens").over(w) * weight
+    ) / F.col("tokens")
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round(weight, 6).alias("weight"),
+        F.round(epochs, 6).alias("epochs"),
+    )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    k: int = 3,
+    divisor: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries):
+    ``(doc_id, chunk_idx, n_tokens, chunk_hash)``.
+
+    Fixed-size chunking (``chunk_documents``) breaks at arbitrary
+    offsets, so inserting one sentence shifts every later boundary and
+    defeats chunk-level dedup. Here a chunk boundary falls after token
+    ``j`` whenever the k-gram ending at ``j`` hashes to
+    ``0 mod divisor`` — boundaries are a function of LOCAL content
+    only (the Rabin/CDC principle backup systems and dedup stores
+    use), so an edit perturbs at most the chunk it touches and its
+    neighbor, and identical passages in different documents produce
+    identical chunk hashes ready for exact-hash dedup. Expected chunk
+    length ≈ ``divisor`` tokens; docs with < k tokens form one chunk;
+    empty docs yield nothing.
+
+    Scale shape: Arrow-batched ``mapInPandas`` — one linear pass per
+    document, zero shuffle, hashing-parity with ``md5_long`` via the
+    md5-digest-prefix trick the pandas MinHash twin established
+    (``int.from_bytes(md5[:8]) >> 4 == int(hex[:15], 16)``, asserted
+    in tests). The Catalyst column-algebra formulation was measured
+    and rejected: the span/boundary arrays are each referenced once,
+    so CollapseProject inlines the whole chain into the explode's
+    generator expression and the shingle-hash array re-evaluates per
+    array element — O(n²·k) md5s per doc, 32 s vs 0.5 s at sf0.01
+    (the same Catalyst-lambda recompute that made
+    ``minhash_signatures`` default to its pandas strategy).
+    """
+    import hashlib
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1 or divisor < 1:
+        raise ValueError("k and divisor must be >= 1")
+    id_type = docs.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("chunk_idx", IntegerType()),
+            StructField("n_tokens", IntegerType()),
+            StructField("chunk_hash", LongType()),
+        ]
+    )
+    kk, div = k, divisor
+
+    def _h60(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+
+    def chunk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out: dict[str, list] = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "n_tokens": [],
+                "chunk_hash": [],
+            }
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in (text or "").split(" ") if t]
+                n = len(toks)
+                if n == 0:
+                    continue
+                bounds = [
+                    j
+                    for j in range(kk, n + 1)
+                    if _h60(" ".join(toks[j - kk : j])) % div == 0
+                ]
+                ci = 0
+                for s, e in zip([1] + [b + 1 for b in bounds], bounds + [n]):
+                    if s > e:  # trailing boundary exactly at n
+                        continue
+                    ci += 1
+                    piece = " ".join(toks[s - 1 : e])
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(ci)
+                    out["n_tokens"].append(e - s + 1)
+                    out["chunk_hash"].append(_h60(piece))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(chunk, schema)

@@ -5336,6 +5336,167 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_cap_sample(_docs_fan(spark, sf_dir), cap=10)
 
 
+@register(
+    "split_no_leakage",
+    f"""
+    WITH RECURSIVE {_jaccard_ctes()},
+    {_cc_over_pairs()},
+    g AS (
+      SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN {duckdb_md5_long("concat('split_', CAST(group_id AS VARCHAR))")} % 10 = 0
+                THEN 'eval' ELSE 'train' END AS split
+    FROM g
+    """,
+)
+def q_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split: the split unit is the near-dup
+    CLUSTER (sub-quadratic MinHash-LSH → exact-verify → connected
+    components), so a document and its 99%-similar copy can never
+    straddle the split and the eval set cannot silently measure
+    memorization. Group-hash gate is deterministic and
+    engine-portable; the oracle replays clusters with the shared
+    recursive-closure fragment
+    (operators/curation.py::leakage_safe_split)."""
+    from .operators.curation import leakage_safe_split
+
+    return leakage_safe_split(_t(spark, sf_dir, "documents"), eval_mod=10)
+
+
+@register(
+    "takedown_propagation",
+    f"""
+    WITH RECURSIVE {_jaccard_ctes()},
+    {_cc_over_pairs()},
+    base AS (
+      SELECT doc_id,
+             ({duckdb_md5_long("concat('optout_', source)")} % 7 = 0) AS direct
+      FROM documents
+    ),
+    g AS (
+      SELECT b.doc_id, b.direct,
+             coalesce(cc.cluster_id, b.doc_id) AS gid
+      FROM base b LEFT JOIN cc ON cc.doc_id = b.doc_id
+    ),
+    flagged AS (
+      SELECT gid, max(CASE WHEN direct THEN 1 ELSE 0 END) AS group_hit
+      FROM g GROUP BY gid
+    )
+    SELECT g.doc_id,
+           CASE WHEN g.direct THEN 'source_optout'
+                ELSE 'duplicate_of_optout' END AS reason
+    FROM g JOIN flagged USING (gid)
+    WHERE flagged.group_hit = 1
+    """,
+)
+def q_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out deletion propagated through the duplicate graph:
+    removing only `source IN optout` leaves crawl copies of the same
+    text under other sources, so honest takedown removes every doc in
+    the same near-dup cluster as any direct hit, labeled with WHY
+    (`source_optout` vs `duplicate_of_optout`). Clusters ride the
+    sub-quadratic dedup path; propagation adds one group-sized
+    aggregate + join (operators/curation.py::takedown_propagation)."""
+    from .operators.curation import takedown_propagation
+
+    return takedown_propagation(_t(spark, sf_dir, "documents"), optout_mod=7)
+
+
+@register(
+    "mixture_epochs_schedule",
+    """
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS tokens
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT source, n_docs, tokens,
+             pow(CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE), 0.7) AS p,
+             CAST(sum(tokens) OVER () AS DOUBLE) AS total
+      FROM per_src
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tokens AS BIGINT) AS tokens,
+           round(p / sum(p) OVER (), 6) AS weight,
+           round((1.0 * total * (p / sum(p) OVER ())) / tokens, 6) AS epochs
+    FROM shares
+    """,
+)
+def q_mixture_epochs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeat-factor schedule under a global token budget —
+    the planning twin of temperature_mixture_sample: weights are
+    temperature-scaled token shares (T=0.7 lifts small high-quality
+    sources), epochs_s = budget·weight_s / tokens_s, i.e. how many
+    passes over each source the training run takes (>1 for small
+    sources, <1 for the big crawl). ONE map-side-combined aggregation
+    over the corpus; totals via a window over the source-sized table,
+    never a corpus join-back
+    (operators/curation.py::mixture_epochs)."""
+    from .operators.curation import mixture_epochs
+
+    return mixture_epochs(
+        _docs_fan(spark, sf_dir), temperature=0.7, budget_factor=1.0
+    )
+
+
+@register(
+    "cdc_chunk_documents",
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> {duckdb_md5_long("array_to_string(w[i:i+2], ' ')")})
+             ELSE CAST([] AS BIGINT[]) END AS h
+      FROM words
+    ),
+    bnd AS (
+      SELECT doc_id, w, n,
+             CASE WHEN n >= 3 THEN
+               list_filter(range(3, n + 1), j -> h[CAST(j - 2 AS INT)] % 16 = 0)
+             ELSE CAST([] AS BIGINT[]) END AS b
+      FROM hs
+    ),
+    sp AS (
+      SELECT doc_id, w,
+             list_concat([CAST(1 AS BIGINT)], list_transform(b, x -> x + 1)) AS starts,
+             list_concat(b, [CAST(n AS BIGINT)]) AS ends
+      FROM bnd
+    ),
+    ch AS (
+      SELECT doc_id, w, starts, ends, i
+      FROM sp, unnest(range(1, len(starts) + 1)) r(i)
+      WHERE starts[CAST(i AS INT)] <= ends[CAST(i AS INT)]
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(ends[CAST(i AS INT)] - starts[CAST(i AS INT)] + 1 AS INT) AS n_tokens,
+           {duckdb_md5_long("array_to_string(w[CAST(starts[CAST(i AS INT)] AS INT):CAST(ends[CAST(i AS INT)] AS INT)], ' ')")} AS chunk_hash
+    FROM ch
+    """,
+)
+def q_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a boundary falls after token j
+    whenever the 3-gram ending at j hashes to 0 mod 16 — boundaries
+    depend on LOCAL content only (the Rabin/CDC principle), so an
+    edit perturbs at most one chunk and identical passages in
+    different docs yield identical chunk hashes, ready for chunk-level
+    exact dedup. Fixed-size chunk_documents can't give either
+    property. One Arrow-batched linear pass per doc (mapInPandas —
+    the Catalyst formulation re-evaluates the hash array per element
+    under projection collapse, measured 60× slower); zero shuffle
+    (operators/curation.py::content_defined_chunks)."""
+    from .operators.curation import content_defined_chunks
+
+    return content_defined_chunks(_docs_fan(spark, sf_dir), k=3, divisor=16)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

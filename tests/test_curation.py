@@ -423,3 +423,128 @@ def test_source_cap_sample_custom_columns(spark):
     out = source_cap_sample(docs, cap=3, id_col="id", source_col="site").collect()
     assert len(out) == 6
     assert {r["source"] for r in out} == {"s0", "s1"}
+
+
+def _neardup_docs(spark):
+    """Three near-dup families + singletons (family texts differ by one
+    trailing token, so 3-gram Jaccard >= 0.5 pairs them)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for fam in range(3):
+        fam_text = base + f" fam{fam}" * 1  # distinct families
+        rows.append((fam * 10, fam_text + " one", f"src{fam}"))
+        rows.append((fam * 10 + 1, fam_text + " two", f"src{fam + 3}"))
+    rows.append((100, "totally different text about ships and sails today", "src0"))
+    rows.append((101, "another unrelated document mentioning rivers and stones", "src5"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    from spark_streaming_kafka_spark.operators.curation import leakage_safe_split
+    from spark_streaming_kafka_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _neardup_docs(spark)
+    out = leakage_safe_split(docs, eval_mod=2).collect()  # eval_mod=2 → both sides populated
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    group_of = {r["doc_id"]: r["group_id"] for r in out}
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, verify=True).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]], "near-dup pair straddles the split"
+        assert group_of[p["id_a"]] == group_of[p["id_b"]]
+    assert set(split_of.values()) == {"train", "eval"}
+    # deterministic across reruns
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, eval_mod=2).collect()}
+    assert again == split_of
+
+
+def test_takedown_propagation_reaches_duplicates(spark):
+    from spark_streaming_kafka_spark.operators.curation import takedown_propagation
+    from spark_streaming_kafka_spark.functions.hashing import md5_long
+    from pyspark.sql import functions as F
+
+    docs = _neardup_docs(spark)
+    optout_mod = 2  # ~half the sources opt out → both reasons exercised
+    out = {r["doc_id"]: r["reason"] for r in takedown_propagation(docs, optout_mod=optout_mod).collect()}
+    direct = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            (md5_long(F.concat(F.lit("optout_"), F.col("source"))) % optout_mod == 0).alias("d"),
+        ).collect()
+        if r["d"]
+    }
+    assert direct, "fixture must have direct opt-out hits"
+    # every direct hit is removed with the direct reason
+    for d in direct:
+        assert out.get(d) == "source_optout"
+    # every near-dup partner of a direct hit is removed too
+    from spark_streaming_kafka_spark.operators.dedup import minhash_lsh_pairs
+
+    for p in minhash_lsh_pairs(docs, threshold=0.5, verify=True).collect():
+        a, b = p["id_a"], p["id_b"]
+        if a in direct and b not in direct:
+            assert out.get(b) == "duplicate_of_optout"
+        if b in direct and a not in direct:
+            assert out.get(a) == "duplicate_of_optout"
+    # nothing outside flagged groups is removed
+    for did, reason in out.items():
+        assert reason in ("source_optout", "duplicate_of_optout")
+
+
+def test_mixture_epochs_conserves_budget(spark):
+    from spark_streaming_kafka_spark.operators.curation import mixture_epochs
+
+    rows = [(i, "tok " * (5 if i % 3 else 50), f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_epochs(docs, temperature=0.7, budget_factor=1.0).collect()
+    assert {r["source"] for r in out} == {"s0", "s1", "s2"}
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    total = sum(r["tokens"] for r in out)
+    realized = sum(r["epochs"] * r["tokens"] for r in out)
+    assert abs(realized - total) / total < 1e-4  # Σ epochs·tokens = budget
+    # T<1 lifts the small source above its raw share
+    by_src = {r["source"]: r for r in out}
+    small = min(out, key=lambda r: r["tokens"])
+    assert small["weight"] > small["tokens"] / total
+    assert small["epochs"] > 1.0  # small high-quality source repeats
+
+
+def test_content_defined_chunks_covers_and_localizes(spark):
+    from spark_streaming_kafka_spark.operators.curation import content_defined_chunks
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(400)]
+    text_a = " ".join(words)
+    # same text in another doc → identical chunk sequence
+    # an insertion mid-document → only local chunks change
+    mutated = words[:200] + ["INSERTED"] + words[200:]
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, " ".join(mutated)), (4, "a b"), (5, "")],
+        "doc_id long, text string",
+    )
+    out = content_defined_chunks(docs, k=3, divisor=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did in by_doc:
+        by_doc[did].sort(key=lambda r: r["chunk_idx"])
+    # coverage: chunk token counts sum to the doc's token count
+    assert sum(r["n_tokens"] for r in by_doc[1]) == 400
+    assert [r["chunk_idx"] for r in by_doc[1]] == list(range(1, len(by_doc[1]) + 1))
+    # determinism / content-addressing: identical docs → identical chunks
+    assert [(r["n_tokens"], r["chunk_hash"]) for r in by_doc[1]] == [
+        (r["n_tokens"], r["chunk_hash"]) for r in by_doc[2]
+    ]
+    # CDC locality: the insertion changes SOME chunks but most hashes survive
+    h1 = [r["chunk_hash"] for r in by_doc[1]]
+    h3 = [r["chunk_hash"] for r in by_doc[3]]
+    shared = set(h1) & set(h3)
+    assert len(shared) >= len(h1) - 3, "an edit must only perturb local chunks"
+    # short doc (< k tokens) → one chunk spanning everything
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_tokens"] == 2
+    # empty doc → no rows
+    assert 5 not in by_doc
