@@ -89,9 +89,34 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
     report: dict[str, dict] = {}
+    def _release_cached_state() -> None:
+        """Between-query hygiene for the shared sweep session.
+
+        Iterative operators (CC, PageRank) unpersist their loop
+        intermediates but necessarily leave their FINAL frame cached
+        for the consumer; a 137-query sweep in one session accumulates
+        those blocks plus localCheckpoint RDDs that
+        ``DataFrame.unpersist`` never frees. Under the bare grading
+        session's default heap that pressure made the sf0.1 sweep
+        flaky (observed: pagerank_source_authority OOM at query #72
+        in one run, green in the next). A finished query's cache has
+        no cross-query consumer here, so releasing everything models
+        exactly what per-job execution would do.
+        """
+        try:
+            spark.catalog.clearCache()
+            live = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(live.keySet().toArray()):
+                jrdd = live.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:
+            pass  # hygiene must never fail the sweep
+
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        _release_cached_state()  # free the previous query's blocks
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)

@@ -126,6 +126,21 @@ SHOWCASE = {
     "linear (block, id) joins, ONE levenshtein verify — no block "
     "self-join, no CartesianProduct, linear shuffle however coarse the "
     "blocking key.",
+    "split_no_leakage": "The split unit is the near-dup cluster: the plan is "
+    "the established sub-quadratic cluster path (LSH candidates, bounded "
+    "verify, one-job-per-iteration CC) plus ONE group-keyed left join and "
+    "pure hash algebra for the gate — no new wide exchange over the corpus.",
+    "takedown_propagation": "Propagation through the dup graph costs one "
+    "group-sized aggregate (any-direct-hit flag) and one group-keyed join on "
+    "top of the cluster path; document bodies never re-shuffle.",
+    "mixture_epochs_schedule": "ONE partial→final HashAggregate pair over the "
+    "corpus (per-source doc+token counts); totals ride a window over the "
+    "source-sized table — no corpus join-back, no second scan.",
+    "cdc_chunk_documents": "A single ArrowEvalPython/MapInPandas stage over "
+    "the pruned (doc_id, text) scan — linear per-doc chunking, zero shuffle; "
+    "the Catalyst array formulation re-evaluates the k-gram hash array per "
+    "element under projection collapse (measured 60× slower) and is "
+    "deliberately not used.",
     "drift_report_docs": "One scan per snapshot: every feature's bin lands "
     "in a single Generate→partial-agg pair; totals via a window over the "
     "bin-sized aligned table (NOT a join-back that would duplicate the "
