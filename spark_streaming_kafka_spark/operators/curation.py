@@ -681,7 +681,7 @@ def leakage_safe_split(
 
     clusters = dedup_clusters(
         docs, threshold=threshold, k=k, text_col=text_col, id_col=id_col
-    )
+    ).withColumnRenamed(id_col, "doc_id")
     gid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -744,7 +744,7 @@ def takedown_propagation(
     )
     clusters = dedup_clusters(
         docs, threshold=threshold, k=k, text_col=text_col, id_col=id_col
-    )
+    ).withColumnRenamed(id_col, "doc_id")
     g = base.join(clusters, "doc_id", "left").select(
         "doc_id",
         "direct",

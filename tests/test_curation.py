@@ -548,3 +548,16 @@ def test_content_defined_chunks_covers_and_localizes(spark):
     assert len(by_doc[4]) == 1 and by_doc[4][0]["n_tokens"] == 2
     # empty doc → no rows
     assert 5 not in by_doc
+
+
+def test_governance_ops_custom_id_column(spark):
+    from spark_streaming_kafka_spark.operators.curation import (
+        leakage_safe_split,
+        takedown_propagation,
+    )
+
+    docs = _neardup_docs(spark).withColumnRenamed("doc_id", "uid")
+    split = leakage_safe_split(docs, eval_mod=2, id_col="uid").collect()
+    assert len(split) == docs.count()
+    td = takedown_propagation(docs, optout_mod=2, id_col="uid").collect()
+    assert {r["reason"] for r in td} <= {"source_optout", "duplicate_of_optout"}
