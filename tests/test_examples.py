@@ -23,6 +23,7 @@ EXAMPLES = [
     "examples/retrieval_search.py",
     "examples/quality_gates.py",
     "examples/training_examples.py",
+    "examples/governance.py",
 ]
 
 
