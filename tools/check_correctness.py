@@ -67,6 +67,21 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     if VANILLA:
+        # Bare session: no SQL/engine conf at all — the grading
+        # driver's SEMANTICS environment. JVM sizing is not semantics:
+        # the 1g default driver heap is sized for per-query sf0.01
+        # runs, and a 141-query sf0.1 sweep in ONE process OOM'd it
+        # twice (executor tasks during fuzzy_part_names before the
+        # Pass-Join fix; then the appStatus listener thread, whose UI
+        # state store grows with every stage the long session runs).
+        # Size the heap like any real batch driver; override with
+        # SPARK_GRAFT_SWEEP_MEM. Must be set before the JVM launches.
+        os.environ.setdefault(
+            "PYSPARK_SUBMIT_ARGS",
+            "--driver-memory "
+            + os.environ.get("SPARK_GRAFT_SWEEP_MEM", "8g")
+            + " pyspark-shell",
+        )
         from pyspark.sql import SparkSession
 
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -174,6 +189,11 @@ def main() -> int:
                 {
                     "sf_dir": SF_DIR,
                     "mode": "vanilla" if VANILLA else "engine",
+                    "driver_memory": os.environ.get(
+                        "SPARK_GRAFT_SWEEP_MEM", "8g"
+                    )
+                    if VANILLA
+                    else None,
                     "n_pass": n_pass,
                     "n_fail": n_fail,
                     "queries": report,
