@@ -53,6 +53,9 @@ __all__ = [
     "takedown_propagation",
     "mixture_epochs",
     "content_defined_chunks",
+    "cross_source_dup_matrix",
+    "dup_weighted_docs",
+    "cdc_dedup_rewrite",
 ]
 
 
@@ -820,9 +823,12 @@ def content_defined_chunks(
     divisor: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_text: bool = False,
 ) -> DataFrame:
     """Content-defined chunking (rolling-hash boundaries):
-    ``(doc_id, chunk_idx, n_tokens, chunk_hash)``.
+    ``(doc_id, chunk_idx, n_tokens, chunk_hash)``, plus ``chunk_text``
+    when ``include_text=True`` (the rewrite path needs the bodies; the
+    inventory path ships hashes only).
 
     Fixed-size chunking (``chunk_documents``) breaks at arbitrary
     offsets, so inserting one sentence shifts every later boundary and
@@ -860,15 +866,18 @@ def content_defined_chunks(
     if k < 1 or divisor < 1:
         raise ValueError("k and divisor must be >= 1")
     id_type = docs.schema[id_col].dataType
-    schema = StructType(
-        [
-            StructField("doc_id", id_type),
-            StructField("chunk_idx", IntegerType()),
-            StructField("n_tokens", IntegerType()),
-            StructField("chunk_hash", LongType()),
-        ]
-    )
-    kk, div = k, divisor
+    fields = [
+        StructField("doc_id", id_type),
+        StructField("chunk_idx", IntegerType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("chunk_hash", LongType()),
+    ]
+    if include_text:
+        from pyspark.sql.types import StringType
+
+        fields.append(StructField("chunk_text", StringType()))
+    schema = StructType(fields)
+    kk, div, with_text = k, divisor, include_text
 
     def _h60(s: str) -> int:
         return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
@@ -879,12 +888,7 @@ def content_defined_chunks(
         for pdf in batches:
             if pdf.empty:
                 continue
-            out: dict[str, list] = {
-                "doc_id": [],
-                "chunk_idx": [],
-                "n_tokens": [],
-                "chunk_hash": [],
-            }
+            out: dict[str, list] = {f.name: [] for f in fields}
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in (text or "").split(" ") if t]
                 n = len(toks)
@@ -905,7 +909,152 @@ def content_defined_chunks(
                     out["chunk_idx"].append(ci)
                     out["n_tokens"].append(e - s + 1)
                     out["chunk_hash"].append(_h60(piece))
+                    if with_text:
+                        out["chunk_text"].append(piece)
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(chunk, schema)
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix:
+    ``(source_a, source_b, n_pairs)`` — how many near-dup pairs link
+    each (unordered) pair of sources.
+
+    The provenance/licensing view of the dedup graph: a heavy
+    off-diagonal cell means source B is largely a re-crawl/mirror of
+    source A (so its license/opt-out status should follow A's), and
+    the diagonal measures within-source redundancy. Pairs come from
+    the sub-quadratic MinHash-LSH + exact-verify path; attribution
+    adds two id-keyed joins against the (id, source) projection and a
+    source-pair-sized aggregate — document bodies never re-shuffle.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, threshold=threshold, k=k, text_col=text_col, id_col=id_col,
+        verify=True,
+    )
+    src = docs.select(F.col(id_col), F.col(source_col).alias("__src"))
+    a = src.select(F.col(id_col).alias("id_a"), F.col("__src").alias("src_a"))
+    b = src.select(F.col(id_col).alias("id_b"), F.col("__src").alias("src_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def dup_weighted_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Soft exact dedup: ``(doc_id, dup_count, weight)`` with
+    ``weight = 1 / copies-of-this-text`` — every document is KEPT but
+    a text duplicated n times contributes total weight 1 to training,
+    the downweighting alternative to dropping copies (preserves
+    within-group diversity of metadata/routing while removing the
+    over-representation bias).
+
+    Scale shape: one hash-groupBy on md5(text) (the exact_dedup
+    shuffle — (hash, id) pairs, never bodies) and one hash-keyed join
+    back; weights are pure column algebra, rounded for engine
+    parity.
+    """
+    counts = (
+        docs.select(F.md5(F.col(text_col)).alias("__th"))
+        .groupBy("__th")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+    )
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__th"))
+        .join(counts, "__th")
+        .select(
+            F.col(id_col),
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.round(F.lit(1.0) / F.col("dup_count"), ndigits).alias("weight"),
+        )
+    )
+
+
+def cdc_dedup_rewrite(
+    docs: DataFrame,
+    k: int = 3,
+    divisor: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level dedup REWRITE over content-defined chunks:
+    ``(doc_id, n_chunks, kept_chunks, new_text)`` where each document
+    is rebuilt from only the FIRST corpus-wide occurrence (by
+    ``(doc_id, chunk_idx)``) of each chunk hash.
+
+    The payoff of :func:`content_defined_chunks`: because boundaries
+    are content-defined, a passage copied between documents chunks
+    identically wherever it lands, so this removes repeated passages
+    ACROSS documents — the cross-document complement of
+    ``substring_dedup_rewrite`` (which targets within-corpus repeated
+    substrings at exact shingle granularity). A doc whose every chunk
+    was seen earlier rewrites to the empty string (``kept_chunks=0``).
+
+    Scale shape: the keep decision ranks NARROW (hash, id, idx) rows
+    in one hash-keyed window; chunk bodies shuffle exactly twice —
+    once into that window's exchange and once for the per-doc rebuild
+    — both linear in corpus bytes (the substring-rewrite "bodies
+    shuffle once per stage" discipline). Rebuild order is restored
+    with ``array_sort`` over (chunk_idx, text) structs, so the result
+    is deterministic under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    chunks = content_defined_chunks(
+        docs, k=k, divisor=divisor, text_col=text_col, id_col=id_col,
+        include_text=True,
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_chunks"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("chunk_idx").alias("i"),
+                            F.col("chunk_text").alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("new_text"),
+    )
+    return per_doc.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("kept_chunks", F.lit(0)).cast("long").alias("kept_chunks"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

@@ -5497,6 +5497,125 @@ def q_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_defined_chunks(_docs_fan(spark, sf_dir), k=3, divisor=16)
 
 
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH {_jaccard_ctes()},
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN srcs sa ON sa.doc_id = p.id_a
+    JOIN srcs sb ON sb.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the provenance/licensing view
+    of the dedup graph: a heavy off-diagonal cell means one source is
+    largely a mirror/re-crawl of another (its opt-out status should
+    follow), the diagonal measures within-source redundancy. Pairs
+    ride the sub-quadratic MinHash-LSH + exact-verify path;
+    attribution adds two id-keyed joins against the (id, source)
+    projection and a source-pair-sized aggregate
+    (operators/curation.py::cross_source_dup_matrix)."""
+    from .operators.curation import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dup_weighted_docs",
+    """
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count,
+           round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6) AS weight
+    FROM documents
+    """,
+)
+def q_dup_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft exact dedup: every document kept, but a text duplicated n
+    times carries weight 1/n so the group contributes total weight 1
+    to training — the downweighting alternative to dropping copies.
+    One hash-groupBy on md5(text) ((hash, id) shuffle, never bodies)
+    plus one hash-keyed join back
+    (operators/curation.py::dup_weighted_docs)."""
+    from .operators.curation import dup_weighted_docs
+
+    return dup_weighted_docs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "cdc_dedup_rewrite",
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> {duckdb_md5_long("array_to_string(w[i:i+2], ' ')")})
+             ELSE CAST([] AS BIGINT[]) END AS h
+      FROM words
+    ),
+    bnd AS (
+      SELECT doc_id, w, n,
+             CASE WHEN n >= 3 THEN
+               list_filter(range(3, n + 1), j -> h[CAST(j - 2 AS INT)] % 16 = 0)
+             ELSE CAST([] AS BIGINT[]) END AS b
+      FROM hs
+    ),
+    sp AS (
+      SELECT doc_id, w,
+             list_concat([CAST(1 AS BIGINT)], list_transform(b, x -> x + 1)) AS starts,
+             list_concat(b, [CAST(n AS BIGINT)]) AS ends
+      FROM bnd
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(
+               w[CAST(starts[CAST(i AS INT)] AS INT):CAST(ends[CAST(i AS INT)] AS INT)], ' '
+             ) AS chunk_text,
+             {duckdb_md5_long("array_to_string(w[CAST(starts[CAST(i AS INT)] AS INT):CAST(ends[CAST(i AS INT)] AS INT)], ' ')")} AS chunk_hash
+      FROM sp, unnest(range(1, len(starts) + 1)) r(i)
+      WHERE starts[CAST(i AS INT)] <= ends[CAST(i AS INT)]
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx
+      ) AS rn FROM chunks
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn = 1),
+    perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+               FROM chunks GROUP BY doc_id),
+    reb AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+             string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS new_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_chunks,
+           coalesce(r.kept_chunks, 0) AS kept_chunks,
+           coalesce(r.new_text, '') AS new_text
+    FROM perdoc p LEFT JOIN reb r ON r.doc_id = p.doc_id
+    """,
+)
+def q_cdc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup rewrite — the payoff of content-defined
+    chunking: a passage copied between documents chunks identically
+    wherever it lands, so rebuilding every doc from only the FIRST
+    corpus-wide occurrence of each chunk hash removes cross-document
+    repeated passages (the cross-document complement of
+    substring_dedup_rewrite). Keep decisions rank NARROW (hash, id,
+    idx) rows; chunk bodies shuffle exactly twice, both linear
+    (operators/curation.py::cdc_dedup_rewrite)."""
+    from .operators.curation import cdc_dedup_rewrite
+
+    return cdc_dedup_rewrite(_docs_fan(spark, sf_dir), k=3, divisor=16)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -141,6 +141,17 @@ SHOWCASE = {
     "the Catalyst array formulation re-evaluates the k-gram hash array per "
     "element under projection collapse (measured 60× slower) and is "
     "deliberately not used.",
+    "cdc_dedup_rewrite": "Keep decisions rank NARROW (hash, id, idx) rows in "
+    "one hash-keyed window; chunk bodies shuffle exactly twice (window "
+    "exchange + per-doc rebuild), both linear — and the rebuild restores "
+    "order via array_sort, deterministic under any partitioning.",
+    "cross_source_dup_matrix": "Pairs ride the sub-quadratic LSH+verify "
+    "path; attribution is two id-keyed joins against the (id, source) "
+    "projection and a source-pair-sized aggregate — bodies never "
+    "re-shuffle.",
+    "dup_weighted_docs": "One hash-groupBy on md5(text) — the shuffle "
+    "carries (hash, id) pairs, never bodies — and one hash-keyed join "
+    "back; weights are pure column algebra.",
     "drift_report_docs": "One scan per snapshot: every feature's bin lands "
     "in a single Generate→partial-agg pair; totals via a window over the "
     "bin-sized aligned table (NOT a join-back that would duplicate the "
