@@ -792,6 +792,12 @@ def mixture_epochs(
     and token counts — map-side combined), then pure column algebra
     over the source-sized table with the totals carried by a window
     over that table, not a join-back that would rescan the corpus.
+
+    Degenerate input: a source whose every document tokenizes to
+    nothing has ``tokens = 0`` and no meaningful share — its weight
+    and epochs are division-by-zero artifacts (null/NaN depending on
+    engine). Filter empty documents upstream (every curation pipeline
+    here does) before scheduling.
     """
     from pyspark.sql import Window
 
