@@ -4,10 +4,13 @@ the compliance/planning layer a 100 TB pipeline runs AFTER curation.
     python examples/governance.py [sf_dir] [out_dir]
 
 Steps: content-defined chunking (chunk-level dedup inventory) →
-takedown propagation (opt-out sources AND their near-dup copies) →
-leakage-safe train/eval split (near-dup clusters never straddle) →
-per-source mixture schedule (temperature weights → repeat factors),
-with each artifact written to parquet and a one-screen summary.
+chunk-level dedup rewrite (drop repeated passages across docs) →
+cross-source duplication matrix (provenance view) → soft dedup
+weights → takedown propagation (opt-out sources AND their near-dup
+copies) → leakage-safe train/eval split (near-dup clusters never
+straddle) → per-source mixture schedule (temperature weights →
+repeat factors), with each artifact written to parquet and a
+one-screen summary.
 """
 
 from __future__ import annotations
@@ -22,7 +25,10 @@ from pyspark.sql import functions as F
 
 from spark_streaming_kafka_spark import get_spark
 from spark_streaming_kafka_spark.operators.curation import (
+    cdc_dedup_rewrite,
     content_defined_chunks,
+    cross_source_dup_matrix,
+    dup_weighted_docs,
     leakage_safe_split,
     mixture_epochs,
     takedown_propagation,
@@ -53,6 +59,29 @@ def main() -> None:
     print(
         f"chunks: {stats['total']} total, {stats['distinct']} distinct "
         f"({stats['total'] - stats['distinct']} duplicated passages)"
+    )
+
+    # 1b. chunk-level dedup rewrite: drop every passage already seen
+    #     earlier in the corpus, rebuild the documents.
+    rewritten = cdc_dedup_rewrite(docs, k=3, divisor=16)
+    rewritten.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "rewritten")
+    )
+    rw = rewritten.agg(
+        F.sum("n_chunks").alias("n"), F.sum("kept_chunks").alias("k")
+    ).first()
+    print(f"rewrite: kept {rw['k']}/{rw['n']} chunks corpus-wide")
+
+    # 1c. provenance: which source pairs share near-dup content, and
+    #     soft weights for the copies we keep.
+    matrix = cross_source_dup_matrix(docs)
+    matrix.write.mode("overwrite").parquet(os.path.join(out_dir, "dup_matrix"))
+    top = matrix.orderBy(F.desc("n_pairs")).limit(3).collect()
+    print("heaviest source-pair duplication:", [
+        (r["source_a"], r["source_b"], r["n_pairs"]) for r in top
+    ])
+    dup_weighted_docs(docs).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "weights")
     )
 
     # 2. takedown propagation: remove opted-out sources AND every doc
