@@ -1484,3 +1484,57 @@ def winnowing_fingerprints(
         staged.select("doc_id", F.explode(sels).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
     )
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Local-overlap pairs from winnowing fingerprints:
+    ``(id_a, id_b, n_shared)`` — document pairs sharing at least
+    ``min_shared`` DISTINCT selected fingerprints.
+
+    The pairwise face of :func:`winnowing_fingerprints` (clone /
+    plagiarism / quotation detection): by the winnowing guarantee, any
+    shared token run of ≥ w+k-1 tokens forces at least one shared
+    selected fingerprint, so a pair missing here provably shares no
+    such run. ``min_shared`` > 1 suppresses single-phrase
+    coincidences; ``max_df`` drops fingerprints selected in more than
+    ``max_df`` documents before pairing — the same stop-key guard as
+    ``ngram_jaccard_pairs`` and mandatory at scale (a boilerplate
+    phrase selected in 1M docs alone creates 10¹² join rows). The
+    selected-fingerprint table is ~2/(w+1) the shingle count, so this
+    inverted-index pass is that much cheaper than the shingle-level
+    equivalent.
+    """
+    fp = winnowing_fingerprints(
+        docs, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    fps = fp.select("doc_id", "fp").distinct()
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -5043,10 +5043,12 @@ def q_web_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "winnowing_fingerprints",
-    f"""
-    WITH words AS (
+def _winnowing_ctes() -> str:
+    """Shared winnowing CTE chain (k=3, w=4) over ``documents``,
+    ending in ``sel(doc_id, sels)`` — the ONE definition both the
+    fingerprint-selection oracle and the overlap-pairs oracle build
+    on."""
+    return f"""words AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents
     ),
@@ -5077,7 +5079,13 @@ def q_web_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                'fp': list_min(h[i:i+3])
              }}) AS sels
       FROM st
-    )
+    )"""
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH {_winnowing_ctes()}
     SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.fp AS BIGINT) AS fp
     FROM (SELECT doc_id, unnest(sels) AS u FROM sel)
     """,
@@ -5614,6 +5622,43 @@ def q_cdc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import cdc_dedup_rewrite
 
     return cdc_dedup_rewrite(_docs_fan(spark, sf_dir), k=3, divisor=16)
+
+
+@register(
+    "winnowing_overlap_pairs",
+    f"""
+    WITH {_winnowing_ctes()},
+    fps AS (
+      SELECT DISTINCT doc_id, CAST(u.fp AS BIGINT) AS fp
+      FROM (SELECT doc_id, unnest(sels) AS u FROM sel)
+    ),
+    rare AS (
+      SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+      WHERE df <= 50
+    ),
+    f2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pairs from winnowing fingerprints — the pairwise
+    face of the winnowing primitive (clone/plagiarism/quotation
+    detection): any shared ≥ w+k-1 = 6-token run forces a shared
+    selected fingerprint, so absent pairs provably share no such run.
+    min_shared=2 suppresses single-phrase coincidences; max_df=50
+    drops boilerplate fingerprints before pairing (the
+    ngram_jaccard stop-key guard). The inverted-index pass runs over
+    the selected set — ~2/(w+1) the shingle volume
+    (operators/dedup.py::winnowing_overlap_pairs)."""
+    from .operators.dedup import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(
+        _docs_fan(spark, sf_dir), k=3, w=4, min_shared=2, max_df=50
+    )
 
 
 # ---------------------------------------------------------------------

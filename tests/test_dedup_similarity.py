@@ -861,3 +861,38 @@ def test_contrastive_pairs_zero_norm_rows(spark):
     )
     with _pytest.raises(ValueError, match="zero-norm"):
         sim.contrastive_pairs(emb, zq)
+
+
+def test_winnowing_overlap_pairs_guarantee_and_cap(spark):
+    from spark_streaming_kafka_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    shared_run = " ".join(f"s{rng.randrange(400)}" for _ in range(30))
+    noise = lambda n: " ".join(f"n{rng.randrange(400)}" for _ in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, noise(20) + " " + shared_run + " " + noise(20)),
+            (2, shared_run + " " + noise(40)),   # shares the 30-token run
+            (3, noise(60)),                      # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnowing_overlap_pairs(docs, k=3, w=4, min_shared=1).collect()}
+    # winnowing guarantee: a shared >= w+k-1 token run forces >= 1
+    # shared fingerprint — a 30-token run forces many
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    # ordering normalized
+    assert all(a < b for a, b in out)
+    # min_shared filter tightens monotonically
+    strict = {(r["id_a"], r["id_b"])
+              for r in winnowing_overlap_pairs(
+                  docs, k=3, w=4, min_shared=out[(1, 2)] + 1).collect()}
+    assert (1, 2) not in strict
+    # max_df cap: with every fingerprint capped away, no pairs at all
+    capped = winnowing_overlap_pairs(docs, k=3, w=4, min_shared=1, max_df=0).collect()
+    assert capped == []

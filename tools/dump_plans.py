@@ -141,6 +141,10 @@ SHOWCASE = {
     "the Catalyst array formulation re-evaluates the k-gram hash array per "
     "element under projection collapse (measured 60× slower) and is "
     "deliberately not used.",
+    "winnowing_overlap_pairs": "Inverted-index self-join over the SELECTED "
+    "fingerprint set (~2/(w+1) of shingle volume), stop-keys dropped by the "
+    "max_df cap BEFORE pairing; one pair-keyed aggregate — same shape as "
+    "ngram_jaccard but on the winnowed set.",
     "cdc_dedup_rewrite": "Keep decisions rank NARROW (hash, id, idx) rows in "
     "one hash-keyed window; chunk bodies shuffle exactly twice (window "
     "exchange + per-doc rebuild), both linear — and the rebuild restores "
