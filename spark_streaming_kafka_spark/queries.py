@@ -5661,6 +5661,133 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Mergeable sketches (bounded-state distinct / frequency at 100 TB)
+# =====================================================================
+
+def _hll_users_sql() -> str:
+    from .operators.sketches import duckdb_hll_sql
+
+    hll = duckdb_hll_sql(
+        "(SELECT event_type, concat('u', CAST(user_id AS VARCHAR)) AS k FROM events)",
+        "k",
+        ["event_type"],
+        p=8,
+    )
+    return f"""
+    WITH est AS ({hll}),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.hll_distinct, est.empty_registers,
+           exact.exact_distinct,
+           round(abs(est.hll_distinct - exact.exact_distinct)
+                 / exact.exact_distinct, 4) AS rel_err
+    FROM est JOIN exact USING (event_type)
+    """
+
+
+@register("hll_distinct_users", _hll_users_sql())
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality via HyperLogLog
+    (operators/sketches.py) — the bounded-state replacement for
+    ``COUNT(DISTINCT user_id)``: the shuffle carries ≤ 256 registers
+    per event type instead of one row per distinct user, and partial
+    sketches from different executors/days merge with MAX. The exact
+    count rides alongside so the row itself certifies the error
+    (rel_err ≈ 1.04/√256 ≈ 6.5% worst-case). Estimate computed in
+    exact integer space (sum of 1<<(51-rho)) so it is reduction-order
+    and engine independent. Reference anchor: exact distinct counts
+    via RDD countByValue (spark_kafka.py:96-104) — this is that
+    question at 1000× the key space."""
+    from .operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    est = hll_distinct(
+        ev.select(key.alias("k"), "event_type"), "k", ["event_type"], p=8
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "hll_distinct",
+        "empty_registers",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+#: Fixed CMS demo query terms: frequent corpus tokens + one absent
+#: probe (the sketch must return 0-or-over for it, never under).
+_CMS_TERMS = ["table", "spark", "scan", "merge", "window", "zzz_absent"]
+
+
+def _cms_sql() -> str:
+    from .operators.sketches import duckdb_cms_cells_sql
+
+    terms = "[" + ", ".join(f"'{t}'" for t in _CMS_TERMS) + "]"
+    return f"""
+    WITH tok AS (
+      SELECT unnest({_sql_tokens()}) AS term FROM documents
+    ),
+    cells AS (SELECT unnest({duckdb_cms_cells_sql("term")}) AS cell FROM tok),
+    sk AS (
+      SELECT cell.ri AS ri, cell.ci AS ci, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY 1, 2
+    ),
+    q AS (SELECT unnest({terms}) AS term),
+    qc AS (SELECT term, unnest({duckdb_cms_cells_sql("term")}) AS cell FROM q),
+    est AS (
+      SELECT qc.term, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est_count
+      FROM qc LEFT JOIN sk ON sk.ri = cell.ri AND sk.ci = cell.ci
+      GROUP BY qc.term
+    ),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+      FROM tok WHERE list_contains({terms}, term) GROUP BY term
+    )
+    SELECT est.term, est.est_count,
+           CAST(coalesce(exact.exact_count, 0) AS BIGINT) AS exact_count
+    FROM est LEFT JOIN exact USING (term)
+    """
+
+
+@register("heavy_hitters_cms", _cms_sql())
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for a fixed term list vs exact counts
+    (operators/sketches.py). The sketch is d×w = 3×64 cells TOTAL —
+    after map-side combine the shuffle is sketch-sized regardless of
+    corpus volume, and sketches over shards/days merge by summing
+    cells. Estimates are one-sided (est ≥ exact, incl. 'zzz_absent'
+    probing a never-seen key); the deliberately narrow w=64 makes the
+    collision over-count visible in the committed result. Reference
+    anchor: exact word counts (spark_streaming_kafka.py:150,
+    wordcount RDD) — this is the same count under bounded state."""
+    from .operators.sketches import cms_lookup, cms_sketch
+
+    tok = _docs_fan(spark, sf_dir).select(
+        F.explode(dd.tokenize(F.col("text"))).alias("term")
+    )
+    sk = cms_sketch(tok, "term", width=64)
+    qk = spark.createDataFrame([(t,) for t in _CMS_TERMS], "term string")
+    est = cms_lookup(sk, qk, "term", width=64)
+    exact = tok.filter(F.col("term").isin(_CMS_TERMS)).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return est.join(F.broadcast(exact), "term", "left").select(
+        "term",
+        "est_count",
+        F.coalesce(F.col("exact_count"), F.lit(0)).cast("long").alias("exact_count"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -1,0 +1,174 @@
+"""Mergeable-sketch operators (operators/sketches.py): HyperLogLog
+distinct and Count-Min frequency.
+
+Properties pinned here (the registry queries pin engine-parity; these
+pin the *algorithmic* guarantees against independent Python oracles):
+
+- HLL raw-branch accuracy within theory bounds on a large key set.
+- HLL linear-counting branch == an independent md5 Python replica.
+- Sketch MERGE: registers of a union == MAX-merge of partial register
+  tables (the property that makes the operator shardable at 100 TB).
+- CMS one-sided error (est >= exact, even for absent keys) and
+  cell-SUM mergeability across shards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_spark.operators.sketches import (
+    CMS_DEFAULT_PARAMS,
+    cms_lookup,
+    cms_sketch,
+    hll_distinct,
+    hll_estimate,
+    hll_sketch,
+)
+from spark_streaming_kafka_spark.functions.hashing import MERSENNE_P
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_hll(keys, p):
+    """Independent Python replica of the estimator."""
+    m = 1 << p
+    field_bits = 60 - p
+    regs = [0] * m
+    for k in set(keys):
+        h = _md5_long(k)
+        b = h % m
+        rest = h >> p
+        rho = field_bits + 1 if rest == 0 else field_bits + 1 - rest.bit_length()
+        regs[b] = max(regs[b], rho)
+    maxbits = field_bits + 1
+    z_int = sum(1 << (maxbits - r) for r in regs)
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = alpha * m * m * float(1 << maxbits) / z_int
+    zeros = regs.count(0)
+    if e_raw <= 2.5 * m and zeros > 0:
+        return round(m * math.log(m / zeros), 2)
+    return round(e_raw, 2)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    # 20k distinct keys, each appearing 1-3 times, two groups.
+    rows = []
+    for i in range(20_000):
+        g = "a" if i % 2 == 0 else "b"
+        for _ in range(1 + i % 3):
+            rows.append((g, f"key_{i}"))
+    return spark.createDataFrame(rows, "g string, k string")
+
+
+def test_hll_raw_branch_accuracy(spark, keys_df):
+    out = {
+        r["g"]: r
+        for r in hll_distinct(keys_df, "k", ["g"], p=8).collect()
+    }
+    for g, exact in (("a", 10_000), ("b", 10_000)):
+        est = out[g]["hll_distinct"]
+        # raw branch: no empty registers at 10k keys into 256 buckets
+        assert out[g]["empty_registers"] == 0
+        assert abs(est - exact) / exact < 0.10  # 1.04/sqrt(256) ~ 6.5%
+
+
+def test_hll_matches_python_replica_both_branches(spark):
+    # Small set -> linear counting; big set -> raw estimator.
+    for n, p in ((40, 8), (5_000, 8)):
+        keys = [f"u{i}" for i in range(n)]
+        df = spark.createDataFrame([(k,) for k in keys], "k string").withColumn(
+            "g", F.lit("x")
+        )
+        got = hll_distinct(df, "k", ["g"], p=p).collect()[0]["hll_distinct"]
+        assert got == pytest.approx(_py_hll(keys, p), abs=1e-9)
+
+
+def test_hll_merge_equals_union(spark):
+    a = spark.createDataFrame([(f"k{i}",) for i in range(0, 3000)], "k string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(1500, 5000)], "k string")
+    a, b = a.withColumn("g", F.lit("x")), b.withColumn("g", F.lit("x"))
+    union_est = hll_distinct(a.unionByName(b), "k", ["g"], p=8).collect()[0]
+    merged = (
+        hll_sketch(a, "k", ["g"], p=8)
+        .unionByName(hll_sketch(b, "k", ["g"], p=8))
+        .groupBy("g", "bucket")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+    merged_est = hll_estimate(merged, ["g"], p=8).collect()[0]
+    assert merged_est["hll_distinct"] == union_est["hll_distinct"]
+    assert merged_est["empty_registers"] == union_est["empty_registers"]
+
+
+@pytest.fixture(scope="module")
+def token_stream(spark):
+    # Zipf-ish: term_i appears (50 - i) times, i in [0, 50).
+    rows = [(f"t{i}",) for i in range(50) for _ in range(50 - i)]
+    return spark.createDataFrame(rows, "term string")
+
+
+def test_cms_one_sided_and_exact_with_wide_table(spark, token_stream):
+    exact = {
+        r["term"]: r["c"]
+        for r in token_stream.groupBy("term").agg(F.count("*").alias("c")).collect()
+    }
+    probe = spark.createDataFrame(
+        [(t,) for t in list(exact) + ["never_seen"]], "term string"
+    )
+    # Narrow width forces collisions -> strictly one-sided error.
+    sk16 = cms_sketch(token_stream, width=16)
+    est16 = {
+        r["term"]: r["est_count"]
+        for r in cms_lookup(sk16, probe, width=16).collect()
+    }
+    assert all(est16[t] >= c for t, c in exact.items())
+    assert est16["never_seen"] >= 0
+    assert sum(est16[t] > c for t, c in exact.items()) > 0  # collisions happened
+    # Sketch never exceeds d*w cells.
+    assert sk16.count() <= 3 * 16
+    # Very wide table: no collisions, estimates exact.
+    sk = cms_sketch(token_stream, width=65536)
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms_lookup(sk, probe, width=65536).collect()
+    }
+    assert all(est[t] == c for t, c in exact.items())
+    assert est["never_seen"] == 0
+
+
+def test_cms_merge_by_cell_sum(spark, token_stream):
+    # Deterministic disjoint shards by term hash parity.
+    tagged = token_stream.withColumn(
+        "s", F.abs(F.xxhash64(F.col("term"))) % 2
+    )
+    s0 = cms_sketch(tagged.filter("s = 0").select("term"), width=32)
+    s1 = cms_sketch(tagged.filter("s = 1").select("term"), width=32)
+    merged = (
+        s0.unionByName(s1)
+        .groupBy("row", "col")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = cms_sketch(token_stream, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_params_overflow_safe():
+    # a * h must stay inside int64 for every shipped row param.
+    hmax = MERSENNE_P - 1
+    for a, b in CMS_DEFAULT_PARAMS:
+        assert a * hmax + b < 2**63
