@@ -5788,6 +5788,68 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DSIR demo seed: sources whose hashed-unigram profile defines the
+#: "target" distribution the raw pool is scored against.
+_DSIR_TARGET_SOURCES = ["src0", "src1", "src2", "src3"]
+
+
+def _dsir_sql() -> str:
+    from .functions.hashing import duckdb_md5_long
+
+    srcs = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    b = 4096
+    h = f"CAST({duckdb_md5_long('term')} % {b} AS INT)"
+    return f"""
+    WITH tgt_tok AS (
+      SELECT {h} AS b
+      FROM (SELECT unnest({_sql_tokens()}) AS term
+            FROM documents WHERE source IN ({srcs}))
+    ),
+    raw_tok AS (
+      SELECT doc_id, {h} AS b
+      FROM (SELECT doc_id, unnest({_sql_tokens()}) AS term
+            FROM documents WHERE source NOT IN ({srcs}))
+    ),
+    ct AS (SELECT b, count(*) AS ct FROM tgt_tok GROUP BY b),
+    cs AS (SELECT b, count(*) AS cs FROM raw_tok GROUP BY b),
+    nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM ct),
+    ns AS (SELECT coalesce(sum(cs), 0) AS ns FROM cs),
+    lam AS (
+      SELECT b,
+             ln(CAST((coalesce(ct, 0) + 1) * (ns + {b}) AS DOUBLE)
+                / CAST((coalesce(cs, 0) + 1) * (nt + {b}) AS DOUBLE)) AS lam
+      FROM ct FULL JOIN cs USING (b), nt, ns
+    )
+    SELECT r.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lam.lam), 4) AS logw_sum,
+           round(avg(lam.lam), 6) AS logw_avg
+    FROM raw_tok r JOIN lam USING (b)
+    GROUP BY r.doc_id
+    ORDER BY logw_sum DESC, r.doc_id ASC
+    LIMIT 200
+    """
+
+
+@register("dsir_select_docs", _dsir_sql())
+def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, operators/dsir.py): score
+    every raw-pool document by its hashed-unigram log importance ratio
+    against a seed "target" slice (sources src0-src3 stand in for the
+    curated seed corpus) and keep the deterministic top-200. Both
+    n-gram "models" are 4096-row count tables (shuffles are
+    bucket-bounded after map-side combine, never token-bounded); the
+    fitted log-ratio table broadcasts into one scoring scan; selection
+    is TakeOrderedAndProject. The smoothed likelihood ratio is one
+    division of two exact integer products, so the score is
+    reduction-order and engine independent at oracle scale."""
+    from .operators.dsir import dsir_select_topk
+
+    docs = _docs_fan(spark, sf_dir)
+    is_tgt = F.col("source").isin(_DSIR_TARGET_SOURCES)
+    return dsir_select_topk(docs.filter(is_tgt), docs.filter(~is_tgt), k=200)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
