@@ -5850,6 +5850,39 @@ def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_topk(docs.filter(is_tgt), docs.filter(~is_tgt), k=200)
 
 
+@register(
+    "kanonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) < 5 AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_kanonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity pre-release check on the customer table
+    (operators/curation.py::kanonymity_report): equivalence classes
+    over the quasi-identifiers (nation, market segment, $1000
+    account-balance band) with the k=5 at-risk flag. One class-bounded
+    hash aggregation — the privacy gate a user-data export runs before
+    any rows leave the platform, and the input to the generalization
+    ladder (kanonymity_generalize) when classes fail."""
+    from .operators.curation import kanonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return kanonymity_report(
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+        ),
+        ["c_nationkey", "c_mktsegment", "acctbal_band"],
+        k=5,
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

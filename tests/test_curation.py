@@ -646,3 +646,35 @@ def test_cdc_dedup_rewrite_removes_cross_doc_passages(spark):
         }
     )
     assert rebuilt_total == distinct_original
+
+
+def test_kanonymity_report_flags_small_classes(spark):
+    from spark_streaming_kafka_spark.operators.curation import kanonymity_report
+
+    rows = [("US", "A")] * 6 + [("US", "B")] * 2 + [("DE", "A")] * 5
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    rep = {
+        (r["nation"], r["seg"]): (r["class_size"], r["at_risk"])
+        for r in kanonymity_report(df, ["nation", "seg"], k=5).collect()
+    }
+    assert rep[("US", "A")] == (6, False)
+    assert rep[("US", "B")] == (2, True)
+    assert rep[("DE", "A")] == (5, False)
+
+
+def test_kanonymity_generalize_picks_narrowest_passing_width(spark):
+    from spark_streaming_kafka_spark.operators.curation import (
+        kanonymity_generalize,
+    )
+
+    # 10 values clustered in [0, 10) and [100, 110): width 10 gives
+    # classes of 5+5 within one segment; width 1 isolates single rows.
+    vals = [float(v) for v in list(range(5)) + list(range(100, 105))]
+    df = spark.createDataFrame([("x", v) for v in vals], "seg string, bal double")
+    w, report = kanonymity_generalize(df, ["seg"], "bal", [1.0, 10.0, 1000.0], k=5)
+    assert w == 10.0
+    sizes = sorted(r["class_size"] for r in report.collect())
+    assert sizes == [5, 5]
+    # Impossible k -> None + empty report.
+    w2, rep2 = kanonymity_generalize(df, ["seg"], "bal", [1.0], k=11)
+    assert w2 is None and rep2.count() == 0
