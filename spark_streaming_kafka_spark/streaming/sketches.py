@@ -1,0 +1,61 @@
+"""Streaming distinct-cardinality monitor — the streaming twin of
+``operators/sketches.py``'s HyperLogLog.
+
+Exact streaming ``COUNT(DISTINCT)`` needs one state row per distinct
+key — unbounded. The HLL register table IS the bounded alternative:
+the streaming aggregation state is at most ``|groups| * 2^p`` register
+rows FOREVER, updated with MAX (idempotent, so at-least-once replay of
+a micro-batch cannot corrupt the sketch — re-observing a key re-asserts
+the same register floor). Each micro-batch, ``foreachBatch`` receives
+the full (bounded) register table and reduces it to per-group
+estimates with the SAME :func:`..operators.sketches.hll_estimate` the
+batch operator uses — parity by construction, exactly like the drift
+monitor reuses ``psi_from_counts``.
+
+Reference anchor: the reference's streaming surface counts words with
+unbounded ``updateStateByKey``-style running totals
+(spark_streaming_kafka.py:150); this is the bounded-state version of
+its "how many distinct X so far" question.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..operators.sketches import hll_estimate, hll_sketch
+
+__all__ = ["hll_stream_monitor"]
+
+
+def hll_stream_monitor(
+    stream: DataFrame,
+    key: Column | str,
+    group_cols: list[str],
+    on_report: Callable[[int, list], None],
+    p: int = 8,
+) -> DataStreamWriter:
+    """Build the monitor: streaming HLL registers in complete mode +
+    a ``foreachBatch`` sink that calls ``on_report(batch_id, rows)``
+    with the collected per-group (group..., hll_distinct,
+    empty_registers) estimates — a |groups|-bounded collect.
+
+    ``hll_sketch`` is the identical column algebra as the batch path
+    (streaming groupBy/max is the one extra concept); ``complete``
+    output hands the sink the whole register table, which is the rare
+    case where complete mode is *safe by design* — the table cannot
+    outgrow ``|groups| * 2^p`` rows.
+    """
+    sketch = hll_sketch(stream, key, group_cols, p=p)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            hll_estimate(batch_df, group_cols, p=p)
+            .orderBy(*group_cols)
+            .collect()
+        )
+        on_report(batch_id, rows)
+
+    return sketch.writeStream.outputMode("complete").foreachBatch(sink)

@@ -172,3 +172,56 @@ def test_cms_params_overflow_safe():
     hmax = MERSENNE_P - 1
     for a, b in CMS_DEFAULT_PARAMS:
         assert a * hmax + b < 2**63
+
+
+def test_hll_stream_monitor_matches_batch(spark, tmp_path):
+    """Streaming register state must converge to the batch sketch over
+    the same data, with estimates produced per micro-batch from
+    bounded state."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from spark_streaming_kafka_spark.streaming.sketches import hll_stream_monitor
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    batch1 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(500)], "g string, k string"
+    )
+    batch2 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(250, 900)]
+        + [("b", f"v{i}") for i in range(300)],
+        "g string, k string",
+    )
+    batch1.coalesce(1).write.parquet(str(data_dir / "f1"))
+
+    reports = {}
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir / "*"))
+    )
+    q = (
+        hll_stream_monitor(
+            stream, "k", ["g"], lambda bid, rows: reports.update({bid: rows}), p=8
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2.coalesce(1).write.parquet(str(data_dir / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {r["g"]: r for rows in [reports[max(reports)]] for r in rows}
+    whole = batch1.unionByName(batch2)
+    from spark_streaming_kafka_spark.operators.sketches import hll_distinct
+
+    expect = {r["g"]: r for r in hll_distinct(whole, "k", ["g"], p=8).collect()}
+    for g in ("a", "b"):
+        assert final[g]["hll_distinct"] == expect[g]["hll_distinct"]
+        assert final[g]["empty_registers"] == expect[g]["empty_registers"]
+    # Bounded state: the register table never exceeds |groups| * 256.
+    assert sum(len(rows) for rows in [reports[max(reports)]]) <= 2
