@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .dedup import tokenize, word_shingles
 from .relational import top_k
 
-__all__ = ["bm25_topk", "pmi_collocations", "rrf_fuse"]
+__all__ = ["bm25_topk", "pmi_collocations", "rrf_fuse", "ndcg_at_k"]
 
 
 def bm25_topk(
@@ -259,4 +259,58 @@ def rrf_fuse(
     )
     return top.select(
         id_col, "n_sources", F.round("__s", 9).alias("rrf_score")
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    order: list,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Normalized discounted cumulative gain of a ranking — the eval
+    layer for the retrieval stack (Järvelin & Kekäläinen 2002):
+
+        nDCG@k = DCG@k / IDCG@k,   DCG = Σ_pos (2^rel − 1) / log2(pos+1)
+
+    ``ranked`` is a candidate list (already top-cut, e.g. bm25_topk's
+    output — the single-partition rank window below is CANDIDATE-
+    bounded, never corpus-bounded); ``rels`` maps ``id_col`` to graded
+    relevance. The ideal ranking is a TakeOrderedAndProject over
+    ``rels`` — no full sort. Output: one row (k, dcg, idcg, ndcg).
+
+    Determinism: pass a total ``order`` (score + unique id); gains sum
+    ≤ k double terms so the round(6) is stable under any reduction
+    order.
+    """
+    from pyspark.sql import Window
+
+    gain = lambda rel, rank: (F.pow(F.lit(2.0), rel) - F.lit(1.0)) / F.log2(  # noqa: E731
+        rank.cast("double") + F.lit(1.0)
+    )
+    w = Window.orderBy(*order)
+    top = (
+        ranked.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(id_col, "__rank")
+    )
+    got = top.join(rels, id_col, "left").select(
+        gain(F.coalesce(F.col(rel_col), F.lit(0)).cast("double"), F.col("__rank")).alias("g")
+    )
+    dcg = got.agg(F.sum("g").alias("dcg"))
+    ideal_order = [F.col(rel_col).desc(), F.col(id_col).asc()]
+    ideal = top_k(rels.filter(F.col(rel_col) > 0), ideal_order, k)
+    iw = Window.orderBy(*ideal_order)
+    idcg = (
+        ideal.withColumn("__rank", F.row_number().over(iw))
+        .select(gain(F.col(rel_col).cast("double"), F.col("__rank")).alias("g"))
+        .agg(F.sum("g").alias("idcg"))
+    )
+    return dcg.crossJoin(idcg).select(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.col("dcg"), 6).alias("dcg"),
+        F.round(F.col("idcg"), 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )

@@ -5851,6 +5851,70 @@ def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_ndcg_bm25",
+    f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM scored
+    ),
+    rels AS (
+      SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS rel
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      WHERE term IN ('hash', 'join', 'dup')
+      GROUP BY doc_id
+    ),
+    dcg AS (
+      SELECT sum((power(2.0, r.rel) - 1) / log2(ranked.rank + 1)) AS dcg
+      FROM ranked JOIN rels r USING (doc_id)
+      WHERE ranked.rank <= 10
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+      FROM rels
+    ),
+    idcg AS (
+      SELECT sum((power(2.0, rel) - 1) / log2(rank + 1)) AS idcg
+      FROM ideal WHERE rank <= 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           round(dcg.dcg, 6) AS dcg,
+           round(idcg.idcg, 6) AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against graded term-containment
+    relevance (rel = how many of the query's 3 terms the doc contains)
+    — the eval layer the retrieval stack reports to its dashboard
+    (operators/retrieval.py::ndcg_at_k). The rank window runs over the
+    candidate-bounded top list, the ideal ranking is a
+    TakeOrderedAndProject, and relevance labels are per-row column
+    algebra (array_intersect) — no corpus-wide sort anywhere."""
+    from .operators.retrieval import bm25_topk, ndcg_at_k
+
+    terms = ["hash", "join", "dup"]
+    docs = _docs_fan(spark, sf_dir)
+    ranked = bm25_topk(docs, terms, k=15)
+    rels = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(dd.tokenize(F.col("text"))),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        )
+        .cast("long")
+        .alias("rel"),
+    )
+    return ndcg_at_k(
+        ranked, rels, [F.col("bm25").desc(), F.col("doc_id").asc()], k=10
+    )
+
+
+@register(
     "kanonymity_customers",
     """
     SELECT c_nationkey, c_mktsegment,

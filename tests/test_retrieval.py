@@ -280,3 +280,34 @@ def test_rrf_fuse_rejects_empty(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_ndcg_perfect_and_degraded_rankings(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_spark.operators.retrieval import ndcg_at_k
+
+    rels = spark.createDataFrame(
+        [(i, max(0, 10 - i)) for i in range(20)], "doc_id long, rel long"
+    )
+    # A ranking that IS the ideal ordering -> ndcg == 1.
+    perfect = spark.createDataFrame(
+        [(i, 100.0 - i) for i in range(10)], "doc_id long, score double"
+    )
+    row = ndcg_at_k(
+        perfect, rels, [F.col("score").desc(), F.col("doc_id").asc()], k=5
+    ).collect()[0]
+    assert row["ndcg"] == 1.0
+    assert row["dcg"] == row["idcg"]
+    # Reversed ranking (worst docs first) -> strictly lower, positive.
+    reverse = perfect.select("doc_id", (F.lit(200.0) - F.col("score")).alias("score"))
+    row2 = ndcg_at_k(
+        reverse, rels, [F.col("score").desc(), F.col("doc_id").asc()], k=5
+    ).collect()[0]
+    assert 0 < row2["ndcg"] < 1.0
+    # Docs missing from rels score as rel=0 (no crash, no row loss).
+    sparse = spark.createDataFrame([(999, 50.0)], "doc_id long, score double")
+    row3 = ndcg_at_k(
+        sparse, rels, [F.col("score").desc(), F.col("doc_id").asc()], k=5
+    ).collect()[0]
+    assert row3["dcg"] == 0.0
