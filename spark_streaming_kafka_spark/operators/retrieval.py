@@ -297,20 +297,33 @@ def ndcg_at_k(
         .select(id_col, "__rank")
     )
     got = top.join(rels, id_col, "left").select(
-        gain(F.coalesce(F.col(rel_col), F.lit(0)).cast("double"), F.col("__rank")).alias("g")
+        gain(F.coalesce(F.col(rel_col), F.lit(0)).cast("double"), F.col("__rank")).alias("g"),
+        F.lit(True).alias("__actual"),
     )
-    dcg = got.agg(F.sum("g").alias("dcg"))
     ideal_order = [F.col(rel_col).desc(), F.col(id_col).asc()]
     ideal = top_k(rels.filter(F.col(rel_col) > 0), ideal_order, k)
     iw = Window.orderBy(*ideal_order)
-    idcg = (
+    ideal_g = (
         ideal.withColumn("__rank", F.row_number().over(iw))
-        .select(gain(F.col(rel_col).cast("double"), F.col("__rank")).alias("g"))
-        .agg(F.sum("g").alias("idcg"))
+        .select(
+            gain(F.col(rel_col).cast("double"), F.col("__rank")).alias("g"),
+            F.lit(False).alias("__actual"),
+        )
     )
-    return dcg.crossJoin(idcg).select(
-        F.lit(k).cast("long").alias("k"),
-        F.round(F.col("dcg"), 6).alias("dcg"),
-        F.round(F.col("idcg"), 6).alias("idcg"),
-        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    # One tagged union + conditional aggregation instead of a 1x1
+    # crossJoin: keeps the suite-wide plan audit free of
+    # CartesianProduct/BNLJ nodes and collapses the combine to a
+    # single job over <= 2k rows.
+    return (
+        got.unionByName(ideal_g)
+        .agg(
+            F.sum(F.when(F.col("__actual"), F.col("g"))).alias("__dcg"),
+            F.sum(F.when(~F.col("__actual"), F.col("g"))).alias("__idcg"),
+        )
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.round(F.col("__dcg"), 6).alias("dcg"),
+            F.round(F.col("__idcg"), 6).alias("idcg"),
+            F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+        )
     )
