@@ -1128,3 +1128,73 @@ def kanonymity_generalize(
 
 
 __all__ += ["kanonymity_report", "kanonymity_generalize"]
+
+def per_group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "pgs",
+) -> DataFrame:
+    """Deterministic uniform-without-replacement sample of exactly
+    ``min(k, |group|)`` rows per group — the eval-set / spot-check
+    sampler (reference serves per-user top-25 the same per-group-k
+    shape, ``engine.py:73-81``; here the "score" is a hash, so the
+    pick is uniform rather than score-ranked).
+
+    Sampling IS top-k over a hash order: rank rows within each group
+    by ``md5_long(salt || id)`` and keep rank ≤ k. Because the order
+    key is a pure function of the row id, the sample is identical
+    across engines, partitionings, and reruns — none of which holds
+    for seeded ``sample()``, whose output depends on partition layout.
+
+    Scale shape: one hash-partition shuffle on ``group_col`` (the same
+    cost any per-group ranking pays); AQE splits skewed groups. Rows
+    carry only (group, id, hash) through the shuffle — project first
+    and re-join payloads by id afterwards when rows are wide.
+    """
+    from .windows import per_group_top_k
+
+    hashed = df.withColumn(
+        "__h",
+        md5_long(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))),
+    )
+    return (
+        per_group_top_k(
+            hashed,
+            group_col,
+            [F.col("__h").asc(), F.col(id_col).asc()],
+            k,
+            rank_col="sample_rank",
+        )
+        .drop("__h")
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: every row gets ``fold =
+    md5_long(salt || group) % k``, so ALL rows of a group land in the
+    same fold — cross-validation without leakage between folds for
+    group-correlated rows (the same guarantee leakage_safe_split gives
+    the train/eval boundary, extended to k folds).
+
+    Deterministic and engine-portable (no RNG, no state); adding rows
+    for an existing group never moves the group, so folds are stable
+    under incremental ingest. Pure column algebra on the scan — zero
+    shuffle beyond whatever the consumer aggregates.
+    """
+    return df.withColumn(
+        "fold",
+        (
+            md5_long(F.concat(F.lit(salt + "_"), F.col(group_col).cast("string")))
+            % F.lit(k)
+        ).cast("int"),
+    )
+
+
+__all__ += ["per_group_sample_k", "kfold_assign"]

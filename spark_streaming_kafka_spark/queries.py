@@ -5947,6 +5947,70 @@ def q_kanonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_sample_per_source",
+    f"""
+    SELECT source, doc_id, sample_rank
+    FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duckdb_md5_long("concat('pgs_', CAST(doc_id AS VARCHAR))")} ASC,
+                        doc_id ASC
+             ) AS INTEGER) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 5
+    """,
+)
+def q_eval_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source eval sample
+    (operators/curation.py::per_group_sample_k): sampling as top-k
+    over a hash order, so the picked ids are identical across engines,
+    partitionings, and reruns — seeded sample() is none of those. One
+    group-keyed shuffle carrying only (source, doc_id, hash)."""
+    from .operators.curation import per_group_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return per_group_sample_k(docs, "source", "doc_id", k=5).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+@register(
+    "kfold_group_sizes",
+    f"""
+    SELECT fold,
+           CAST(count(*) AS BIGINT)              AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+      SELECT user_id,
+             CAST({duckdb_md5_long("concat('fold_', CAST(user_id AS VARCHAR))")} % 5 AS INTEGER) AS fold
+      FROM events
+    )
+    GROUP BY fold
+    """,
+)
+def q_kfold_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold assignment over events
+    (operators/curation.py::kfold_assign): every user's rows share a
+    fold, so cross-validation never leaks a user across folds — the
+    k-fold extension of the leakage_safe_split boundary guarantee.
+    The fold id is pure column algebra on the scan; the size report
+    is one partial-agg shuffle of fold-bounded width."""
+    from .operators.curation import kfold_assign
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return (
+        kfold_assign(ev, "user_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -678,3 +678,37 @@ def test_kanonymity_generalize_picks_narrowest_passing_width(spark):
     # Impossible k -> None + empty report.
     w2, rep2 = kanonymity_generalize(df, ["seg"], "bal", [1.0], k=11)
     assert w2 is None and rep2.count() == 0
+
+
+def test_per_group_sample_k_exact_and_deterministic(spark):
+    from spark_streaming_kafka_spark.operators.curation import per_group_sample_k
+
+    rows = [("a", i) for i in range(20)] + [("b", 100 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    out = per_group_sample_k(df, "src", "id", k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append((r["sample_rank"], r["id"]))
+    # exactly min(k, |group|) per group, ranks 1..n
+    assert len(by_src["a"]) == 5 and sorted(r for r, _ in by_src["a"]) == [1, 2, 3, 4, 5]
+    assert len(by_src["b"]) == 3
+    # rerun (and a different partitioning) picks the same ids
+    out2 = per_group_sample_k(df.repartition(7), "src", "id", k=5).collect()
+    assert {(r["src"], r["id"]) for r in out} == {(r["src"], r["id"]) for r in out2}
+
+
+def test_kfold_assign_groups_never_straddle_folds(spark):
+    from spark_streaming_kafka_spark.operators.curation import kfold_assign
+
+    rows = [(u, i) for u in range(50) for i in range(3)]
+    df = spark.createDataFrame(rows, "user long, item long")
+    out = kfold_assign(df, "user", k=5).collect()
+    folds_per_user = {}
+    for r in out:
+        folds_per_user.setdefault(r["user"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in folds_per_user.values())
+    assert {f for s in folds_per_user.values() for f in s} <= set(range(5))
+    # stable under new rows for an existing group
+    extra = spark.createDataFrame([(0, 99)], "user long, item long")
+    f0 = kfold_assign(extra, "user", k=5).first()["fold"]
+    assert f0 == next(iter(folds_per_user[0]))
