@@ -276,3 +276,91 @@ def duckdb_cms_cells_sql(
         for i, (a, b) in enumerate(params)
     ]
     return "[" + ", ".join(structs) + "]"
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Fixed-bin histogram sketch: (group..., bin, c) — the mergeable
+    QUANTILE member of the sketch trio (HLL = distinct, CMS = heavy
+    hitters, histogram = quantiles).
+
+    Exact per-group percentiles at 100 TB need a full sort or an
+    all-values shuffle; the histogram reduces each partition to at
+    most ``bins`` cells per group, the shuffle after map-side combine
+    is sketch-sized, and sketches over different days / sources /
+    streams merge by summing matching cells — same merge discipline
+    as the other two sketches, so incremental and streaming rollups
+    come for free. Out-of-range values clamp to the edge bins.
+
+    Bin addressing is one floor-divide of column algebra (IEEE-double
+    identical across engines), so the DuckDB oracle reproduces the
+    sketch cell-for-cell.
+    """
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def histogram_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group quantile estimates from a :func:`histogram_sketch`:
+    (group..., q, est) with linear interpolation inside the selected
+    bin (the classic Prometheus/HDR ``histogram_quantile`` rule):
+
+        target   = q * N
+        bin*     = first bin with cum(bin) >= target
+        est      = lo + (bin* + (target - cum_prev)/c(bin*)) * width
+
+    Everything downstream of the sketch is bin-bounded: the cumulative
+    sum is a window over <= ``bins`` rows per group, the quantile
+    probe is a broadcast-sized join of |groups| x |qs| rows. Error is
+    bounded by one bin width — tighten by raising ``bins``, whose cost
+    is still trivially sketch-sized.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = (
+        sketch.withColumn("cum", F.sum("c").over(w))
+        .withColumn("total", F.max("cum").over(Window.partitionBy(*group_cols)))
+    )
+    qdf = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    probes = cum.select(*group_cols, "bin", "c", "cum", "total", qdf)
+    hit = probes.filter(
+        (F.col("cum") >= F.col("q") * F.col("total"))
+        & ((F.col("cum") - F.col("c")) < F.col("q") * F.col("total"))
+    )
+    est = (
+        F.lit(lo)
+        + (
+            F.col("bin")
+            + (F.col("q") * F.col("total") - (F.col("cum") - F.col("c")))
+            / F.col("c")
+        )
+        * F.lit(width)
+    )
+    return hit.select(
+        *group_cols,
+        F.round(F.col("q"), 2).alias("q"),
+        F.round(est, 6).alias("est"),
+    )
+
+
+__all__ += ["histogram_sketch", "histogram_quantile"]

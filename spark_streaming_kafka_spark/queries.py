@@ -6011,6 +6011,51 @@ def q_kfold_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "histogram_quantiles_value",
+    """
+    WITH sk AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(floor(value / 3.90625) AS INT), 0), 127) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM sk
+    ),
+    probes AS (
+      SELECT cum.*, CAST(qs.q AS DOUBLE) AS q
+      FROM cum CROSS JOIN (VALUES (0.5), (0.95), (0.99)) AS qs(q)
+    )
+    SELECT event_type,
+           round(q, 2) AS q,
+           round((bin + (q * total - (cum - c)) / c) * 3.90625, 6) AS est
+    FROM probes
+    WHERE cum >= q * total AND (cum - c) < q * total
+    """,
+)
+def q_histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P95/P99 of events.value per event_type from a 128-bin
+    mergeable histogram sketch (operators/sketches.py) — the quantile
+    member of the sketch trio. Exact per-group percentiles shuffle
+    every value; the sketch shuffles <= 128 cells per group after
+    map-side combine, merges across days/streams by summing cells,
+    and answers any quantile later. Cumulative sums and the probe
+    join are bin-bounded. Estimate error <= one bin width (~3.9 here);
+    group_quantiles remains the exact twin."""
+    from .operators.sketches import histogram_quantile, histogram_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = histogram_sketch(ev, "value", ["event_type"], lo=0.0, hi=500.0, bins=128)
+    return histogram_quantile(
+        sk, ["event_type"], [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=128
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -196,3 +196,41 @@ def test_mad_outliers_degenerate_group_excluded(spark):
     got = mad_outliers(df, "g", "v").collect()
     assert all(r.g == "b" for r in got)
     assert {r.id for r in got} == {13}
+
+
+def test_histogram_quantile_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+    from spark_streaming_kafka_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    # uniform 0..999: P50 ~ 500, P95 ~ 950; bin width = 1000/100 = 10
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    sk = histogram_sketch(df, "v", ["g"], lo=0.0, hi=1000.0, bins=100)
+    est = {
+        r["q"]: r["est"]
+        for r in histogram_quantile(
+            sk, ["g"], [0.5, 0.95], lo=0.0, hi=1000.0, bins=100
+        ).collect()
+    }
+    assert abs(est[0.5] - 500.0) <= 10.0
+    assert abs(est[0.95] - 950.0) <= 10.0
+
+    # mergeability: sketch(a) + sketch(b) cell-sum == sketch(a union b)
+    a, b = df.filter("v < 400"), df.filter("v >= 400")
+    merged = (
+        histogram_sketch(a, "v", ["g"], 0.0, 1000.0, 100)
+        .unionByName(histogram_sketch(b, "v", ["g"], 0.0, 1000.0, 100))
+        .groupBy("g", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = histogram_sketch(df, "v", ["g"], 0.0, 1000.0, 100)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    # out-of-range values clamp to edge bins, never drop
+    oob = spark.createDataFrame([("g", -5.0), ("g", 2000.0)], "g string, v double")
+    cells = {r["bin"]: r["c"] for r in histogram_sketch(oob, "v", ["g"], 0.0, 1000.0, 100).collect()}
+    assert cells == {0: 1, 99: 1}
