@@ -88,3 +88,53 @@ def quantize_int8(vec: Column, scale: Column) -> Column:
 def dequantize_int8(qvec: Column, scale: Column) -> Column:
     """Inverse of :func:`quantize_int8`: array<double> ≈ the original."""
     return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
+def jl_sign_matrix(d_in: int, d_out: int, salt: str = "rp") -> list[list[float]]:
+    """Deterministic Achlioptas ±1 projection matrix derived from md5:
+
+        R[j][i] = +1 if md5_long(f"{salt}_{j}_{i}") is even else -1
+
+    Achlioptas (2003) showed ±1 entries satisfy the Johnson-
+    Lindenstrauss lemma as well as Gaussian ones; deriving each sign
+    from the portable md5 hash makes the matrix a pure function of
+    (dims, salt) — no RNG state to ship, any engine (or the DuckDB
+    oracle) regenerates it bit-identically. d_in*d_out ints: driver-
+    side cost is microseconds, and the matrix travels to executors as
+    plan literals, not data.
+    """
+    import hashlib
+
+    def sign(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"{salt}_{j}_{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [[sign(j, i) for i in range(d_out)] for j in range(d_in)]
+
+
+def random_project(vec: Column, d_in: int, d_out: int, salt: str = "rp") -> Column:
+    """Johnson-Lindenstrauss random projection of an embedding column
+    to ``d_out`` dims: ``p[i] = sum_j v[j] * R[j][i] / sqrt(d_out)``.
+
+    Pairwise distances are preserved within (1±eps) for
+    d_out = O(log n / eps^2) — the cheap first stage of any 100 TB
+    embedding pipeline (shrink 64-dim to 16-dim before LSH/clustering
+    and every downstream shuffle carries 4x less). Expressed as
+    ``d_out`` zip_with/aggregate folds over plan-literal matrix
+    columns: whole-stage-codegen column algebra in the scan
+    projection, no UDF, no shuffle, nothing to broadcast.
+    """
+    r = jl_sign_matrix(d_in, d_out, salt)
+    inv = 1.0 / (d_out ** 0.5)
+    comps = []
+    for i in range(d_out):
+        col_i = F.array(*[F.lit(r[j][i]) for j in range(d_in)])
+        comps.append(
+            F.aggregate(
+                F.zip_with(vec, col_i, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(inv)
+        )
+    return F.array(*comps)

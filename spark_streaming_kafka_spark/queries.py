@@ -6056,6 +6056,67 @@ def q_histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_random_projection",
+    """
+    WITH dims AS (
+      SELECT CAST(r1.j AS INT) AS j, CAST(r2.i AS INT) AS i,
+             CASE WHEN CAST(concat('0x', substr(md5('rp_' || r1.j || '_' || r2.i), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM unnest(range(0, 64)) r1(j), unnest(range(0, 16)) r2(i)
+    ),
+    xs AS (
+      SELECT vec_id, CAST(r.j AS INT) AS j, v[CAST(r.j AS INT) + 1] AS x
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           unnest(range(0, 64)) r(j)
+    ),
+    proj AS (
+      SELECT vec_id, i, sum(x * s) / sqrt(16.0) AS p
+      FROM xs JOIN dims USING (j)
+      GROUP BY vec_id, i
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nin FROM xs GROUP BY vec_id
+    ),
+    pnorms AS (
+      SELECT vec_id, sqrt(sum(p * p)) AS nout FROM proj GROUP BY vec_id
+    )
+    SELECT vec_id,
+           round(nin, 6)  AS norm_in,
+           round(nout, 6) AS norm_out,
+           round(abs(nout * nout / (nin * nin) - 1), 6) AS sq_norm_err
+    FROM norms JOIN pnorms USING (vec_id)
+    """,
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->16 dim reduction with per-vector norm
+    preservation (functions/vectors.py::random_project): the cheap
+    first stage of a 100 TB embedding pipeline — every downstream
+    shuffle/LSH/cluster pass carries 4x less after it. The Achlioptas
+    ±1 matrix is a pure function of (dims, salt) via the portable md5
+    hash, travels as plan literals, and the projection is d_out
+    codegen'd array folds in the scan projection — no UDF, no shuffle;
+    the oracle regenerates the matrix in SQL and replays the algebra."""
+    from .functions.vectors import l2_norm, random_project
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = emb.select(
+        "vec_id",
+        l2_norm(F.col("v")).alias("nin"),
+        l2_norm(random_project(F.col("v"), 64, 16)).alias("nout"),
+    )
+    return out.select(
+        "vec_id",
+        F.round("nin", 6).alias("norm_in"),
+        F.round("nout", 6).alias("norm_out"),
+        F.round(
+            F.abs((F.col("nout") * F.col("nout")) / (F.col("nin") * F.col("nin")) - 1), 6
+        ).alias("sq_norm_err"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -896,3 +896,42 @@ def test_winnowing_overlap_pairs_guarantee_and_cap(spark):
     # max_df cap: with every fingerprint capped away, no pairs at all
     capped = winnowing_overlap_pairs(docs, k=3, w=4, min_shared=1, max_df=0).collect()
     assert capped == []
+
+
+def test_random_projection_preserves_pairwise_distance(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from spark_streaming_kafka_spark.functions.vectors import (
+        jl_sign_matrix,
+        random_project,
+    )
+
+    # matrix is a pure function of (dims, salt)
+    assert jl_sign_matrix(8, 4) == jl_sign_matrix(8, 4)
+    assert jl_sign_matrix(8, 4, "a") != jl_sign_matrix(8, 4, "b")
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    rows = (
+        df.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            random_project(F.col("embedding").cast("array<double>"), 64, 32).alias("p"),
+        )
+        .collect()
+    )
+    assert all(len(r["p"]) == 32 for r in rows)
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    # median pairwise distortion stays near 1 (JL guarantee is
+    # probabilistic per pair; the aggregate must be tight)
+    ratios = []
+    for i in range(0, 20):
+        a, b = rows[i], rows[i + 20]
+        din = d(a["v"], b["v"])
+        if din > 0:
+            ratios.append(d(a["p"], b["p"]) / din)
+    ratios.sort()
+    assert 0.75 < ratios[len(ratios) // 2] < 1.25
