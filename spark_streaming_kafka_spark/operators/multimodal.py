@@ -214,3 +214,73 @@ def resize_images(
 
     schema = "media_id long, payload binary, width int, height int"
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=schema)
+
+
+def ahash60(pixels) -> int:
+    """60-bit average-hash of a grayscale pixel block: bit p is set iff
+    ``flat[p] > mean(flat[:64])``. 60 bits (not 64) keeps the value
+    signed-safe in every engine the repo's portable-hash convention
+    targets; the mean still runs over all 64 pixels."""
+    import numpy as np
+
+    flat = np.asarray(pixels).reshape(-1)[:64].astype("int64")
+    mean = flat.sum() / 64.0
+    h = 0
+    for p in range(60):
+        if flat[p] > mean:
+            h |= 1 << p
+    return h
+
+
+def image_ahash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual hash of REAL PNG payloads: decode with the stdlib
+    codec (operators/media_codecs.py::decode_png), grayscale by
+    channel mean, nearest-resample to 8x8, :func:`ahash60`. Output
+    ``(id, ahash)``.
+
+    This is the image twin of text exact-dedup: byte-identical
+    re-encodes, metadata-stripped copies, and (with the resample)
+    trivially rescaled copies of an image collapse to one hash, and
+    the downstream grouping shuffles 8-byte hashes, never payloads.
+    One Arrow-batched mapInPandas over the scan — decode cost is
+    embarrassingly parallel; repartition by a size-balanced key first
+    when payload sizes are skewed (module docstring).
+    """
+    from .media_codecs import decode_png, resize_nearest
+
+    out_schema = f"{id_col} long, ahash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png(bytes(payload))
+                gray = px.mean(axis=2) if px.ndim == 3 else px
+                small = resize_nearest(gray, 8, 8)
+                ids.append(mid)
+                hashes.append(ahash60(small))
+            yield pd.DataFrame({id_col: ids, "ahash": pd.array(hashes, dtype="int64")})
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def image_ahash_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Group identical-looking images: ``(ahash, canonical_id,
+    n_copies)`` with the minimum id as canonical — exactly the
+    exact_dedup contract, over perceptual identity instead of text
+    bytes. Shuffle carries (hash, id) pairs only."""
+    hashed = image_ahash(media, id_col=id_col, payload_col=payload_col)
+    return hashed.groupBy("ahash").agg(
+        F.min(id_col).cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )

@@ -6163,6 +6163,69 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.withColumn("cum_pairs", F.sum("n_pairs").over(w).cast("long"))
 
 
+@register(
+    "image_ahash_dedup",
+    """
+    WITH px AS (
+      SELECT doc_id, CAST(r.p AS INT) AS p,
+             ('0x' || substr(md5(text || '_' || CAST(r.p // 16 AS VARCHAR)),
+                             CAST((r.p % 16) * 2 + 1 AS INT), 2))::INT AS v
+      FROM documents, unnest(range(0, 64)) r(p)
+    ),
+    stats AS (
+      SELECT doc_id, sum(v) / 64.0 AS mean FROM px GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT px.doc_id,
+             CAST(sum(CASE WHEN px.p < 60 AND px.v > s.mean
+                           THEN (1::BIGINT << px.p) ELSE 0 END) AS BIGINT) AS ahash
+      FROM px JOIN stats s ON s.doc_id = px.doc_id
+      GROUP BY px.doc_id
+    )
+    SELECT ahash, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM hashes GROUP BY ahash
+    """,
+)
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup through the REAL PNG codec: each
+    document becomes an 8x8 grayscale image (pixels = md5-derived
+    bytes of its text — SQL-rederivable, so the oracle checks VALUES,
+    not just plumbing), every 5th image is additionally upscaled 2x
+    before encoding; the operator (operators/multimodal.py::
+    image_ahash_dedup) decodes the genuine PNG bytes, grayscales,
+    nearest-resamples to 8x8 and takes the 60-bit average-hash — so
+    byte-identical re-encodes AND the rescaled copies collapse to one
+    hash. Encode+decode+hash fuse into one Arrow mapInPandas stage
+    over the scan; the dedup groupBy shuffles (hash, id), never
+    payloads."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .operators.media_codecs import encode_png, resize_nearest
+    from .operators.multimodal import image_ahash_dedup
+
+    docs = _docs_fan(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(f"{text}_{r}".encode()).digest() for r in range(4)
+                )
+                px = _np.frombuffer(raw, dtype=_np.uint8).reshape(8, 8)
+                if did % 5 == 0:
+                    px = resize_nearest(px, 16, 16)
+                ids.append(did)
+                payloads.append(encode_png(px))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return image_ahash_dedup(media)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -47,3 +47,36 @@ def test_resize_images_only_images(media):
     out = resize_images(media, 32, 32).collect()
     assert [r["media_id"] for r in out] == [0]
     assert out[0]["width"] == 32
+
+
+def test_image_ahash_collapses_rescaled_copies(spark):
+    import numpy as np
+
+    from spark_streaming_kafka_spark.operators.media_codecs import (
+        encode_png,
+        resize_nearest,
+    )
+    from spark_streaming_kafka_spark.operators.multimodal import (
+        ahash60,
+        image_ahash,
+        image_ahash_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    other = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_png(resize_nearest(base, 16, 16)))),  # 2x upscale
+        (3, bytearray(encode_png(other))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert hashes[1] == hashes[2] == ahash60(base)
+    assert hashes[1] != hashes[3]
+    groups = {r["ahash"]: (r["canonical_id"], r["n_copies"])
+              for r in image_ahash_dedup(media).collect()}
+    assert groups[hashes[1]] == (1, 2)
+    assert groups[hashes[3]] == (3, 1)
+    # 60-bit: signed-safe, top 4 pixel bits never set
+    assert all(0 <= h < (1 << 60) for h in hashes.values())
