@@ -6168,7 +6168,7 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH px AS (
       SELECT doc_id, CAST(r.p AS INT) AS p,
-             ('0x' || substr(md5(text || '_' || CAST(r.p // 16 AS VARCHAR)),
+             ('0x' || substr(md5(md5(text) || '_' || CAST(r.p // 16 AS VARCHAR)),
                              CAST((r.p % 16) * 2 + 1 AS INT), 2))::INT AS v
       FROM documents, unnest(range(0, 64)) r(p)
     ),
@@ -6212,8 +6212,9 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, payloads = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hl.md5(text.encode()).hexdigest()
                 raw = b"".join(
-                    _hl.md5(f"{text}_{r}".encode()).digest() for r in range(4)
+                    _hl.md5(f"{hx}_{r}".encode()).digest() for r in range(4)
                 )
                 px = _np.frombuffer(raw, dtype=_np.uint8).reshape(8, 8)
                 if did % 5 == 0:
@@ -6224,6 +6225,79 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, schema="media_id long, payload binary")
     return image_ahash_dedup(media)
+
+
+@register(
+    "audio_fingerprint_dedup",
+    """
+    WITH smp AS (
+      SELECT doc_id, CAST(r.k AS INT) AS k,
+             (('0x' || substr(md5(md5(text) || '_a' || CAST(r.k // 8 AS VARCHAR)),
+                              CAST((r.k % 8) * 4 + 1 AS INT), 2))::INT
+            + 256 * ('0x' || substr(md5(md5(text) || '_a' || CAST(r.k // 8 AS VARCHAR)),
+                                    CAST((r.k % 8) * 4 + 3 AS INT), 2))::INT) AS u
+      FROM documents, unnest(range(0, 64)) r(k)
+    ),
+    s16 AS (
+      SELECT doc_id, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM smp
+    ),
+    e AS (
+      SELECT doc_id, CAST(k // 2 AS INT) AS f,
+             sum(CAST(v AS BIGINT) * v) AS e
+      FROM s16 GROUP BY doc_id, CAST(k // 2 AS INT)
+    ),
+    d AS (
+      SELECT doc_id, f, e, lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+      FROM e
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN f >= 1 AND e > pe
+                           THEN (1::BIGINT << (f - 1)) ELSE 0 END) AS BIGINT) AS afp
+      FROM d GROUP BY doc_id
+    )
+    SELECT afp, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM fp GROUP BY afp
+    """,
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup through the REAL WAV codec: each document becomes
+    64 PCM16 samples (md5-derived little-endian int16 — the SQL oracle
+    rederives them exactly), every 5th clip is re-encoded at a
+    different framerate (byte-different file, identical PCM); the
+    operator (operators/multimodal.py::audio_fingerprint_dedup)
+    decodes the genuine WAV bytes and groups by the 31-bit
+    delta-energy fingerprint — all-integer math, so the replay is
+    exact, and the re-encoded copies collapse to one canonical row.
+    One Arrow mapInPandas decode pass; fingerprints shuffle, payloads
+    never do."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .operators.media_codecs import encode_wav
+    from .operators.multimodal import audio_fingerprint_dedup
+
+    docs = _docs_fan(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hl.md5(text.encode()).hexdigest()
+                raw = b"".join(
+                    _hl.md5(f"{hx}_a{r}".encode()).digest() for r in range(8)
+                )
+                samples = _np.frombuffer(raw, dtype="<i2")
+                rate = 8000 if did % 5 == 0 else 16000
+                ids.append(did)
+                payloads.append(encode_wav(samples, framerate=rate))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return audio_fingerprint_dedup(media)
 
 
 # ---------------------------------------------------------------------

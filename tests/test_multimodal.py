@@ -80,3 +80,33 @@ def test_image_ahash_collapses_rescaled_copies(spark):
     assert groups[hashes[3]] == (3, 1)
     # 60-bit: signed-safe, top 4 pixel bits never set
     assert all(0 <= h < (1 << 60) for h in hashes.values())
+
+
+def test_audio_fingerprint_collapses_reencoded_copies(spark):
+    import numpy as np
+
+    from spark_streaming_kafka_spark.operators.media_codecs import encode_wav
+    from spark_streaming_kafka_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_dedup,
+        energy_fingerprint,
+    )
+
+    rng = np.random.RandomState(11)
+    pcm = rng.randint(-32768, 32768, size=64).astype(np.int16)
+    other = rng.randint(-32768, 32768, size=64).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_wav(pcm, framerate=16000))),
+        (2, bytearray(encode_wav(pcm, framerate=8000))),   # re-encode: same PCM
+        (3, bytearray(encode_wav(other, framerate=16000))),
+    ]
+    # the two containers really are byte-different
+    assert bytes(rows[0][1]) != bytes(rows[1][1])
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert fps[1] == fps[2] == energy_fingerprint(pcm)
+    assert fps[1] != fps[3]
+    groups = {r["afp"]: (r["canonical_id"], r["n_copies"])
+              for r in audio_fingerprint_dedup(media).collect()}
+    assert groups[fps[1]] == (1, 2)
+    assert all(0 <= h < (1 << 31) for h in fps.values())
