@@ -59,3 +59,52 @@ def hll_stream_monitor(
         on_report(batch_id, rows)
 
     return sketch.writeStream.outputMode("complete").foreachBatch(sink)
+
+
+def histogram_stream_monitor(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    on_report: Callable[[int, list], None],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    qs: list[float] | None = None,
+) -> DataStreamWriter:
+    """Streaming quantile monitor — the streaming twin of
+    ``operators/sketches.py``'s histogram sketch, completing the
+    bounded-state monitor pair (distinct via HLL, quantiles here).
+
+    Streaming state is the (group, bin) count table: at most
+    ``|groups| * bins`` rows FOREVER, exactly like the HLL register
+    table. Each micro-batch the ``foreachBatch`` sink reduces the full
+    (bounded) cell table to per-group P50/P95/P99 with the SAME
+    :func:`..operators.sketches.histogram_quantile` the batch path
+    uses — parity by construction.
+
+    One semantic difference from the HLL monitor, stated honestly:
+    histogram cells merge by SUM, which is exactly-once under Spark's
+    checkpointed sources but NOT idempotent under source-side replays
+    (HLL's MAX re-assertion is). A source that can re-deliver data
+    outside the checkpoint contract needs the manifest pattern
+    (streaming/manifest_dedup.py) in front of this monitor.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import histogram_quantile, histogram_sketch
+
+    quantiles = qs if qs is not None else [0.5, 0.95, 0.99]
+    cells = histogram_sketch(stream, value_col, group_cols, lo=lo, hi=hi, bins=bins)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            histogram_quantile(batch_df, group_cols, quantiles, lo=lo, hi=hi, bins=bins)
+            .orderBy(*group_cols, "q")
+            .collect()
+        )
+        on_report(batch_id, rows)
+
+    return cells.writeStream.outputMode("complete").foreachBatch(sink)
+
+
+__all__ += ["histogram_stream_monitor"]

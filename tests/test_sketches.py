@@ -225,3 +225,61 @@ def test_hll_stream_monitor_matches_batch(spark, tmp_path):
         assert final[g]["empty_registers"] == expect[g]["empty_registers"]
     # Bounded state: the register table never exceeds |groups| * 256.
     assert sum(len(rows) for rows in [reports[max(reports)]]) <= 2
+
+
+def test_histogram_stream_monitor_matches_batch(spark, tmp_path):
+    """Streaming (group, bin) cell state must converge to the batch
+    sketch over the same data: quantile reports per micro-batch from
+    |groups|*bins-bounded state."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+    from spark_streaming_kafka_spark.streaming.sketches import (
+        histogram_stream_monitor,
+    )
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [("a", float(i)) for i in range(400)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", float(i)) for i in range(400, 1000)]
+        + [("b", float(i * 2)) for i in range(300)],
+        "g string, v double",
+    )
+    b1.coalesce(1).write.parquet(str(data_dir / "f1"))
+
+    reports = {}
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir / "*"))
+    )
+    q = (
+        histogram_stream_monitor(
+            stream, "v", ["g"],
+            lambda bid, rows: reports.update({bid: rows}),
+            lo=0.0, hi=1000.0, bins=100,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.parquet(str(data_dir / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {(r["g"], r["q"]): r["est"] for r in reports[max(reports)]}
+    whole = b1.unionByName(b2)
+    sk = histogram_sketch(whole, "v", ["g"], 0.0, 1000.0, 100)
+    expect = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantile(sk, ["g"], [0.5, 0.95, 0.99], 0.0, 1000.0, 100).collect()
+    }
+    assert final == expect
+    # and the estimates are actually near the truth for group a (uniform 0..999)
+    assert abs(final[("a", 0.5)] - 500.0) <= 10.0
