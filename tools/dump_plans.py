@@ -226,6 +226,32 @@ SHOWCASE = {
     "and the classifier verdicts reduce to id-keyed LeftSemi joins; the "
     "per-source cap is one narrow rank window; the report aggregate is "
     "|sources|-sized. Document bodies are scanned, never shuffled.",
+    "eval_sample_per_source": "Sampling as top-k over a hash order: one "
+    "window exchange on source over (source, doc_id, hash) rows, rank "
+    "filter inside the window stage — no RNG, no second pass, and the "
+    "picked ids are partition-layout-independent.",
+    "histogram_quantiles_value": "The quantile sketch: partial→final "
+    "HashAggregate pair over (group, bin) cells — the shuffle after "
+    "map-side combine is <= 128 rows per group; the cumulative window and "
+    "the quantile probe run over the bin-bounded cell table only.",
+    "embedding_random_projection": "JL projection as plan literals: the "
+    "±1 matrix appears as literal arrays inside a single codegen'd "
+    "Project over the embeddings scan — no UDF, no join, no Exchange at "
+    "all before the final projection.",
+    "jaccard_threshold_sweep": "The established inverted-index pair "
+    "subtree feeds a band-keyed partial agg (<= ~10 rows) and a window "
+    "over those bands — everything after pairing is band-bounded.",
+    "retrieval_ndcg_bm25": "DCG and IDCG legs combined by a tagged UNION "
+    "into one final aggregate — no 1×1 crossJoin/BNLJ anywhere; both "
+    "rank windows run over candidate-bounded (top-k) inputs.",
+    "image_ahash_dedup": "Media dedup: generate→encode→decode→hash fuse "
+    "into ONE ArrowEvalPython/mapInPandas stage over the scan (no "
+    "shuffle between them); the dedup groupBy exchanges 8-byte (hash, "
+    "id) pairs — payload bytes never cross the wire.",
+    "audio_fingerprint_dedup": "Same single-stage media shape as "
+    "image_ahash_dedup: WAV encode→decode→fingerprint in one fused "
+    "mapInPandas pass, then a fingerprint-keyed aggregate over narrow "
+    "rows.",
 }
 
 
