@@ -24,6 +24,7 @@ EXAMPLES = [
     "examples/quality_gates.py",
     "examples/training_examples.py",
     "examples/governance.py",
+    "examples/sketch_monitors.py",
 ]
 
 
