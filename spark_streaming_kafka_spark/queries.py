@@ -6300,6 +6300,80 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_dedup(media)
 
 
+@register(
+    "video_fingerprint_dedup",
+    """
+    WITH px AS (
+      SELECT doc_id, CAST(f.f AS INT) AS f, CAST(r.p AS INT) AS p,
+             ('0x' || substr(md5(md5(text) || '_v' || CAST(f.f AS VARCHAR)
+                                 || '_' || CAST(r.p // 16 AS VARCHAR)),
+                             CAST((r.p % 16) * 2 + 1 AS INT), 2))::INT AS v
+      FROM documents, unnest(range(0, 4)) f(f), unnest(range(0, 64)) r(p)
+    ),
+    stats AS (
+      SELECT doc_id, f, sum(v) / 64.0 AS mean FROM px GROUP BY doc_id, f
+    ),
+    fh AS (
+      SELECT px.doc_id, px.f,
+             CAST(sum(CASE WHEN px.p < 60 AND px.v > s.mean
+                           THEN (1::BIGINT << px.p) ELSE 0 END) AS BIGINT) AS ahash
+      FROM px JOIN stats s ON s.doc_id = px.doc_id AND s.f = px.f
+      GROUP BY px.doc_id, px.f
+    ),
+    vfp AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(
+               string_agg(CAST(ahash AS VARCHAR), '_' ORDER BY f)
+             ), 1, 15)) AS BIGINT) AS vfp
+      FROM fh GROUP BY doc_id
+    )
+    SELECT vfp, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM vfp GROUP BY vfp
+    """,
+)
+def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup through the REAL AVI codec — the third member of
+    the media-dedup trio (image aHash, audio energy contour, video
+    frame-hash sequence): each document becomes a 4-frame 8x8
+    grayscale clip (per-frame pixels md5-derived, SQL-rederivable),
+    every 5th clip re-encoded at a different fps (byte-different
+    container, identical frames); the operator (operators/
+    multimodal.py::video_fingerprint_dedup) decodes the genuine
+    uncompressed-DIB AVI bytes, per-frame ahash60, md5 over the
+    ordered hash sequence — re-muxed/fps-edited copies collapse, any
+    frame edit splits. Encode+decode+hash fuse into one Arrow
+    mapInPandas stage; 8-byte fingerprints shuffle, never payloads."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .operators.media_codecs import encode_avi
+    from .operators.multimodal import video_fingerprint_dedup
+
+    docs = _docs_fan(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = _hl.md5(text.encode()).hexdigest()
+                frames = []
+                for f in range(4):
+                    raw = b"".join(
+                        _hl.md5(f"{hx}_v{f}_{r}".encode()).digest() for r in range(4)
+                    )
+                    gray = _np.frombuffer(raw, dtype=_np.uint8).reshape(8, 8)
+                    frames.append(_np.repeat(gray[:, :, None], 3, axis=2))
+                fps = 15 if did % 5 == 0 else 30
+                ids.append(did)
+                payloads.append(encode_avi(_np.stack(frames), fps=fps))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return video_fingerprint_dedup(media)
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is

@@ -110,3 +110,34 @@ def test_audio_fingerprint_collapses_reencoded_copies(spark):
               for r in audio_fingerprint_dedup(media).collect()}
     assert groups[fps[1]] == (1, 2)
     assert all(0 <= h < (1 << 31) for h in fps.values())
+
+
+def test_video_fingerprint_collapses_remuxed_copies(spark):
+    import numpy as np
+
+    from spark_streaming_kafka_spark.operators.media_codecs import encode_avi
+    from spark_streaming_kafka_spark.operators.multimodal import (
+        video_fingerprint,
+        video_fingerprint_dedup,
+    )
+
+    rng = np.random.RandomState(13)
+    clip = rng.randint(0, 256, size=(4, 8, 8, 3)).astype(np.uint8)
+    edited = clip.copy()
+    edited[2] = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)  # one frame edit
+    reordered = clip[::-1].copy()  # same frames, different order
+    rows = [
+        (1, bytearray(encode_avi(clip, fps=30))),
+        (2, bytearray(encode_avi(clip, fps=15))),      # fps metadata re-encode
+        (3, bytearray(encode_avi(edited, fps=30))),
+        (4, bytearray(encode_avi(reordered, fps=30))),
+    ]
+    assert bytes(rows[0][1]) != bytes(rows[1][1])
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r["media_id"]: r["vfp"] for r in video_fingerprint(media).collect()}
+    assert fps[1] == fps[2]          # re-encode collapses
+    assert fps[1] != fps[3]          # frame edit splits
+    assert fps[1] != fps[4]          # order matters (sequence hash)
+    groups = {r["vfp"]: (r["canonical_id"], r["n_copies"])
+              for r in video_fingerprint_dedup(media).collect()}
+    assert groups[fps[1]] == (1, 2)
