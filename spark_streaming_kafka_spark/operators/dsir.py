@@ -70,10 +70,14 @@ def dsir_bucket_logratios(
         lam(b) = ln( (ct(b)+1) * (Ns+B)  /  ((cs(b)+1) * (Nt+B)) )
 
     i.e. ln of the ratio of add-one-smoothed bucket probabilities,
-    algebraically rearranged into ONE division of two exact integer
-    products so the value is reduction-order and engine independent.
-    The output has at most ``buckets`` rows — broadcastable by
-    construction."""
+    algebraically rearranged into ONE division of two products so the
+    value is reduction-order and engine independent. Each factor is
+    cast to DOUBLE *before* the multiply: below 2^53 tokens per side
+    the double product is exact (bit-identical to the integer product),
+    and beyond that it rounds gracefully instead of wrapping the way a
+    64-bit integer product would past 2^63 (~3e9 tokens/side with the
+    default 4096 buckets). The output has at most ``buckets`` rows —
+    broadcastable by construction."""
     ct = (
         _bucketed_tokens(target, text_col, id_col, buckets)
         .groupBy("b")
@@ -92,11 +96,11 @@ def dsir_bucket_logratios(
         F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
         F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
     )
-    num = (F.col("ct") + F.lit(1)) * F.lit(int(ns) + buckets)
-    den = (F.col("cs") + F.lit(1)) * F.lit(int(nt) + buckets)
-    return joined.select(
-        "b", F.log(num.cast("double") / den.cast("double")).alias("lam")
-    )
+    # Cast BEFORE multiplying: long*long wraps silently past 2^63 in
+    # non-ANSI Spark, double*double merely rounds (and is exact <2^53).
+    num = (F.col("ct") + F.lit(1)).cast("double") * F.lit(float(int(ns) + buckets))
+    den = (F.col("cs") + F.lit(1)).cast("double") * F.lit(float(int(nt) + buckets))
+    return joined.select("b", F.log(num / den).alias("lam"))
 
 
 def dsir_weights(

@@ -16,12 +16,14 @@ engine-portable hash (:mod:`..functions.hashing`), so results are
 bit-reproducible in the DuckDB oracle:
 
 - :func:`hll_sketch` / :func:`hll_estimate` — classic Flajolet et al.
-  HyperLogLog (the 2007 AlgoHLL paper): bucket = ``h mod m``, rho =
-  leading-zero rank of the remaining 50 hash bits, estimate =
+  HyperLogLog (the 2007 AlgoHLL paper): bucket = ``h mod m`` with
+  ``m = 2^p``, rho = leading-zero rank of the remaining ``60 - p``
+  hash bits (md5_long yields 60-bit hashes), estimate =
   ``alpha_m * m^2 / sum(2^-max_rho)`` with the standard small-range
   linear-counting correction. The ``sum(2^-max_rho)`` accumulator is
-  computed in EXACT integer space (``sum(1 << (51 - max_rho))`` as a
-  64-bit integer, one final float division) so the estimate is
+  computed in EXACT integer space (``sum(1 << (maxbits - max_rho))``
+  as a 64-bit integer with ``maxbits = 60 - p + 1`` — 53 at the
+  default p=8 — one final float division) so the estimate is
   order-independent and engine-portable — a floating sum of 2^-k terms
   would depend on reduction order.
 - :func:`cms_sketch` / :func:`cms_lookup` — Cormode & Muthukrishnan's
@@ -100,7 +102,11 @@ def hll_sketch(
         F.lit(field_bits + 1) - F.length(F.bin(rest))
     )
     return (
-        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        # NULL keys hash to NULL and would land in a bucket=NULL register
+        # row, inflating `nonzero` (deflating the zeros correction) in
+        # hll_estimate — drop them: NULL is "no item", not a distinct key.
+        df.filter(c.isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )
@@ -179,6 +185,7 @@ def duckdb_hll_sql(
     WITH hashed AS (
       SELECT {gcols}, {h} % {m} AS bucket, {h} >> {p} AS rest
       FROM {table_expr}
+      WHERE {key_sql} IS NOT NULL
     ),
     regs AS (
       SELECT {gcols}, bucket,
@@ -232,7 +239,10 @@ def cms_sketch(
         ]
     )
     return (
-        keys.select(F.posexplode(cells).alias("row", "col"))
+        # NULL keys hash to NULL cells — drop them, same discipline as
+        # hll_sketch / histogram_sketch.
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.posexplode(cells).alias("row", "col"))
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -305,7 +315,10 @@ def histogram_sketch(
     b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
     b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
     return (
-        df.select(*group_cols, b.alias("bin"))
+        # NULL values would count into a bin=NULL cell, inflating `total`
+        # in histogram_quantile and shifting every quantile — drop them.
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -356,9 +369,11 @@ def histogram_quantile(
         )
         * F.lit(width)
     )
+    # q rounded to 6 digits (not 2): fine-grained requests like
+    # qs=[0.995, 0.999] must stay distinguishable in the output.
     return hit.select(
         *group_cols,
-        F.round(F.col("q"), 2).alias("q"),
+        F.round(F.col("q"), 6).alias("q"),
         F.round(est, 6).alias("est"),
     )
 

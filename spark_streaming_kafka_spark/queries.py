@@ -5697,8 +5697,8 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches from different executors/days merge with MAX. The exact
     count rides alongside so the row itself certifies the error
     (rel_err ≈ 1.04/√256 ≈ 6.5% worst-case). Estimate computed in
-    exact integer space (sum of 1<<(51-rho)) so it is reduction-order
-    and engine independent. Reference anchor: exact distinct counts
+    exact integer space (sum of 1<<(maxbits-rho), maxbits = 60-p+1 =
+    53 at p=8) so it is reduction-order and engine independent. Reference anchor: exact distinct counts
     via RDD countByValue (spark_kafka.py:96-104) — this is that
     question at 1000× the key space."""
     from .operators.sketches import hll_distinct
@@ -5816,8 +5816,8 @@ def _dsir_sql() -> str:
     ns AS (SELECT coalesce(sum(cs), 0) AS ns FROM cs),
     lam AS (
       SELECT b,
-             ln(CAST((coalesce(ct, 0) + 1) * (ns + {b}) AS DOUBLE)
-                / CAST((coalesce(cs, 0) + 1) * (nt + {b}) AS DOUBLE)) AS lam
+             ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(ns + {b} AS DOUBLE))
+                / (CAST(coalesce(cs, 0) + 1 AS DOUBLE) * CAST(nt + {b} AS DOUBLE))) AS lam
       FROM ct FULL JOIN cs USING (b), nt, ns
     )
     SELECT r.doc_id,
@@ -5841,8 +5841,9 @@ def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-bounded after map-side combine, never token-bounded); the
     fitted log-ratio table broadcasts into one scoring scan; selection
     is TakeOrderedAndProject. The smoothed likelihood ratio is one
-    division of two exact integer products, so the score is
-    reduction-order and engine independent at oracle scale."""
+    division of two double products (each factor cast to double BEFORE
+    the multiply, so corpora past 2^63 token-products round instead of
+    wrapping), reduction-order and engine independent at oracle scale."""
     from .operators.dsir import dsir_select_topk
 
     docs = _docs_fan(spark, sf_dir)
@@ -6019,6 +6020,7 @@ def q_kfold_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(GREATEST(CAST(floor(value / 3.90625) AS INT), 0), 127) AS bin,
              CAST(count(*) AS BIGINT) AS c
       FROM events
+      WHERE value IS NOT NULL
       GROUP BY 1, 2
     ),
     cum AS (
@@ -6032,7 +6034,7 @@ def q_kfold_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum CROSS JOIN (VALUES (0.5), (0.95), (0.99)) AS qs(q)
     )
     SELECT event_type,
-           round(q, 2) AS q,
+           round(q, 6) AS q,
            round((bin + (q * total - (cum - c)) / c) * 3.90625, 6) AS est
     FROM probes
     WHERE cum >= q * total AND (cum - c) < q * total

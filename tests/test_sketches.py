@@ -283,3 +283,62 @@ def test_histogram_stream_monitor_matches_batch(spark, tmp_path):
     assert final == expect
     # and the estimates are actually near the truth for group a (uniform 0..999)
     assert abs(final[("a", 0.5)] - 500.0) <= 10.0
+
+
+def test_null_inputs_ignored_by_all_sketches(spark):
+    """NULL keys/values must not corrupt estimates (round-6 advice):
+    hll_sketch would otherwise emit a bucket=NULL register row that
+    inflates `nonzero`; histogram_sketch would count NULLs into a
+    bin=NULL cell that inflates `total` and shifts every quantile;
+    cms_sketch would address NULL cells."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    clean = spark.createDataFrame(
+        [("g", f"k{i}", float(i)) for i in range(100)], "g string, k string, v double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("g", None, None)] * 7, "g string, k string, v double"
+        )
+    )
+
+    # HLL: identical register tables and estimates with/without NULL keys.
+    hc = hll_estimate(hll_sketch(clean, "k", ["g"], p=6), ["g"], p=6).collect()
+    hd = hll_estimate(hll_sketch(dirty, "k", ["g"], p=6), ["g"], p=6).collect()
+    assert [r.asDict() for r in hc] == [r.asDict() for r in hd]
+
+    # Histogram: identical cells and quantiles with/without NULL values.
+    qc = histogram_quantile(
+        histogram_sketch(clean, "v", ["g"], 0.0, 100.0, 10), ["g"], [0.5], 0.0, 100.0, 10
+    ).collect()
+    qd = histogram_quantile(
+        histogram_sketch(dirty, "v", ["g"], 0.0, 100.0, 10), ["g"], [0.5], 0.0, 100.0, 10
+    ).collect()
+    assert [r.asDict() for r in qc] == [r.asDict() for r in qd]
+
+    # CMS: NULL keys contribute no cells.
+    toks_c = clean.select(F.col("k").alias("term"))
+    toks_d = dirty.select(F.col("k").alias("term"))
+    sc_ = {(r.row, r.col): r.c for r in cms_sketch(toks_c).collect()}
+    sd_ = {(r.row, r.col): r.c for r in cms_sketch(toks_d).collect()}
+    assert sc_ == sd_
+
+
+def test_histogram_quantile_fine_grained_q_distinguishable(spark):
+    """qs=[0.995, 0.999] must emit distinguishable q values in the
+    output (round-6 advice: round(q, 2) collapsed both to 1.0)."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1000)], "g string, v double"
+    )
+    sk = histogram_sketch(df, "v", ["g"], 0.0, 1000.0, 100)
+    out = histogram_quantile(sk, ["g"], [0.995, 0.999], 0.0, 1000.0, 100).collect()
+    qs = sorted(r["q"] for r in out)
+    assert qs == [0.995, 0.999]
