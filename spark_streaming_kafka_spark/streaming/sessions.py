@@ -45,37 +45,67 @@ def _session_fn(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Accumulate (slot, song_id, rating) per user; flush on sentinel."""
+    """Accumulate (slot, song_id, rating) per user; flush on sentinel.
+
+    Fully vectorized (round-6 advice): sentinel positions come from one
+    ``np.flatnonzero`` over the batch and sessions are array slices —
+    no per-row Python loop, so throughput scales with Arrow batch size
+    instead of the interpreter (≥10× on 100k-event batches, pinned by
+    ``tests/test_sessions.py::test_session_fn_vectorized_throughput``).
+    The carried state is sentinel-free by construction (every flush
+    consumes through its sentinel), so scanning only the fresh rows for
+    sentinels is exact.
+    """
+    import numpy as np
+
     if state.hasTimedOut:
         state.remove()
         return
     if state.exists:
-        slots, song_ids, ratings = state.get
-        slots, song_ids, ratings = list(slots), list(song_ids), list(ratings)
+        st_slots, st_songs, st_ratings = state.get
+        slots = np.asarray(st_slots, dtype=object)
+        song_ids = np.asarray(st_songs, dtype=np.int64)
+        ratings = np.asarray(st_ratings, dtype=np.int64)
     else:
-        slots, song_ids, ratings = [], [], []
+        slots = np.empty(0, dtype=object)
+        song_ids = np.empty(0, dtype=np.int64)
+        ratings = np.empty(0, dtype=np.int64)
     flushed: list[pd.DataFrame] = []
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
         pdf = pdf.sort_values("song_id", kind="stable")
-        for _, row in pdf.iterrows():
-            slots.append(str(row["slot"]))
-            song_ids.append(int(row["song_id"]))
-            ratings.append(int(row["rating"]))
-            if row["slot"] == SENTINEL:
+        new_slots = pdf["slot"].to_numpy(dtype=object)
+        carried = len(slots)
+        slots = np.concatenate([slots, new_slots])
+        song_ids = np.concatenate(
+            [song_ids, pdf["song_id"].to_numpy(dtype=np.int64)]
+        )
+        ratings = np.concatenate([ratings, pdf["rating"].to_numpy(dtype=np.int64)])
+        # Sentinels can only be among the fresh rows (state never holds one).
+        hits = np.flatnonzero(new_slots == SENTINEL) + carried
+        if hits.size:
+            start = 0
+            for end in hits + 1:  # each session = [start, sentinel]
                 flushed.append(
                     pd.DataFrame(
                         {
                             "userid": key[0],
-                            "slot": slots,
-                            "song_id": song_ids,
-                            "rating": ratings,
-                            "session_size": len(slots),
+                            "slot": slots[start:end],
+                            "song_id": song_ids[start:end],
+                            "rating": ratings[start:end],
+                            "session_size": end - start,
                         }
                     )
                 )
-                slots, song_ids, ratings = [], [], []
-    if slots:
-        state.update((slots, song_ids, ratings))
+                start = end
+            slots = slots[start:]
+            song_ids = song_ids[start:]
+            ratings = ratings[start:]
+    if slots.size:
+        state.update(
+            ([str(s) for s in slots], song_ids.tolist(), ratings.tolist())
+        )
         state.setTimeoutDuration(60 * 60 * 1000)  # 1 h abandoned-session GC
     else:
         state.remove()
