@@ -5,6 +5,14 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
+Suites (``python bench.py [headline|pipeline]``, default headline —
+the driver-graded record, unchanged since r3 so rounds compare
+like-for-like): ``pipeline`` is the LLM-data-pipeline tier added in
+r7 so the newer operator families (CDC rewrite, DSIR, winnowing,
+BM25/RRF retrieval, sketches, governance splits, BPE) sit on a
+measured perf path too — a regression there was previously invisible
+to any committed number. Same noop-sink, warm-up + min-of-2 protocol.
+
 Each query is forced with the noop sink (full materialization, no
 driver transfer, no result-size bias). The suite runs TWICE: the first
 pass (unmeasured) pays one-time JVM/codegen/JIT warm-up per plan shape,
@@ -24,6 +32,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _calibrate() -> dict:
+    """Fixed-work single-core microbenchmarks, reported alongside the
+    suite so cross-round records are box-normalizable. Round 6's +14%
+    'regression' was a slower/contended box, not a plan change — the
+    per-query deltas were uniform. With `calib` in the record, value /
+    calib_md5 compares like-for-like across sessions. Also records the
+    1-min load average at start so contention is visible in the artifact.
+    """
+    import hashlib
+
+    import numpy as np
+
+    buf = b"\xab" * (32 << 20)
+    t0 = time.perf_counter()
+    hashlib.md5(buf).hexdigest()
+    md5_sec = time.perf_counter() - t0
+    a = np.ones((512, 512))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a = a @ a % 7.0
+    mm_sec = time.perf_counter() - t0
+    return {
+        "md5_32mb_sec": round(md5_sec, 4),
+        "matmul_512_sec": round(mm_sec, 4),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
 
 #: Headline set: every operator family with real work at sf0.1.
 HEADLINE = [
@@ -53,6 +89,25 @@ HEADLINE = [
     "etl_ratings_pipeline",   # reference's full ETL (filters+W1+top-200)
 ]
 
+#: LLM-data-pipeline tier (r7): the post-r1 operator families that the
+#: frozen headline suite never measures. One representative per family,
+#: chosen for real sf0.1 work (not scheduling-floor noise).
+PIPELINE = [
+    "cdc_dedup_rewrite",        # content-defined chunking dedup rewrite
+    "cdc_chunk_documents",      # CDC chunker alone (rolling hash)
+    "winnowing_overlap_pairs",  # winnowing fingerprints -> overlap pairs
+    "dsir_select_docs",         # hashed-ngram importance resampling
+    "bm25_topk_docs",           # inverted-index BM25 retrieval
+    "hybrid_search_rrf",        # BM25 + ANN reciprocal-rank fusion
+    "hll_distinct_users",       # HyperLogLog sketch + estimate
+    "heavy_hitters_cms",        # Count-Min sketch + point queries
+    "split_no_leakage",         # duplicate-graph-safe train/test split
+    "web_corpus_gate",          # composed quality/langid/boilerplate gate
+    "bpe_merges",               # iterative BPE vocabulary learning
+]
+
+SUITES = {"headline": HEADLINE, "pipeline": PIPELINE}
+
 
 def main() -> None:
     from spark_streaming_kafka_spark import get_spark
@@ -70,11 +125,22 @@ def main() -> None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         extra_conf = profile(profile_name, total_cores=cores)
 
+    suite_name = "headline"
+    for a in sys.argv[1:]:
+        if a in SUITES:
+            suite_name = a
+    suite = SUITES[suite_name]
+
+    # Calibrate BEFORE the JVM exists: the microbenchmarks must see the
+    # same idle box the suite's critical path competes on, not the
+    # session's own startup threads.
+    calib = _calibrate()
+
     spark = get_spark("bench", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     # pass 1 (unmeasured): compile/JIT every plan shape once
-    for name in HEADLINE:
+    for name in suite:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # passes 2-3 (measured): steady-state; report the per-query MIN so
@@ -84,7 +150,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for _ in range(2):
-        for name in HEADLINE:
+        for name in suite:
             fn = QUERIES[name]
             # drop blocks orphaned by the PREVIOUS query (iterative ops
             # localCheckpoint per round; the RDD blocks are only released
@@ -102,7 +168,7 @@ def main() -> None:
     except (IndexError, ValueError):
         pass
     out = {
-        "metric": "headline-suite wall clock",
+        "metric": f"{suite_name}-suite wall clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -110,6 +176,7 @@ def main() -> None:
     }
     if profile_name:
         out["profile"] = profile_name
+    out["calib"] = calib
     print(json.dumps(out))
     spark.stop()
 
