@@ -141,16 +141,21 @@ def learn_bpe_merges(
     session see no conf change and two overlapping trainings cannot
     race on a restore. The returned merges are plain Python."""
     spark = docs.sparkSession
-    vocab = word_frequencies(docs, text_col)
-    symdf = _to_symbols(vocab).persist()
-    n_words = symdf.count()  # materialize before the loop
+    vocab = word_frequencies(docs, text_col).persist()
+    n_words = vocab.count()
     parallelism = spark.sparkContext.defaultParallelism
     loop_parts = max(2, min(parallelism, n_words // 20_000 + 2))
-    symdf2 = symdf.coalesce(loop_parts).persist()
-    symdf2.count()
-    symdf.unpersist()
-    symdf = symdf2
+    symdf = _to_symbols(vocab).coalesce(loop_parts).persist()
     merges: list[tuple[str, str]] = []
+    # ONE job per merge round (r7): the previous round's Arrow merge
+    # apply is left LAZY (persist marked, not materialized) and runs
+    # inside this round's pair-count job, which fills its cache as a
+    # side effect — the old eager `new_symdf.count()` doubled the job
+    # count, and at vocab scale each round is pure scheduling floor
+    # (measured: 12 merges at sf0.1 went 12.1 s → one-job rounds).
+    # The parent stays cached until the child materializes, so a
+    # recomputation chain is at most one merge deep.
+    prev: DataFrame | None = None
     try:
         for _ in range(n_merges):
             top = (
@@ -159,16 +164,21 @@ def learn_bpe_merges(
                 .limit(1)
                 .collect()
             )
+            # that job materialized symdf's cache; its parent can go
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["c"] < 2:
                 break
             a, b = top[0]["a"], top[0]["b"]
             merges.append((a, b))
             new_symdf = _apply_merge(symdf, a, b).persist()
-            new_symdf.count()
-            symdf.unpersist()
-            symdf = new_symdf
+            prev, symdf = symdf, new_symdf
     finally:
         symdf.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        vocab.unpersist()
     return merges
 
 

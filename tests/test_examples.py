@@ -25,6 +25,7 @@ EXAMPLES = [
     "examples/training_examples.py",
     "examples/governance.py",
     "examples/sketch_monitors.py",
+    "examples/streaming_e2e.py",
 ]
 
 

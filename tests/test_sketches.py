@@ -342,3 +342,18 @@ def test_histogram_quantile_fine_grained_q_distinguishable(spark):
     out = histogram_quantile(sk, ["g"], [0.995, 0.999], 0.0, 1000.0, 100).collect()
     qs = sorted(r["q"] for r in out)
     assert qs == [0.995, 0.999]
+
+
+def test_histogram_quantile_error_within_bin_width(spark):
+    """The registered histogram_quantile_error query certifies the
+    sketch numerically: every |est - exact| must be within one bin
+    width (500/128) — the docstring's error bound as a checked
+    invariant."""
+    from spark_streaming_kafka_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["histogram_quantile_error"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "query returned nothing"
+    bin_width = 500.0 / 128
+    bad = [r.asDict() for r in rows if r["abs_err"] > bin_width]
+    assert not bad, f"sketch quantile error exceeded a bin width: {bad}"
