@@ -379,3 +379,173 @@ def histogram_quantile(
 
 
 __all__ += ["histogram_sketch", "histogram_quantile"]
+
+
+# ---------------------------------------------------------------------
+# KMV / theta sketch — the SET-OPERATION member of the sketch family
+# ---------------------------------------------------------------------
+
+def kmv_sketch(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: list[str],
+    k: int = 256,
+    prefilter_bits: int = 0,
+) -> DataFrame:
+    """Per-group K-Minimum-Values (bottom-k theta) sketch:
+    (group_cols..., pos, h) — the ``k`` smallest distinct 60-bit hashes
+    of ``key``, rank-ordered (pos = 1..k).
+
+    Why a fourth sketch: HLL answers "how many distinct" but CANNOT
+    answer "how many distinct IN COMMON" — its registers carry no
+    membership. KMV keeps actual hash samples, so unions (merge + keep
+    k smallest), intersections, and Jaccard all have bounded-state
+    estimators (Beyer et al. 2007; the theta-sketch framework). Sketch
+    size is ``k`` rows per group, mergeable across days/sources/streams
+    via :func:`kmv_merge`.
+
+    Plan shape: hash → distinct (one shuffle, MAP-SIDE COMBINED, so
+    the exchange carries each partition's distinct hashes once) →
+    co-partitioned rank window → rank ≤ k. For extreme-cardinality
+    keys, ``prefilter_bits=b`` adds a codegen'd scan filter
+    ``h < 2^(60-b)`` that discards ~(1 - 2^-b) of rows BEFORE the
+    shuffle; the bottom-k hashes are by definition the smallest, so
+    the result is bit-identical whenever the group has ≥ k distinct
+    hashes under the threshold — verifiable from the output itself
+    (max(h) < threshold ⟹ unaffected; fewer than k rows ⟹ lower b).
+
+    NULL keys are dropped (same discipline as the other sketches).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = md5_long(c)
+    hashed = df.filter(c.isNotNull()).select(*group_cols, h.alias("h"))
+    if prefilter_bits:
+        hashed = hashed.filter(F.col("h") < F.lit(1 << (60 - prefilter_bits)))
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+    )
+
+
+#: 2^60 — the hash-space size md5_long draws from; theta = h_k / 2^60.
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch:
+    (group_cols..., kmv_distinct). If a group holds fewer than ``k``
+    hashes the sketch IS its exact distinct set (estimate = n);
+    otherwise the classic unbiased (k-1)/theta with theta = h_k/2^60.
+    Pure column algebra on k-row groups — every engine evaluates the
+    identical literal expression tree, so the DuckDB twin matches
+    bit-for-bit after the shared round."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
+    )
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE) / F.col("hk").cast("double")
+    )
+    return agg.select(*group_cols, F.round(est, 2).alias("kmv_distinct"))
+
+
+def kmv_merge(sketches: list[DataFrame], group_cols: list[str], k: int = 256) -> DataFrame:
+    """Union several KMV sketch tables into one sketch per group: keep
+    the k smallest distinct hashes of the union. This is the mergeable
+    property (set union is exact on samples: bottom-k of a union is a
+    subset of the unions of bottom-ks), so per-day / per-source
+    sketches roll up without touching raw data."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    allrows = reduce(
+        lambda a, b: a.unionByName(b), [s.select(*group_cols, "h") for s in sketches]
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        allrows.distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+    )
+
+
+def kmv_intersect_estimate(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-intersection + Jaccard estimate between two sketches
+    sharing group keys: (group_cols..., inter_est, jaccard_est).
+
+    Theta-sketch rule: theta = min(theta_a, theta_b); retain each
+    side's hashes below theta (all of a side if it is exact, i.e.
+    holds < k rows); X = |matching hashes|, U = |union of retained|;
+    inter_est = X / theta (exact X when both sides exact),
+    jaccard_est = X / U. Everything is a broadcast-sized join of
+    k-row-per-group tables."""
+    a_stat = sketch_a.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("na"), F.max("h").alias("hka")
+    )
+    b_stat = sketch_b.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nb"), F.max("h").alias("hkb")
+    )
+    # theta in integer hash space; an exact side (n < k) has theta = 1
+    # (the whole space), encoded as 2^60 so min() picks the other side.
+    space = F.lit(1 << 60).cast("long")
+    stats = a_stat.join(b_stat, group_cols).select(
+        *group_cols,
+        F.least(
+            F.when(F.col("na") < k, space).otherwise(F.col("hka")),
+            F.when(F.col("nb") < k, space).otherwise(F.col("hkb")),
+        ).alias("theta_int"),
+        (F.col("na") < k).__and__(F.col("nb") < k).alias("both_exact"),
+    )
+    a_kept = sketch_a.join(F.broadcast(stats), group_cols).filter(
+        (F.col("h") < F.col("theta_int")) | F.col("both_exact")
+    )
+    b_kept = sketch_b.join(F.broadcast(stats), group_cols).filter(
+        (F.col("h") < F.col("theta_int")) | F.col("both_exact")
+    )
+    x = (
+        a_kept.select(*group_cols, "h")
+        .join(b_kept.select(*group_cols, "h"), [*group_cols, "h"])
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    u = (
+        a_kept.select(*group_cols, "h")
+        .unionByName(b_kept.select(*group_cols, "h"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    joined = (
+        stats.join(x, group_cols, "left")
+        .join(u, group_cols, "left")
+        .select(
+            *group_cols,
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("u"), F.lit(0)).alias("u"),
+            "theta_int",
+            "both_exact",
+        )
+    )
+    inter = F.when(F.col("both_exact"), F.col("x").cast("double")).otherwise(
+        F.col("x").cast("double") * F.lit(_KMV_SPACE) / F.col("theta_int").cast("double")
+    )
+    jac = F.when(F.col("u") > 0, F.col("x").cast("double") / F.col("u").cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return joined.select(
+        *group_cols,
+        F.round(inter, 2).alias("inter_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+    )
+
+
+__all__ += ["kmv_sketch", "kmv_estimate", "kmv_merge", "kmv_intersect_estimate"]

@@ -6144,6 +6144,172 @@ def q_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_k() -> int:
+    return 128
+
+
+def _kmv_users_sql() -> str:
+    k = _kmv_k()
+    h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
+    scale = repr(float(k - 1) * float(1 << 60))
+    return f"""
+    WITH sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
+      FROM (SELECT DISTINCT event_type, {h} AS h FROM events)
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n, max(h) AS hk
+      FROM sk WHERE pos <= {k} GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                        ELSE {scale} / CAST(hk AS DOUBLE) END, 2) AS kmv_distinct
+      FROM agg
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.kmv_distinct, exact.exact_distinct,
+           round(abs(est.kmv_distinct - exact.exact_distinct)
+                 / exact.exact_distinct, 4) AS rel_err
+    FROM est JOIN exact USING (event_type)
+    """
+
+
+@register("kmv_distinct_users", _kmv_users_sql())
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via a K-Minimum-Values (bottom-k
+    theta) sketch (operators/sketches.py::kmv_sketch) — the
+    SET-OPERATION member of the sketch family: unlike HLL registers,
+    the k retained hash samples support union / intersection /
+    Jaccard estimators (see kmv_audience_overlap). State is k = 128
+    rows per group, mergeable by keep-k-smallest-of-union; the exact
+    count rides alongside so the row certifies its own error
+    (σ ≈ 1/√(k−1) ≈ 8.9%). Estimator arithmetic is one literal double
+    division, identical in the DuckDB twin."""
+    from .operators.sketches import kmv_estimate, kmv_sketch
+
+    k = _kmv_k()
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    sk = kmv_sketch(ev.select(key.alias("k"), "event_type"), "k", ["event_type"], k=k)
+    est = kmv_estimate(sk, ["event_type"], k=k)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "kmv_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("kmv_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+#: The audience-overlap demo pair: distinct users doing BOTH activities.
+_KMV_PAIR = ("click", "view")
+
+
+def _kmv_overlap_sql() -> str:
+    k = _kmv_k()
+    a, b = _KMV_PAIR
+    h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
+    space_int = 1 << 60
+    space = repr(float(space_int))
+    sk = f"""
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
+      FROM (SELECT DISTINCT event_type, {h} AS h FROM events
+            WHERE event_type IN ('{a}', '{b}'))
+    """
+    return f"""
+    WITH sk AS ({sk}),
+    kept AS (SELECT event_type, h FROM sk WHERE pos <= {k}),
+    stat AS (
+      SELECT event_type, count(*) AS n, max(h) AS hk
+      FROM kept GROUP BY event_type
+    ),
+    pairstat AS (
+      SELECT least(CASE WHEN sa.n < {k} THEN {space_int} ELSE sa.hk END,
+                   CASE WHEN sb.n < {k} THEN {space_int} ELSE sb.hk END) AS theta_int,
+             (sa.n < {k} AND sb.n < {k}) AS both_exact
+      FROM (SELECT * FROM stat WHERE event_type = '{a}') sa,
+           (SELECT * FROM stat WHERE event_type = '{b}') sb
+    ),
+    ka AS (SELECT h FROM kept, pairstat
+           WHERE event_type = '{a}' AND (h < theta_int OR both_exact)),
+    kb AS (SELECT h FROM kept, pairstat
+           WHERE event_type = '{b}' AND (h < theta_int OR both_exact)),
+    xu AS (
+      SELECT (SELECT count(*) FROM ka JOIN kb USING (h)) AS x,
+             (SELECT count(*) FROM (SELECT h FROM ka UNION SELECT h FROM kb)) AS u
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT user_id FROM events WHERE event_type = '{a}'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = '{b}'
+      )
+    )
+    SELECT '{a}|{b}' AS pair,
+           round(CASE WHEN both_exact THEN CAST(x AS DOUBLE)
+                      ELSE CAST(x AS DOUBLE) * {space} / CAST(theta_int AS DOUBLE)
+                 END, 2) AS inter_est,
+           round(CASE WHEN u > 0 THEN CAST(x AS DOUBLE) / CAST(u AS DOUBLE)
+                      ELSE 0.0 END, 6) AS jaccard_est,
+           exact.exact_inter
+    FROM pairstat, xu, exact
+    """
+
+
+@register("kmv_audience_overlap", _kmv_overlap_sql())
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user INTERSECTION between two event types from two
+    bounded k=128 KMV sketches (operators/sketches.py::
+    kmv_intersect_estimate) — the question HLL structurally cannot
+    answer: its registers carry no membership, so overlap/Jaccard
+    between sources, days, or A/B cohorts needs the theta-sketch rule
+    (theta = min theta, count matching samples below it; Beyer et al.
+    2007). At 100 TB each side reduces to 128 rows before any join;
+    the exact INTERSECT rides alongside to certify the estimate."""
+    from .operators.sketches import kmv_intersect_estimate, kmv_sketch
+
+    k = _kmv_k()
+    a, b = _KMV_PAIR
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    pair = F.lit(f"{a}|{b}")
+
+    def side(et: str) -> DataFrame:
+        return kmv_sketch(
+            ev.filter(F.col("event_type") == et).select(
+                key.alias("k"), pair.alias("pair")
+            ),
+            "k",
+            ["pair"],
+            k=k,
+        )
+
+    est = kmv_intersect_estimate(side(a), side(b), ["pair"], k=k)
+    ua = ev.filter(F.col("event_type") == a).select("user_id")
+    ub = ev.filter(F.col("event_type") == b).select("user_id")
+    exact = (
+        ua.intersect(ub)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+        .select(pair.alias("pair"), "exact_inter")
+    )
+    return est.join(F.broadcast(exact), "pair").select(
+        "pair", "inter_est", "jaccard_est", "exact_inter"
+    )
+
+
+
 @register(
     "embedding_random_projection",
     """
@@ -6498,16 +6664,24 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group_quantiles, and rmse_vs_constant (driver-green since rounds
 # 1–2; simple shapes with no scale risk). The round-6 IN set also
 # includes winnowing_fingerprints and the composed web_corpus_gate.
+# Round-7 rotation: IN — the three new r7 registrations
+# (kmv_distinct_users, kmv_audience_overlap, histogram_quantile_error)
+# plus four independently-green-but-never-driver-sampled headliners
+# (hll_distinct_users, heavy_hitters_cms, dsir_select_docs,
+# cdc_dedup_rewrite). OUT — seven driver-green simple shapes
+# (running_revenue_per_customer, order_gap_days,
+# unigram_logprob_scores, langid_confusion, sentiment_scores,
+# hash_sample_split, tfidf_top_terms).
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "counts_and_averages", "top_revenue_join",
     "topk_orders", "filter_project", "customers_without_orders",
     "customers_with_urgent_orders", "word_count",
     "top_words", "json_extract_sum", "percentile_buckets",
     "etl_ratings_pipeline", "window_topk_per_customer",
-    "running_revenue_per_customer", "order_gap_days",
-    "quality_scores", "unigram_logprob_scores", "langid_confusion",
-    "sentiment_scores", "doc_fingerprints", "hash_sample_split",
-    "tfidf_top_terms", "dedup_exact", "dedup_ngram_jaccard",
+    "kmv_distinct_users", "kmv_audience_overlap",
+    "quality_scores", "histogram_quantile_error", "hll_distinct_users",
+    "heavy_hitters_cms", "doc_fingerprints", "dsir_select_docs",
+    "cdc_dedup_rewrite", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "semantic_dedup_clusters", "gap_fill_hourly", "embedding_near_dup",
     "embedding_near_dup_lsh", "semantic_dedup_clusters_lsh",

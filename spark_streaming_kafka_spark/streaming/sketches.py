@@ -108,3 +108,71 @@ def histogram_stream_monitor(
 
 
 __all__ += ["histogram_stream_monitor"]
+
+
+KMV_STATE_SCHEMA = "hs array<long>"
+
+
+def kmv_stream_monitor(
+    stream: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 256,
+):
+    """Streaming KMV (bottom-k theta) monitor — the set-operation
+    member's streaming twin, completing the monitor family (distinct =
+    HLL, quantiles = histogram, distinct-with-set-algebra = here).
+
+    Bottom-k is not expressible as a built-in streaming aggregate
+    (rank windows are unsupported on streams), so state lives in
+    ``applyInPandasWithState``: per group an array of ≤ k hash longs,
+    merged with keep-k-smallest each batch — PERMANENTLY bounded, and
+    idempotent under replay (re-observing a key re-asserts the same
+    hash, exactly like HLL's MAX). Emits one
+    (group..., kmv_distinct, n_hashes) row per group per batch; the
+    retained state is a real KMV sketch, so offline set operations
+    (:func:`..operators.sketches.kmv_intersect_estimate`) apply to it
+    directly. Hashing uses the same md5-prefix-15 integer as
+    ``functions.hashing.md5_long`` — parity with the batch operator is
+    pinned by test.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        ", ".join(f"{g} string" for g in group_cols)
+        + ", kmv_distinct double, n_hashes int"
+    )
+
+    def fn(keygrp, pdfs, state):
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            for v in pd.unique(pdf[key_col].dropna().astype(str)):
+                hs.add(int(hashlib.md5(v.encode()).hexdigest()[:15], 16))
+        bottom = sorted(hs)[:k]
+        state.update((bottom,))
+        if len(bottom) < k:
+            est = float(len(bottom))
+        else:
+            est = round((k - 1) * float(1 << 60) / bottom[-1], 2)
+        yield pd.DataFrame(
+            {
+                **{g: [keygrp[i]] for i, g in enumerate(group_cols)},
+                "kmv_distinct": [est],
+                "n_hashes": [len(bottom)],
+            }
+        )
+
+    return stream.groupBy(*group_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ += ["kmv_stream_monitor"]

@@ -357,3 +357,172 @@ def test_histogram_quantile_error_within_bin_width(spark):
     bin_width = 500.0 / 128
     bad = [r.asDict() for r in rows if r["abs_err"] > bin_width]
     assert not bad, f"sketch quantile error exceeded a bin width: {bad}"
+
+
+# ---------------------------------------------------------------------
+# KMV / theta sketch (set-operation member of the family)
+# ---------------------------------------------------------------------
+
+def _kmv_py(keys, k):
+    """Independent Python replica: k smallest distinct 60-bit hashes."""
+    hs = sorted({_md5_long(s) for s in keys})
+    return hs[:k]
+
+
+def test_kmv_exact_when_small(spark):
+    """< k distinct keys: the sketch IS the exact set, estimate == n."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([("g", f"k{i % 37}") for i in range(500)], "g string, k string")
+    sk = kmv_sketch(df, "k", ["g"], k=256)
+    assert sk.count() == 37
+    est = kmv_estimate(sk, ["g"], k=256).collect()[0]["kmv_distinct"]
+    assert est == 37.0
+
+
+def test_kmv_estimate_within_theory_bound(spark):
+    """5000 distinct keys, k=256: rel err within 5 sigma (5/sqrt(k-1))."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    n, k = 5000, 256
+    df = spark.createDataFrame([("g", f"key_{i}") for i in range(n)], "g string, k string")
+    est = kmv_estimate(kmv_sketch(df, "k", ["g"], k=k), ["g"], k=k).collect()[0][
+        "kmv_distinct"
+    ]
+    assert abs(est - n) / n < 5.0 / (k - 1) ** 0.5
+    # and it matches the Python replica's estimator exactly
+    hk = _kmv_py([f"key_{i}" for i in range(n)], k)[-1]
+    assert est == round((k - 1) * float(1 << 60) / hk, 2)
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    """Mergeability: kmv_merge(sketch(A), sketch(B)) == sketch(A ∪ B),
+    row for row — the property that makes per-day rollups free."""
+    from spark_streaming_kafka_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(800)], "g string, k string")
+    b = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(400, 1000)] + [("g", f"b{i}") for i in range(300)],
+        "g string, k string",
+    )
+    k = 128
+    merged = kmv_merge([kmv_sketch(a, "k", ["g"], k=k), kmv_sketch(b, "k", ["g"], k=k)], ["g"], k=k)
+    whole = kmv_sketch(a.unionByName(b), "k", ["g"], k=k)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in whole.collect()
+    )
+
+
+def test_kmv_intersection_estimator(spark):
+    """Overlap estimate: |A|=3000, |B|=3000, |A∩B|=1000 — estimate
+    within 5 sigma; and with both sides < k the branch is exact."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    k = 256
+    a = spark.createDataFrame(
+        [("p", f"u{i}") for i in range(3000)], "pair string, k string"
+    )
+    b = spark.createDataFrame(
+        [("p", f"u{i}") for i in range(2000, 5000)], "pair string, k string"
+    )
+    out = kmv_intersect_estimate(
+        kmv_sketch(a, "k", ["pair"], k=k), kmv_sketch(b, "k", ["pair"], k=k), ["pair"], k=k
+    ).collect()[0]
+    # theta-sketch sigma for intersection is larger than plain KMV;
+    # allow a generous but still-informative band
+    assert abs(out["inter_est"] - 1000) / 1000 < 0.5
+    assert abs(out["jaccard_est"] - 0.2) < 0.1
+
+    # exact branch: tiny sides
+    a2 = spark.createDataFrame([("p", f"u{i}") for i in range(50)], "pair string, k string")
+    b2 = spark.createDataFrame([("p", f"u{i}") for i in range(30, 80)], "pair string, k string")
+    out2 = kmv_intersect_estimate(
+        kmv_sketch(a2, "k", ["pair"], k=k), kmv_sketch(b2, "k", ["pair"], k=k), ["pair"], k=k
+    ).collect()[0]
+    assert out2["inter_est"] == 20.0
+    assert out2["jaccard_est"] == round(20 / 80, 6)
+
+
+def test_kmv_prefilter_is_exact_when_enough_keys(spark):
+    """prefilter_bits discards ~15/16 of rows before the shuffle yet
+    yields the identical sketch when ≥ k distinct hashes survive."""
+    from spark_streaming_kafka_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", f"key_{i}") for i in range(20000)], "g string, k string"
+    )
+    plain = kmv_sketch(df, "k", ["g"], k=64).collect()
+    pre = kmv_sketch(df, "k", ["g"], k=64, prefilter_bits=4).collect()
+    assert sorted(r["h"] for r in plain) == sorted(r["h"] for r in pre)
+
+
+def test_kmv_stream_monitor_matches_batch(spark, tmp_path):
+    """Streaming KMV monitor converges to the batch sketch estimate
+    over identical data (hash parity Python-md5 vs md5_long included),
+    with permanently bounded per-group state (n_hashes ≤ k)."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from spark_streaming_kafka_spark.streaming.sketches import kmv_stream_monitor
+
+    k = 64
+    b1 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(300)] + [("b", f"v{i}") for i in range(20)],
+        "g string, k string",
+    )
+    b2 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(200, 500)] + [("b", f"v{i}") for i in range(10, 30)],
+        "g string, k string",
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    b1.coalesce(1).write.parquet(str(data_dir / "f1"))
+
+    reports: dict[int, dict] = {}
+
+    def sink(batch_df, batch_id):
+        reports[batch_id] = {
+            r["g"]: (r["kmv_distinct"], r["n_hashes"]) for r in batch_df.collect()
+        }
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir / "*"))
+    )
+    q = (
+        kmv_stream_monitor(stream, "k", ["g"], k=k)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.parquet(str(data_dir / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final: dict[str, tuple] = {}
+    for bid in sorted(reports):
+        final.update(reports[bid])
+    whole = b1.unionByName(b2)
+    expect = {
+        r["g"]: r["kmv_distinct"]
+        for r in kmv_estimate(kmv_sketch(whole, "k", ["g"], k=k), ["g"], k=k).collect()
+    }
+    assert {g: v[0] for g, v in final.items()} == expect
+    assert all(v[1] <= k for v in final.values())
+    # group b is exact (30 distinct < k)
+    assert final["b"][0] == 30.0
