@@ -549,3 +549,71 @@ def kmv_intersect_estimate(
 
 
 __all__ += ["kmv_sketch", "kmv_estimate", "kmv_merge", "kmv_intersect_estimate"]
+
+
+def kmv_cross_group_overlap(
+    sketch: DataFrame,
+    group_col: str,
+    a: str,
+    b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Overlap between TWO GROUPS of one KMV sketch — the common
+    "audience overlap between cohorts" shape: (pair, inter_est,
+    jaccard_est), join-free.
+
+    :func:`kmv_intersect_estimate` joins two sketches on shared group
+    KEYS; when the two sides are two VALUES of one group column, those
+    joins would run on a constant key, which Catalyst constant-folds
+    into a degenerate cross join (the suite-wide plan audit rejects
+    exactly that shape). This variant instead computes the theta rule
+    with per-group aggregates and ONE tagged union: membership flags
+    per hash, a global conditional aggregate, zero joins. The two
+    k-row stat rows are collected to the driver (bounded by
+    construction — same discipline as the sketch monitors) so theta
+    lands as a literal in the final projection."""
+    sa = sketch.filter(F.col(group_col) == a)
+    sb = sketch.filter(F.col(group_col) == b)
+    stats = {
+        r[group_col]: (r["n"], r["hk"])
+        for r in sketch.filter(F.col(group_col).isin(a, b))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+        .collect()
+    }
+    na, hka = stats.get(a, (0, 0))
+    nb, hkb = stats.get(b, (0, 0))
+    space_int = 1 << 60
+    theta_int = min(
+        space_int if na < k else hka, space_int if nb < k else hkb
+    )
+    both_exact = na < k and nb < k
+    gate = F.lit(True) if both_exact else F.col("h") < F.lit(theta_int)
+    tagged = (
+        sa.filter(gate).select("h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(
+            sb.filter(gate).select("h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        )
+        .groupBy("h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    agg = tagged.agg(
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("u"),
+    )
+    inter = (
+        F.col("x").cast("double")
+        if both_exact
+        else F.col("x").cast("double") * F.lit(_KMV_SPACE) / F.lit(float(theta_int))
+    )
+    jac = F.when(
+        F.col("u") > 0, F.col("x").cast("double") / F.col("u").cast("double")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.lit(f"{a}|{b}").alias("pair"),
+        F.round(inter, 2).alias("inter_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+    )
+
+
+__all__ += ["kmv_cross_group_overlap"]

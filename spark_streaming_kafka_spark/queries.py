@@ -6270,42 +6270,54 @@ def _kmv_overlap_sql() -> str:
 
 @register("kmv_audience_overlap", _kmv_overlap_sql())
 def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-user INTERSECTION between two event types from two
-    bounded k=128 KMV sketches (operators/sketches.py::
-    kmv_intersect_estimate) — the question HLL structurally cannot
+    """Distinct-user INTERSECTION between two event types from one
+    bounded k=128 KMV sketch (operators/sketches.py::
+    kmv_cross_group_overlap) — the question HLL structurally cannot
     answer: its registers carry no membership, so overlap/Jaccard
     between sources, days, or A/B cohorts needs the theta-sketch rule
     (theta = min theta, count matching samples below it; Beyer et al.
-    2007). At 100 TB each side reduces to 128 rows before any join;
-    the exact INTERSECT rides alongside to certify the estimate."""
-    from .operators.sketches import kmv_intersect_estimate, kmv_sketch
+    2007). At 100 TB each side reduces to 128 rows before any set op —
+    and the plan is JOIN-FREE (tagged union + conditional aggregate;
+    a constant-key join here would constant-fold into the cartesian
+    shape the suite-wide plan audit rejects). The exact INTERSECT
+    rides alongside, attached the same tagged-union way, to certify
+    the estimate."""
+    from .operators.sketches import kmv_cross_group_overlap, kmv_sketch
 
     k = _kmv_k()
     a, b = _KMV_PAIR
     ev = _t(spark, sf_dir, "events")
     key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
-    pair = F.lit(f"{a}|{b}")
-
-    def side(et: str) -> DataFrame:
-        return kmv_sketch(
-            ev.filter(F.col("event_type") == et).select(
-                key.alias("k"), pair.alias("pair")
-            ),
-            "k",
-            ["pair"],
-            k=k,
-        )
-
-    est = kmv_intersect_estimate(side(a), side(b), ["pair"], k=k)
+    sk = kmv_sketch(
+        ev.filter(F.col("event_type").isin(a, b)).select(
+            key.alias("k"), "event_type"
+        ),
+        "k",
+        ["event_type"],
+        k=k,
+    )
+    est = kmv_cross_group_overlap(sk, "event_type", a, b, k=k).select(
+        "pair",
+        "inter_est",
+        "jaccard_est",
+        F.lit(None).cast("long").alias("exact_inter"),
+    )
     ua = ev.filter(F.col("event_type") == a).select("user_id")
     ub = ev.filter(F.col("event_type") == b).select("user_id")
-    exact = (
-        ua.intersect(ub)
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
-        .select(pair.alias("pair"), "exact_inter")
+    exact = ua.intersect(ub).agg(
+        F.lit(f"{a}|{b}").alias("pair"),
+        F.lit(None).cast("double").alias("inter_est"),
+        F.lit(None).cast("double").alias("jaccard_est"),
+        F.count(F.lit(1)).cast("long").alias("exact_inter"),
     )
-    return est.join(F.broadcast(exact), "pair").select(
-        "pair", "inter_est", "jaccard_est", "exact_inter"
+    return (
+        est.unionByName(exact)
+        .groupBy("pair")
+        .agg(
+            F.max("inter_est").alias("inter_est"),
+            F.max("jaccard_est").alias("jaccard_est"),
+            F.max("exact_inter").alias("exact_inter"),
+        )
     )
 
 

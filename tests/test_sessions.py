@@ -157,16 +157,19 @@ def test_session_fn_vectorized_throughput():
         {"slot": slots, "song_id": np.arange(n), "rating": rng.integers(0, 5, n)}
     )
 
-    t0 = time.perf_counter()
+    # process_time, not wall clock: the full suite runs tests under
+    # heavy CPU contention and a wall-clock ratio of two single-threaded
+    # in-process kernels is noise there; CPU seconds are not.
+    t0 = time.process_time()
     out_vec = _norm(list(_session_fn((7,), [pdf], FakeState())))
-    t_vec = time.perf_counter() - t0
+    t_vec = time.process_time() - t0
 
     # Time the row loop on a 10k slice and extrapolate (running the full
     # 100k through iterrows costs ~10 s of test budget for no info).
     slice_n = 10_000
-    t0 = time.perf_counter()
+    t0 = time.process_time()
     out_ref_slice = _norm(list(_rowloop_session_fn((7,), [pdf.iloc[:slice_n]], FakeState())))
-    t_ref = (time.perf_counter() - t0) * (n / slice_n)
+    t_ref = (time.process_time() - t0) * (n / slice_n)
 
     # Parity on the timed slice.
     out_vec_slice = _norm(list(_session_fn((7,), [pdf.iloc[:slice_n]], FakeState())))
