@@ -88,19 +88,39 @@ def dsir_bucket_logratios(
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cs"))
     )
-    # Bucket-table totals: two scalars off dimension-sized aggregates.
-    nt = ct.agg(F.sum("ct")).collect()[0][0] or 0
-    ns = cs.agg(F.sum("cs")).collect()[0][0] or 0
+    return _logratios_from_counts(ct, cs, buckets)
+
+
+def _logratios_from_counts(ct: DataFrame, cs: DataFrame, buckets: int) -> DataFrame:
+    """Shared estimator tail: bucket count tables → (b, lam).
+
+    Totals Nt/Ns come from an unpartitioned window over the joined
+    ≤``buckets``-row table (one trivial single-partition pass), NOT
+    driver collects — the whole ratio fit stays one lazy, composable
+    plan with zero driver round-trips (r7; the collect form cost two
+    sequential jobs per fit)."""
+    from pyspark.sql import Window
+
     joined = ct.join(cs, "b", "full").select(
         "b",
         F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
         F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
     )
+    w = Window.partitionBy()
+    tot = joined.select(
+        "*",
+        F.sum("ct").over(w).alias("nt"),
+        F.sum("cs").over(w).alias("ns"),
+    )
     # Cast BEFORE multiplying: long*long wraps silently past 2^63 in
     # non-ANSI Spark, double*double merely rounds (and is exact <2^53).
-    num = (F.col("ct") + F.lit(1)).cast("double") * F.lit(float(int(ns) + buckets))
-    den = (F.col("cs") + F.lit(1)).cast("double") * F.lit(float(int(nt) + buckets))
-    return joined.select("b", F.log(num / den).alias("lam"))
+    num = (F.col("ct") + F.lit(1)).cast("double") * (
+        F.col("ns") + F.lit(buckets)
+    ).cast("double")
+    den = (F.col("cs") + F.lit(1)).cast("double") * (
+        F.col("nt") + F.lit(buckets)
+    ).cast("double")
+    return tot.select("b", F.log(num / den).alias("lam"))
 
 
 def dsir_weights(
@@ -115,17 +135,35 @@ def dsir_weights(
     ``logw_sum`` is the paper's document-level log importance weight
     (sum over tokens of the bucket log-ratio — favors long on-target
     docs); ``logw_avg`` is the length-normalized per-token variant.
-    One scoring scan: explode, broadcast-join the ≤``buckets``-row
-    ratio table, per-doc aggregate. Unmatched buckets cannot occur
-    (the raw corpus's own tokens always have cs ≥ 1)."""
-    lam = dsir_bucket_logratios(target, raw, buckets, text_col, id_col)
-    scored = _bucketed_tokens(raw, text_col, id_col, buckets).join(
-        F.broadcast(lam), "b"
+
+    The raw corpus EXPLODES ONCE (r7): tokens reduce to the
+    (doc_id, bucket, c) count table first; the raw-side model counts
+    ``cs`` derive from that table (bucket-sized second agg, no second
+    explode) and the scoring pass is a broadcast join of the same
+    table with the ≤``buckets``-row ratio table —
+    ``sum(c · lam)`` replaces per-token ``sum(lam)`` (equal by
+    distributivity; the DuckDB oracle computes the identical grouped
+    form). Both consumers aggregate one frame, so the (doc_id, b)
+    exchange is planned once and reused. Unmatched buckets cannot
+    occur (the raw corpus's own tokens always have cs ≥ 1)."""
+    raw_cnt = (
+        _bucketed_tokens(raw, text_col, id_col, buckets)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    cs = raw_cnt.groupBy("b").agg(F.sum("c").alias("cs"))
+    ct = (
+        _bucketed_tokens(target, text_col, id_col, buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    lam = _logratios_from_counts(ct, cs, buckets)
+    scored = raw_cnt.join(F.broadcast(lam), "b")
+    clam = F.col("c").cast("double") * F.col("lam")
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.sum("lam"), 4).alias("logw_sum"),
-        F.round(F.avg("lam"), 6).alias("logw_avg"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(F.sum(clam), 4).alias("logw_sum"),
+        F.round(F.sum(clam) / F.sum("c").cast("double"), 6).alias("logw_avg"),
     )
 
 

@@ -5810,8 +5810,9 @@ def _dsir_sql() -> str:
       FROM (SELECT doc_id, unnest({_sql_tokens()}) AS term
             FROM documents WHERE source NOT IN ({srcs}))
     ),
+    raw_cnt AS (SELECT doc_id, b, count(*) AS c FROM raw_tok GROUP BY 1, 2),
     ct AS (SELECT b, count(*) AS ct FROM tgt_tok GROUP BY b),
-    cs AS (SELECT b, count(*) AS cs FROM raw_tok GROUP BY b),
+    cs AS (SELECT b, sum(c) AS cs FROM raw_cnt GROUP BY b),
     nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM ct),
     ns AS (SELECT coalesce(sum(cs), 0) AS ns FROM cs),
     lam AS (
@@ -5821,10 +5822,11 @@ def _dsir_sql() -> str:
       FROM ct FULL JOIN cs USING (b), nt, ns
     )
     SELECT r.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(lam.lam), 4) AS logw_sum,
-           round(avg(lam.lam), 6) AS logw_avg
-    FROM raw_tok r JOIN lam USING (b)
+           CAST(sum(r.c) AS BIGINT) AS n_tokens,
+           round(sum(CAST(r.c AS DOUBLE) * lam.lam), 4) AS logw_sum,
+           round(sum(CAST(r.c AS DOUBLE) * lam.lam)
+                 / CAST(sum(r.c) AS DOUBLE), 6) AS logw_avg
+    FROM raw_cnt r JOIN lam USING (b)
     GROUP BY r.doc_id
     ORDER BY logw_sum DESC, r.doc_id ASC
     LIMIT 200
