@@ -84,3 +84,44 @@ def salted_join(
     )
     out = salted_big.join(exploded_small, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    shards: list[str],
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: every row
+    gets the shard whose ``md5_long(id || '|' || shard)`` is largest
+    (Thaler & Ravishankar 1996 — the placement rule behind consistent
+    routing in distributed caches and storage).
+
+    Why not ``hash(id) mod N``: resizing N→N+1 relocates ~100% of keys
+    under mod but only ~1/(N+1) under rendezvous (a key moves only if
+    the NEW shard's hash beats all its old ones) — the property that
+    makes shard-local state (manifests, ANN cells, per-shard dedup
+    indexes) survive a topology change. Pinned by test.
+
+    Plan shape: map-only column algebra — an array of (hash, shard)
+    structs reduced with ``array_max`` (struct ordering compares hash
+    first; shard name breaks exact-collision ties deterministically).
+    No shuffle, no UDF; N md5 evaluations per row, all codegen'd.
+    Engine-portable: the DuckDB oracle reproduces the same argmax
+    relationally.
+    """
+    from ..functions.hashing import md5_long
+
+    if len(shards) != len(set(shards)):
+        raise ValueError("duplicate shard names")
+    c = F.col(id_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                md5_long(F.concat(c, F.lit("|" + s))).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(pairs)["s"])

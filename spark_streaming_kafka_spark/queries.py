@@ -6323,6 +6323,52 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Rendezvous routing demo topology.
+_RDV_SHARDS = [f"shard{i}" for i in range(8)]
+
+
+def _rendezvous_sql() -> str:
+    vals = ", ".join(f"('{s}')" for s in _RDV_SHARDS)
+    h = duckdb_md5_long("CAST(doc_id AS VARCHAR) || '|' || sh.s")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, sh.s AS s, {h} AS h
+      FROM documents, (VALUES {vals}) sh(s)
+    ),
+    assigned AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, s DESC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT s AS shard, CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY s
+    """
+
+
+@register("rendezvous_shard_sizes", _rendezvous_sql())
+def q_rendezvous_shard_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable doc→shard placement via rendezvous (highest-random-weight)
+    hashing (operators/skew.py::rendezvous_assign): each doc goes to
+    the shard whose md5(id|shard) is largest. Unlike ``hash mod N``,
+    growing the topology N→N+1 relocates only ~1/(N+1) of keys (pinned
+    by test), so shard-local pipeline state — dedup manifests, ANN
+    cells, per-shard indexes — survives resizing. The assignment is
+    map-only codegen'd column algebra (an array_max over (hash, shard)
+    structs, no shuffle, no UDF); this query reports the 8-shard load
+    balance, whose near-uniformity is the other half of the routing
+    contract."""
+    from .operators.skew import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        rendezvous_assign(docs, "doc_id", _RDV_SHARDS)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
 
 @register(
     "embedding_random_projection",
