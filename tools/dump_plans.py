@@ -252,6 +252,22 @@ SHOWCASE = {
     "image_ahash_dedup: WAV encode→decode→fingerprint in one fused "
     "mapInPandas pass, then a fingerprint-keyed aggregate over narrow "
     "rows.",
+    "kmv_distinct_users": "KMV sketch: one map-side-combined distinct "
+    "exchange of (group, hash) rows, co-partitioned rank window, k-row "
+    "groups into the estimator projection; the exact-count certifier "
+    "joins as a BroadcastHashJoin of a 5-row aggregate.",
+    "kmv_audience_overlap": "JOIN-FREE set algebra: two filtered views "
+    "of ONE sketch tagged through a union, per-hash membership flags "
+    "from a hash aggregate, one global conditional aggregate — no "
+    "constant-key join anywhere (that shape constant-folds to a "
+    "cartesian and the plan audit rejects it).",
+    "histogram_quantile_error": "Sketch side stays bin-bounded "
+    "(≤128-cell windows); the exact side is the one full-sort "
+    "cume_dist window this query deliberately pays to certify the "
+    "sketch's one-bin-width error theorem.",
+    "rendezvous_shard_sizes": "Map-only placement: 8 md5 struct "
+    "entries folded with array_max inside the scan's project — the "
+    "ONLY exchange is the final 8-row size aggregate.",
 }
 
 
