@@ -1,0 +1,46 @@
+"""The driver greps bench.py's JSON line for the graded record; a
+query rename that orphans a suite entry would crash the bench at
+round-grading time, not test time. Pin suite membership here."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_suites_are_registered_queries():
+    from spark_streaming_kafka_spark.queries import QUERIES
+
+    bench = _bench()
+    for suite_name, suite in bench.SUITES.items():
+        missing = [q for q in suite if q not in QUERIES]
+        assert not missing, f"{suite_name} references unregistered: {missing}"
+        assert len(suite) == len(set(suite)), f"{suite_name} has duplicates"
+
+
+def test_headline_suite_frozen_since_r3():
+    """The README's like-for-like bench-history claim depends on the
+    headline set not changing; this is the tripwire for accidental
+    edits (an intentional change updates this list AND the README)."""
+    bench = _bench()
+    assert bench.HEADLINE == [
+        "pricing_summary", "counts_and_averages", "top_revenue_join",
+        "filter_project", "percentile_buckets", "window_topk_per_customer",
+        "json_extract_sum", "word_count", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+        "quality_scores", "doc_fingerprints", "asof_click_view",
+        "band_join_click_error", "tumbling_hourly_stats", "rollup_revenue",
+        "corpus_clean_pipeline", "dedup_clusters", "gap_fill_hourly",
+        "etl_ratings_pipeline",
+    ]
