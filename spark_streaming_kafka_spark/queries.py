@@ -6323,6 +6323,123 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_month_half_sql() -> str:
+    k = _kmv_k()
+    h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
+    space_int = 1 << 60
+    space = repr(float(space_int))
+    return f"""
+    WITH base AS (
+      SELECT event_type, user_id,
+             CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END AS half
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, half, h,
+             row_number() OVER (PARTITION BY event_type, half
+                                ORDER BY h) AS pos
+      FROM (SELECT DISTINCT event_type, half, {h} AS h FROM base)
+    ),
+    kept AS (SELECT event_type, half, h FROM sk WHERE pos <= {k}),
+    stat AS (
+      SELECT event_type, half, count(*) AS n, max(h) AS hk
+      FROM kept GROUP BY 1, 2
+    ),
+    pairstat AS (
+      SELECT a.event_type,
+             least(CASE WHEN a.n < {k} THEN {space_int} ELSE a.hk END,
+                   CASE WHEN b.n < {k} THEN {space_int} ELSE b.hk END)
+               AS theta_int,
+             (a.n < {k} AND b.n < {k}) AS both_exact
+      FROM (SELECT * FROM stat WHERE half = 'a') a
+      JOIN (SELECT * FROM stat WHERE half = 'b') b USING (event_type)
+    ),
+    ka AS (SELECT k.event_type, k.h FROM kept k JOIN pairstat USING (event_type)
+           WHERE k.half = 'a' AND (k.h < theta_int OR both_exact)),
+    kb AS (SELECT k.event_type, k.h FROM kept k JOIN pairstat USING (event_type)
+           WHERE k.half = 'b' AND (k.h < theta_int OR both_exact)),
+    x AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS x
+      FROM ka JOIN kb USING (event_type, h) GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS u FROM (
+        SELECT event_type, h FROM ka UNION SELECT event_type, h FROM kb
+      ) GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_inter FROM (
+        SELECT event_type, user_id
+        FROM base GROUP BY 1, 2
+        HAVING max(half = 'a') AND max(half = 'b')
+      ) GROUP BY event_type
+    )
+    SELECT p.event_type,
+           round(CASE WHEN p.both_exact THEN CAST(coalesce(x.x, 0) AS DOUBLE)
+                      ELSE CAST(coalesce(x.x, 0) AS DOUBLE) * {space}
+                           / CAST(p.theta_int AS DOUBLE) END, 2) AS inter_est,
+           round(CASE WHEN coalesce(u.u, 0) > 0
+                      THEN CAST(coalesce(x.x, 0) AS DOUBLE)
+                           / CAST(u.u AS DOUBLE)
+                      ELSE 0.0 END, 6) AS jaccard_est,
+           CAST(coalesce(exact.exact_inter, 0) AS BIGINT) AS exact_inter
+    FROM pairstat p
+    LEFT JOIN x USING (event_type)
+    LEFT JOIN u USING (event_type)
+    LEFT JOIN exact USING (event_type)
+    """
+
+
+@register("kmv_month_half_overlap", _kmv_month_half_sql())
+def q_kmv_month_half_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user overlap between first- and
+    second-half-of-month activity — the GROUP-KEYED form of the theta
+    intersection (operators/sketches.py::kmv_intersect_estimate): two
+    k=128 sketches sharing the event_type key, joined with real hash
+    joins (the constant-key demo lives in kmv_audience_overlap, which
+    must stay join-free). This is the retention question at 100 TB:
+    each side reduces to k rows per group before any set op; the exact
+    both-halves count rides alongside via one conditional aggregate
+    (no second scan pattern: per-(type,user) half flags, then a
+    group-sized count)."""
+    from .operators.sketches import kmv_intersect_estimate, kmv_sketch
+
+    k = _kmv_k()
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.dayofmonth("ts") <= 15).alias("first_half"),
+    )
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+
+    def side(cond) -> DataFrame:
+        return kmv_sketch(
+            ev.filter(cond).select(key.alias("k"), "event_type"),
+            "k",
+            ["event_type"],
+            k=k,
+        )
+
+    est = kmv_intersect_estimate(
+        side(F.col("first_half")), side(~F.col("first_half")), ["event_type"], k=k
+    )
+    flags = ev.groupBy("event_type", "user_id").agg(
+        F.max(F.col("first_half")).alias("a"),
+        F.max(~F.col("first_half")).alias("b"),
+    )
+    exact = (
+        flags.filter(F.col("a") & F.col("b"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return est.join(exact, "event_type", "left").select(
+        "event_type",
+        "inter_est",
+        "jaccard_est",
+        F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
+    )
+
+
 #: Rendezvous routing demo topology.
 _RDV_SHARDS = [f"shard{i}" for i in range(8)]
 
