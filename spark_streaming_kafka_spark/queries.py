@@ -6323,6 +6323,102 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_rollup_sql() -> str:
+    from .operators.sketches import _alpha
+
+    p = 8
+    m = 1 << p
+    maxbits = 60 - p + 1
+    alpha = _alpha(m)
+    h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
+    e_raw = (
+        f"({alpha * m * m * float(1 << maxbits)!r} / CAST(z_int + zeros *"
+        f" (CAST(1 AS BIGINT) << {maxbits}) AS DOUBLE))"
+    )
+    lin = f"({float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE)))"
+    est = (
+        f"round(CASE WHEN {e_raw} <= {2.5 * m!r} AND zeros > 0"
+        f" THEN {lin} ELSE {e_raw} END, 2)"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             {h} % {m} AS bucket, {h} >> {p} AS rest
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    hour_regs AS (
+      SELECT event_type, hr, bucket,
+             max(CASE WHEN rest = 0 THEN {maxbits}
+                      ELSE {maxbits} - length(bin(rest)) END) AS max_rho
+      FROM hashed GROUP BY 1, 2, 3
+    ),
+    merged_regs AS (
+      SELECT event_type, bucket, max(max_rho) AS max_rho
+      FROM hour_regs GROUP BY 1, 2
+    ),
+    merged_agg AS (
+      SELECT event_type,
+             sum(CAST(1 AS BIGINT) << ({maxbits} - max_rho)) AS z_int,
+             {m} - count(*) AS zeros
+      FROM merged_regs GROUP BY event_type
+    ),
+    merged AS (SELECT event_type, {est} AS merged_distinct FROM merged_agg),
+    nh AS (
+      SELECT event_type, CAST(count(DISTINCT hr) AS BIGINT) AS n_hours
+      FROM hashed GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT merged.event_type, nh.n_hours, merged.merged_distinct,
+           exact.exact_distinct
+    FROM merged JOIN nh USING (event_type) JOIN exact USING (event_type)
+    """
+
+
+@register("hll_hourly_rollup", _hll_rollup_sql())
+def q_hll_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-rollup MERGEABILITY of the HLL sketch, oracle-checked: per
+    (event_type, hour) register tables MAX-merge into per-event-type
+    day estimates — the shape a 100 TB pipeline actually runs (build
+    hour sketches once near the data, answer day/week/month distinct
+    questions later WITHOUT rescanning). The merged estimate is
+    definitionally equal to a direct whole-day sketch (max over hours
+    of per-hour maxima = global maxima), so the oracle re-deriving the
+    same merge certifies the property value-for-value, not just in a
+    pytest. Shuffles: hour registers are ≤ |types|·hours·256 rows
+    after map-side combine; the merge is register-table-sized."""
+    from .operators.sketches import hll_estimate, hll_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    )
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    hour_regs = hll_sketch(
+        ev.select(key.alias("k"), "event_type", "hr"), "k", ["event_type", "hr"]
+    )
+    merged_regs = hour_regs.groupBy("event_type", "bucket").agg(
+        F.max("max_rho").cast("int").alias("max_rho")
+    )
+    merged = hll_estimate(merged_regs, ["event_type"]).select(
+        "event_type", F.col("hll_distinct").alias("merged_distinct")
+    )
+    nh = ev.filter(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.count_distinct("hr").cast("long").alias("n_hours")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        merged.join(nh, "event_type")
+        .join(exact, "event_type")
+        .select("event_type", "n_hours", "merged_distinct", "exact_distinct")
+    )
+
+
 def _kmv_month_half_sql() -> str:
     k = _kmv_k()
     h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
