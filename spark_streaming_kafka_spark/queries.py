@@ -6937,14 +6937,16 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group_quantiles, and rmse_vs_constant (driver-green since rounds
 # 1–2; simple shapes with no scale risk). The round-6 IN set also
 # includes winnowing_fingerprints and the composed web_corpus_gate.
-# Round-7 rotation: IN — the three new r7 registrations
-# (kmv_distinct_users, kmv_audience_overlap, histogram_quantile_error)
+# Round-7 rotation: IN — the six new r7 registrations
+# (kmv_distinct_users, kmv_audience_overlap, histogram_quantile_error,
+# rendezvous_shard_sizes, hll_hourly_rollup, kmv_month_half_overlap)
 # plus four independently-green-but-never-driver-sampled headliners
 # (hll_distinct_users, heavy_hitters_cms, dsir_select_docs,
-# cdc_dedup_rewrite). OUT — seven driver-green simple shapes
+# cdc_dedup_rewrite). OUT — ten driver-green shapes
 # (running_revenue_per_customer, order_gap_days,
 # unigram_logprob_scores, langid_confusion, sentiment_scores,
-# hash_sample_split, tfidf_top_terms).
+# hash_sample_split, tfidf_top_terms, boilerplate_doc_ratio,
+# source_cap_sample, fim_splits).
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "counts_and_averages", "top_revenue_join",
     "topk_orders", "filter_project", "customers_without_orders",
@@ -6964,7 +6966,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "benchmark_contamination", "corpus_curation_e2e",
     "ann_topk_pq_refined",
     "quality_classifier_scores", "boilerplate_ngrams",
-    "boilerplate_doc_ratio", "source_cap_sample", "fim_splits",
+    "rendezvous_shard_sizes", "hll_hourly_rollup", "kmv_month_half_overlap",
     "contrastive_pairs", "winnowing_fingerprints", "web_corpus_gate",
 ]
 
