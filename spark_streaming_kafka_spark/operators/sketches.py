@@ -385,12 +385,39 @@ __all__ += ["histogram_sketch", "histogram_quantile"]
 # KMV / theta sketch — the SET-OPERATION member of the sketch family
 # ---------------------------------------------------------------------
 
+def _bottom_k(distinct_hashes: DataFrame, group_cols: list[str], k: int, fanout: int) -> DataFrame:
+    """Scale-safe per-group bottom-k over a table of DISTINCT
+    (group..., h) rows: (group_cols..., pos, h) with pos = 1..k.
+
+    Two-stage rank (the map-side-partial shape, r8 verdict item): stage
+    1 ranks within (group, salt) where ``salt = h mod fanout`` — a
+    deterministic ``fanout``-way split, so each task bottom-k's ~1/fanout
+    of a group's distinct universe; stage 2 ranks the ≤ fanout·k
+    surviving candidates per group. Bit-identical to a single global
+    rank window (any hash in the global bottom-k is necessarily in its
+    salt class's bottom-k), but no task ever sorts one group's FULL
+    distinct set — the per-group funnel the r7 form had at extreme
+    cardinality is now bounded at fanout·k rows."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    cand = (
+        distinct_hashes.withColumn("salt", F.pmod(F.col("h"), F.lit(fanout)))
+        .withColumn("pos", F.row_number().over(w1))
+        .filter(F.col("pos") <= k)
+        .drop("salt", "pos")
+    )
+    return cand.withColumn("pos", F.row_number().over(w2)).filter(F.col("pos") <= k)
+
+
 def kmv_sketch(
     df: DataFrame,
     key: Column | str,
     group_cols: list[str],
     k: int = 256,
     prefilter_bits: int = 0,
+    fanout: int = 32,
 ) -> DataFrame:
     """Per-group K-Minimum-Values (bottom-k theta) sketch:
     (group_cols..., pos, h) — the ``k`` smallest distinct 60-bit hashes
@@ -406,71 +433,83 @@ def kmv_sketch(
 
     Plan shape: hash → distinct (one shuffle, MAP-SIDE COMBINED, so
     the exchange carries each partition's distinct hashes once) →
-    co-partitioned rank window → rank ≤ k. For extreme-cardinality
-    keys, ``prefilter_bits=b`` adds a codegen'd scan filter
-    ``h < 2^(60-b)`` that discards ~(1 - 2^-b) of rows BEFORE the
-    shuffle; the bottom-k hashes are by definition the smallest, so
-    the result is bit-identical whenever the group has ≥ k distinct
-    hashes under the threshold — verifiable from the output itself
-    (max(h) < threshold ⟹ unaffected; fewer than k rows ⟹ lower b).
+    salted two-stage bottom-k (:func:`_bottom_k` — scale-safe BY
+    DEFAULT since r8: no task ever sorts one group's full distinct
+    set; the final per-group rank sees ≤ fanout·k candidate rows).
+    ``prefilter_bits=b`` remains available as a scan-side accelerator:
+    a codegen'd filter ``h < 2^(60-b)`` discards ~(1 - 2^-b) of rows
+    BEFORE any shuffle; the result is bit-identical whenever the group
+    has ≥ k distinct hashes under the threshold — verifiable from the
+    output itself (max(h) < threshold ⟹ unaffected; fewer than k rows
+    ⟹ pass the SAME b to :func:`kmv_estimate`, which corrects the
+    n < k branch by 2^b).
 
     NULL keys are dropped (same discipline as the other sketches).
     """
-    from pyspark.sql import Window
-
     c = F.col(key) if isinstance(key, str) else key
     h = md5_long(c)
     hashed = df.filter(c.isNotNull()).select(*group_cols, h.alias("h"))
     if prefilter_bits:
         hashed = hashed.filter(F.col("h") < F.lit(1 << (60 - prefilter_bits)))
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    return (
-        hashed.distinct()
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-    )
+    return _bottom_k(hashed.distinct(), group_cols, k, fanout)
 
 
 #: 2^60 — the hash-space size md5_long draws from; theta = h_k / 2^60.
 _KMV_SPACE = float(1 << 60)
 
 
-def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+    prefilter_bits: int = 0,
+) -> DataFrame:
     """Distinct-count estimate per group from a KMV sketch:
     (group_cols..., kmv_distinct). If a group holds fewer than ``k``
     hashes the sketch IS its exact distinct set (estimate = n);
     otherwise the classic unbiased (k-1)/theta with theta = h_k/2^60.
     Pure column algebra on k-row groups — every engine evaluates the
     identical literal expression tree, so the DuckDB twin matches
-    bit-for-bit after the shared round."""
+    bit-for-bit after the shared round.
+
+    ``prefilter_bits`` MUST match the value the sketch was built with
+    (r8 ADVICE): under a prefilter the retained hashes are a uniform
+    2^-b sample of the distinct set, so a group with n < k surviving
+    hashes is NOT exact — its unbiased estimate is n / 2^-b = n·2^b
+    (the theta estimator with theta capped at the prefilter threshold).
+    Passing 0 for a prefiltered sketch silently understates such
+    groups by ~2^b; passing the true b restores correctness. The
+    default-0 path is bit-identical to the historical behavior."""
     agg = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
     )
-    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+    if prefilter_bits:
+        exact_branch = F.col("n").cast("double") * F.lit(float(1 << prefilter_bits))
+    else:
+        exact_branch = F.col("n").cast("double")
+    est = F.when(F.col("n") < k, exact_branch).otherwise(
         F.lit(float(k - 1) * _KMV_SPACE) / F.col("hk").cast("double")
     )
     return agg.select(*group_cols, F.round(est, 2).alias("kmv_distinct"))
 
 
-def kmv_merge(sketches: list[DataFrame], group_cols: list[str], k: int = 256) -> DataFrame:
+def kmv_merge(
+    sketches: list[DataFrame], group_cols: list[str], k: int = 256, fanout: int = 32
+) -> DataFrame:
     """Union several KMV sketch tables into one sketch per group: keep
     the k smallest distinct hashes of the union. This is the mergeable
     property (set union is exact on samples: bottom-k of a union is a
     subset of the unions of bottom-ks), so per-day / per-source
-    sketches roll up without touching raw data."""
+    sketches roll up without touching raw data. Same scale-safe
+    two-stage rank as :func:`kmv_sketch` (the union of many per-day
+    sketches for one group can be large even though each input is
+    k-bounded)."""
     from functools import reduce
-
-    from pyspark.sql import Window
 
     allrows = reduce(
         lambda a, b: a.unionByName(b), [s.select(*group_cols, "h") for s in sketches]
     )
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    return (
-        allrows.distinct()
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-    )
+    return _bottom_k(allrows.distinct(), group_cols, k, fanout)
 
 
 def kmv_intersect_estimate(
@@ -567,44 +606,55 @@ def kmv_cross_group_overlap(
     joins would run on a constant key, which Catalyst constant-folds
     into a degenerate cross join (the suite-wide plan audit rejects
     exactly that shape). This variant instead computes the theta rule
-    with per-group aggregates and ONE tagged union: membership flags
-    per hash, a global conditional aggregate, zero joins. The two
-    k-row stat rows are collected to the driver (bounded by
-    construction — same discipline as the sketch monitors) so theta
-    lands as a literal in the final projection."""
-    sa = sketch.filter(F.col(group_col) == a)
-    sb = sketch.filter(F.col(group_col) == b)
-    stats = {
-        r[group_col]: (r["n"], r["hk"])
-        for r in sketch.filter(F.col(group_col).isin(a, b))
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
-        .collect()
-    }
-    na, hka = stats.get(a, (0, 0))
-    nb, hkb = stats.get(b, (0, 0))
-    space_int = 1 << 60
-    theta_int = min(
-        space_int if na < k else hka, space_int if nb < k else hkb
+    entirely IN-PLAN with ONE tagged projection: per-hash membership
+    flags, per-side (n, hk) stats via conditional aggregates over an
+    unpartitioned window (bounded by construction — the input is two
+    ≤ k-row sketches, so the single-partition window sees ≤ 2k rows),
+    then the gate, the per-hash dedup, and one global conditional
+    aggregate. Zero joins, zero driver collects: the plan is lazy and
+    re-evaluates correctly if the input sketch changes (the r7 form
+    froze theta as a driver literal at construction time and recomputed
+    the sketch up to 3×; r8 ADVICE item)."""
+    from pyspark.sql import Window
+
+    tagged = sketch.filter(F.col(group_col).isin(a, b)).select(
+        "h",
+        F.when(F.col(group_col) == a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(group_col) == b, 1).otherwise(0).alias("ib"),
     )
-    both_exact = na < k and nb < k
-    gate = F.lit(True) if both_exact else F.col("h") < F.lit(theta_int)
-    tagged = (
-        sa.filter(gate).select("h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
-        .unionByName(
-            sb.filter(gate).select("h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
-        )
-        .groupBy("h")
-        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    w = Window.partitionBy()  # ≤ 2k rows by construction
+    space = F.lit(1 << 60).cast("long")
+    na = F.sum("ia").over(w)
+    nb = F.sum("ib").over(w)
+    hka = F.max(F.when(F.col("ia") == 1, F.col("h"))).over(w)
+    hkb = F.max(F.when(F.col("ib") == 1, F.col("h"))).over(w)
+    with_theta = tagged.select(
+        "h",
+        "ia",
+        "ib",
+        F.least(
+            F.when(na < k, space).otherwise(hka),
+            F.when(nb < k, space).otherwise(hkb),
+        ).alias("theta_int"),
+        ((na < k) & (nb < k)).cast("int").alias("both_exact"),
     )
-    agg = tagged.agg(
+    kept = with_theta.filter(
+        (F.col("both_exact") == 1) | (F.col("h") < F.col("theta_int"))
+    )
+    perhash = kept.groupBy("h").agg(
+        F.max("ia").alias("ia"),
+        F.max("ib").alias("ib"),
+        F.max("theta_int").alias("theta_int"),
+        F.max("both_exact").alias("both_exact"),
+    )
+    agg = perhash.agg(
         F.sum(F.col("ia") * F.col("ib")).cast("long").alias("x"),
         F.count(F.lit(1)).cast("long").alias("u"),
+        F.max("theta_int").alias("theta_int"),
+        F.max("both_exact").alias("both_exact"),
     )
-    inter = (
-        F.col("x").cast("double")
-        if both_exact
-        else F.col("x").cast("double") * F.lit(_KMV_SPACE) / F.lit(float(theta_int))
+    inter = F.when(F.col("both_exact") == 1, F.col("x").cast("double")).otherwise(
+        F.col("x").cast("double") * F.lit(_KMV_SPACE) / F.col("theta_int").cast("double")
     )
     jac = F.when(
         F.col("u") > 0, F.col("x").cast("double") / F.col("u").cast("double")

@@ -6158,7 +6158,8 @@ def _kmv_users_sql() -> str:
     WITH sk AS (
       SELECT event_type, h,
              row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
-      FROM (SELECT DISTINCT event_type, {h} AS h FROM events)
+      FROM (SELECT DISTINCT event_type, {h} AS h FROM events
+            WHERE user_id IS NOT NULL)
     ),
     agg AS (
       SELECT event_type, count(*) AS n, max(h) AS hk
@@ -6228,7 +6229,7 @@ def _kmv_overlap_sql() -> str:
       SELECT event_type, h,
              row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
       FROM (SELECT DISTINCT event_type, {h} AS h FROM events
-            WHERE event_type IN ('{a}', '{b}'))
+            WHERE event_type IN ('{a}', '{b}') AND user_id IS NOT NULL)
     """
     return f"""
     WITH sk AS ({sk}),
@@ -6434,7 +6435,8 @@ def _kmv_month_half_sql() -> str:
       SELECT event_type, half, h,
              row_number() OVER (PARTITION BY event_type, half
                                 ORDER BY h) AS pos
-      FROM (SELECT DISTINCT event_type, half, {h} AS h FROM base)
+      FROM (SELECT DISTINCT event_type, half, {h} AS h FROM base
+            WHERE user_id IS NOT NULL)
     ),
     kept AS (SELECT event_type, half, h FROM sk WHERE pos <= {k}),
     stat AS (

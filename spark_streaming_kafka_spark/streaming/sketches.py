@@ -137,13 +137,17 @@ def kmv_stream_monitor(
     pinned by test.
     """
     import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # Group-column types come from the input schema (r8 ADVICE: the r7
+    # form hardcoded string, which broke non-string group keys).
+    in_types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
     out_schema = (
-        ", ".join(f"{g} string" for g in group_cols)
+        ", ".join(f"{g} {in_types[g]}" for g in group_cols)
         + ", kmv_distinct double, n_hashes int"
     )
 
@@ -157,7 +161,15 @@ def kmv_stream_monitor(
         if len(bottom) < k:
             est = float(len(bottom))
         else:
-            est = round((k - 1) * float(1 << 60) / bottom[-1], 2)
+            # HALF_UP on the shortest decimal repr — exactly what
+            # F.round does batch-side (BigDecimal.valueOf(double)
+            # + setScale(2, HALF_UP)); Python's built-in round() is
+            # banker's half-even, which diverges on .xx5 ties (r8
+            # ADVICE). Batch/stream parity is pinned by test.
+            raw = (k - 1) * float(1 << 60) / bottom[-1]
+            est = float(
+                Decimal(repr(raw)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            )
         yield pd.DataFrame(
             {
                 **{g: [keygrp[i]] for i, g in enumerate(group_cols)},

@@ -81,10 +81,18 @@ def test_dsir_logratio_computed_in_double_space(spark):
         # orders of magnitude (or NaN), which this still catches.
         assert math.isclose(lam[b], math.log(num / den), rel_tol=1e-12), f"bucket {b}"
 
-    # Plan check: every multiply in the lam projection is double-typed.
+    # Plan check: the smoothed counts are cast to double BEFORE the
+    # multiply — the analyzed plan must contain the explicit
+    # `cast((ct + 1) as double)` / `cast((cs + 1) as double)` nodes
+    # (_logratios_from_counts builds exactly these), so the product
+    # can never be a wrapping long*long. (The value parity above is
+    # the decisive semantic guard; this pins the plan shape so a
+    # refactor that drops the cast fails loudly, r8 ADVICE — the old
+    # form of this check ended in `or True` and was vacuous.)
+    import re
+
     plan = dsir_bucket_logratios(t, r, buckets)._jdf.queryExecution().analyzed().toString()
-    for line in plan.splitlines():
-        if "LOG" in line.upper() and "*" in line:
-            assert "bigint" not in line.split("LOG")[-1].replace("cast(", " ").split("*")[0] or True
-    # The decisive assertion is the value parity above; the plan scan is
-    # advisory (Spark renders casts inline and formats vary by version).
+    norm = plan.lower()
+    cast_to_double = r"cast\(\({}#\d+l? \+ cast\(1 as bigint\)\) as double\)"
+    assert re.search(cast_to_double.format("ct"), norm), plan
+    assert re.search(cast_to_double.format("cs"), norm), plan

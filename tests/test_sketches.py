@@ -526,3 +526,143 @@ def test_kmv_stream_monitor_matches_batch(spark, tmp_path):
     assert all(v[1] <= k for v in final.values())
     # group b is exact (30 distinct < k)
     assert final["b"][0] == 30.0
+
+
+def test_kmv_bottom_k_two_stage_identity_and_plan(spark):
+    """r8: kmv_sketch's bottom-k is scale-safe BY DEFAULT — a salted
+    two-stage rank whose final per-group window sees ≤ fanout·k rows.
+    Pinned two ways: (1) the sketch is bit-identical to the independent
+    Python bottom-k replica, (2) the optimized plan contains the salted
+    window stage BEFORE the per-group window (two Window nodes, the
+    first partitioned by (g, salt))."""
+    from spark_streaming_kafka_spark.operators.sketches import kmv_sketch
+
+    k = 64
+    keys = [f"key_{i}" for i in range(5000)]
+    df = spark.createDataFrame([("g", s) for s in keys], "g string, k string")
+    sk = kmv_sketch(df, "k", ["g"], k=k, fanout=8)
+    rows = sorted((r["pos"], r["h"]) for r in sk.collect())
+    expect = [(i + 1, h) for i, h in enumerate(_kmv_py(keys, k))]
+    assert rows == expect
+
+    plan = sk._jdf.queryExecution().optimizedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln or "Window partition" in ln.lower() or ln.strip().startswith("+- Window") or ln.strip().startswith("Window")]
+    salted = [ln for ln in plan.splitlines() if "salt" in ln and "windowspecdefinition" in ln.lower()]
+    assert salted, plan  # stage-1 rank runs over (g, salt)
+    # and the final (per-group, no salt) window exists too
+    unsalted = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln.lower() and "salt" not in ln
+    ]
+    assert unsalted, plan
+
+
+def test_kmv_estimate_prefilter_corrects_small_groups(spark):
+    """r8 ADVICE: under prefilter_bits=b, a group with fewer than k
+    surviving hashes is a uniform 2^-b sample, not an exact set —
+    kmv_estimate(prefilter_bits=b) scales the n<k branch by 2^b."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k, b = 64, 6
+    n_true = 3000
+    df = spark.createDataFrame(
+        [("g", f"key_{i}") for i in range(n_true)], "g string, k string"
+    )
+    sk = kmv_sketch(df, "k", ["g"], k=k, prefilter_bits=b)
+    n_kept = sk.count()
+    assert n_kept < k  # the scenario the guard exists for (~3000/64 ≈ 47)
+    naive = kmv_estimate(sk, ["g"], k=k).collect()[0]["kmv_distinct"]
+    corrected = kmv_estimate(sk, ["g"], k=k, prefilter_bits=b).collect()[0][
+        "kmv_distinct"
+    ]
+    assert naive == float(n_kept)  # the silent understatement, unchanged default
+    assert corrected == float(n_kept * (1 << b))
+    # and the corrected estimate is actually close to the truth
+    assert abs(corrected - n_true) / n_true < 0.35
+
+
+def test_kmv_cross_group_overlap_is_lazy_and_correct(spark):
+    """r8 ADVICE (medium): kmv_cross_group_overlap must be a single
+    lazy plan — constructing it runs ZERO Spark jobs (the r7 form
+    collected theta eagerly and froze it as a literal), and its values
+    match an independent Python theta replica."""
+    from spark_streaming_kafka_spark.operators.sketches import (
+        kmv_cross_group_overlap,
+        kmv_sketch,
+    )
+
+    k = 64
+    rows = [("a", f"u{i}") for i in range(500)] + [
+        ("b", f"u{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "g string, k string")
+    sk = kmv_sketch(df, "k", ["g"], k=k)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out_df = kmv_cross_group_overlap(sk, "g", "a", "b", k=k)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert before == after, "construction must not run jobs"
+
+    out = out_df.collect()[0]
+
+    # Python replica of the theta rule on the same hashes.
+    ha = _kmv_py([f"u{i}" for i in range(500)], k)
+    hb = _kmv_py([f"u{i}" for i in range(300, 900)], k)
+    space = 1 << 60
+    theta = min(space if len(ha) < k else ha[-1], space if len(hb) < k else hb[-1])
+    both_exact = len(ha) < k and len(hb) < k
+    ka = set(ha) if both_exact else {h for h in ha if h < theta}
+    kb = set(hb) if both_exact else {h for h in hb if h < theta}
+    x, u = len(ka & kb), len(ka | kb)
+    inter = float(x) if both_exact else x * float(space) / theta
+    assert out["pair"] == "a|b"
+    assert abs(out["inter_est"] - round(inter, 2)) < 0.02
+    assert out["jaccard_est"] == round(x / u, 6)
+
+
+def test_kmv_stream_monitor_non_string_group_keys(spark, tmp_path):
+    """r8 ADVICE: the monitor's output schema derives group-column
+    types from the input schema — an int group key must round-trip
+    as int (the r7 form hardcoded string and broke here)."""
+    from spark_streaming_kafka_spark.streaming.sketches import kmv_stream_monitor
+
+    k = 16
+    batch = spark.createDataFrame(
+        [(1, f"u{i}") for i in range(40)] + [(2, f"v{i}") for i in range(5)],
+        "g int, k string",
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    batch.coalesce(1).write.parquet(str(data_dir / "f1"))
+
+    got: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            got[r["g"]] = (r["kmv_distinct"], r["n_hashes"])
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir / "*"))
+    )
+    q = (
+        kmv_stream_monitor(stream, "k", ["g"], k=k)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert set(got) == {1, 2}  # native int keys, not "1"/"2"
+    assert got[2] == (5.0, 5)  # exact branch
+    assert got[1][1] <= k
