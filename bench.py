@@ -34,6 +34,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _wait_for_quiet(threshold: float = 2.0, max_wait_sec: float = 900.0, poll: float = 10.0) -> dict:
+    """Spin until the box is quiet before recording anything.
+
+    Three consecutive rounds of graded records were taken on a
+    contended box (r5-r7: loadavg 8-9 at sample time), each costing an
+    adjudication round to disprove a phantom regression — so the guard
+    is now IN the harness, not in the runbook. Blocks until
+    loadavg_1m < threshold (default 2.0) or max_wait (15 min), polling
+    every ``poll`` seconds; returns what happened so the record is
+    self-describing. If the box never quiets, the run proceeds but the
+    output carries ``"contended": true`` — a record that disqualifies
+    itself instead of silently reading 10% slow. Set
+    SPARK_GRAFT_NO_QUIET_GUARD=1 to skip while iterating locally.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_QUIET_GUARD"):
+        return {"quiet_wait_sec": 0.0, "contended": os.getloadavg()[0] >= threshold,
+                "guard": "skipped"}
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= threshold and time.time() - t0 < max_wait_sec:
+        time.sleep(poll)
+        load = os.getloadavg()[0]
+    return {
+        "quiet_wait_sec": round(time.time() - t0, 1),
+        "contended": load >= threshold,
+    }
+
+
 def _calibrate() -> dict:
     """Fixed-work single-core microbenchmarks, reported alongside the
     suite so cross-round records are box-normalizable. Round 6's +14%
@@ -131,10 +159,13 @@ def main() -> None:
             suite_name = a
     suite = SUITES[suite_name]
 
-    # Calibrate BEFORE the JVM exists: the microbenchmarks must see the
-    # same idle box the suite's critical path competes on, not the
-    # session's own startup threads.
+    # Gate on a quiet box FIRST (see _wait_for_quiet), then calibrate
+    # BEFORE the JVM exists: the microbenchmarks must see the same idle
+    # box the suite's critical path competes on, not the session's own
+    # startup threads.
+    quiet = _wait_for_quiet()
     calib = _calibrate()
+    calib.update(quiet)
 
     spark = get_spark("bench", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")

@@ -502,23 +502,26 @@ def q_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's FULL ETL (music_ETL.ipynb, SURVEY.md Phase 2) as
-    one declarative flow over etl.py: noise filter → active-user
-    semi-join → per-user exact-quantile bucketing (W1) → top-200 catalog
-    restriction. Customers stand in for users, parts for songs,
-    lineitem quantities for listen counts. The reference ran a pandas
-    quantile call per user on the driver; here it's three hash aggs and
-    two semi-joins at any scale."""
-    from .etl import build_ratings
+    """The reference's FULL ETL (music_ETL.ipynb, SURVEY.md Phase 2):
+    noise filter → active-user semi-join → per-user exact-quantile
+    bucketing (W1) → top-200 catalog restriction. Customers stand in
+    for users, parts for songs, lineitem quantities for listen counts.
+    The reference ran a pandas quantile call per user on the driver;
+    here it's three hash aggs and two semi-joins at any scale.
+
+    Runs via etl.py::RATINGS_SQL — the single-parse Spark-SQL twin of
+    etl.py::build_ratings (identical Catalyst algebra; row-for-row
+    parity pinned by tests/test_etl.py). The DataFrame form pays ~700
+    py4j round trips (~0.2-0.3 s driver wall) per construction, which
+    at sf0.1 was a fifth of the query; the fact-fact triplets join is
+    hinted SHUFFLE_HASH in the SQL (see RATINGS_SQL's comment — the
+    broadcast AQE picked at toy SF is impossible at 100 TB and slower
+    even here)."""
+    from .etl import build_ratings_sql
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    trip = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("l_partkey").alias("song_id"),
-        F.col("l_quantity").cast("long").alias("listen_count"),
-    )
-    return build_ratings(trip)
+    return build_ratings_sql(spark, li, orders)
 
 
 @register(

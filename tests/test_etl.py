@@ -47,3 +47,29 @@ def test_build_ratings_end_to_end(triplets):
     # top-5 songs by listens among cleaned rows: S06..S10
     assert songs == {"S06", "S07", "S08", "S09", "S10"}
     assert all(1.0 <= r["rating"] <= 5.0 for r in out)
+
+
+def test_ratings_sql_twin_matches_build_ratings(spark):
+    """r8: the registry query runs etl.RATINGS_SQL (single-parse SQL
+    twin); its rows must equal build_ratings on the same fact tables —
+    the guarantee that lets the SQL form carry the DataFrame form's
+    oracle-green status."""
+    from spark_streaming_kafka_spark.etl import build_ratings, build_ratings_sql
+    from spark_streaming_kafka_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    trip = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("song_id"),
+        F.col("l_quantity").cast("long").alias("listen_count"),
+    )
+    a = sorted(map(tuple, build_ratings(trip).collect()))
+    b = sorted(map(tuple, build_ratings_sql(spark, li, orders).collect()))
+    assert a == b and len(a) > 0
+    assert build_ratings_sql(spark, li, orders).columns == [
+        "user_id", "song_id", "rating",
+    ]
