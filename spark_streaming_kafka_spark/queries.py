@@ -6952,16 +6952,29 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unigram_logprob_scores, langid_confusion, sentiment_scores,
 # hash_sample_split, tfidf_top_terms, boilerplate_doc_ratio,
 # source_cap_sample, fim_splits).
+# Round-8 rotation (the FINAL never-sampled cohort — after this round
+# every registered query has earned a driver-green row at least once):
+# IN — eval_sample_per_source, kfold_group_sizes,
+# histogram_quantiles_value, embedding_random_projection,
+# jaccard_threshold_sweep, retrieval_ndcg_bm25, image_ahash_dedup,
+# audio_fingerprint_dedup, video_fingerprint_dedup,
+# kanonymity_customers. OUT — the ten r7 rotations, all driver-green
+# in CORRECTNESS_r07 (kmv_distinct_users, kmv_audience_overlap,
+# histogram_quantile_error, rendezvous_shard_sizes, hll_hourly_rollup,
+# kmv_month_half_overlap, hll_distinct_users, heavy_hitters_cms,
+# dsir_select_docs, cdc_dedup_rewrite); the r8 KMV internals change is
+# re-proved value-for-value by the full-registry sweep artifact.
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "counts_and_averages", "top_revenue_join",
     "topk_orders", "filter_project", "customers_without_orders",
     "customers_with_urgent_orders", "word_count",
     "top_words", "json_extract_sum", "percentile_buckets",
     "etl_ratings_pipeline", "window_topk_per_customer",
-    "kmv_distinct_users", "kmv_audience_overlap",
-    "quality_scores", "histogram_quantile_error", "hll_distinct_users",
-    "heavy_hitters_cms", "doc_fingerprints", "dsir_select_docs",
-    "cdc_dedup_rewrite", "dedup_exact", "dedup_ngram_jaccard",
+    "eval_sample_per_source", "kfold_group_sizes",
+    "quality_scores", "histogram_quantiles_value",
+    "embedding_random_projection", "jaccard_threshold_sweep",
+    "doc_fingerprints", "retrieval_ndcg_bm25",
+    "image_ahash_dedup", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "semantic_dedup_clusters", "gap_fill_hourly", "embedding_near_dup",
     "embedding_near_dup_lsh", "semantic_dedup_clusters_lsh",
@@ -6971,7 +6984,8 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "benchmark_contamination", "corpus_curation_e2e",
     "ann_topk_pq_refined",
     "quality_classifier_scores", "boilerplate_ngrams",
-    "rendezvous_shard_sizes", "hll_hourly_rollup", "kmv_month_half_overlap",
+    "audio_fingerprint_dedup", "video_fingerprint_dedup",
+    "kanonymity_customers",
     "contrastive_pairs", "winnowing_fingerprints", "web_corpus_gate",
 ]
 
