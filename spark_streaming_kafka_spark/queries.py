@@ -6954,21 +6954,30 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source_cap_sample, fim_splits).
 # Round-8 rotation (the FINAL never-sampled cohort — after this round
 # every registered query has earned a driver-green row at least once):
-# IN — eval_sample_per_source, kfold_group_sizes,
+# IN — the seventeen remaining never-driver-sampled queries
+# (eval_sample_per_source, kfold_group_sizes,
 # histogram_quantiles_value, embedding_random_projection,
 # jaccard_threshold_sweep, retrieval_ndcg_bm25, image_ahash_dedup,
 # audio_fingerprint_dedup, video_fingerprint_dedup,
-# kanonymity_customers. OUT — the ten r7 rotations, all driver-green
-# in CORRECTNESS_r07 (kmv_distinct_users, kmv_audience_overlap,
-# histogram_quantile_error, rendezvous_shard_sizes, hll_hourly_rollup,
-# kmv_month_half_overlap, hll_distinct_users, heavy_hitters_cms,
-# dsir_select_docs, cdc_dedup_rewrite); the r8 KMV internals change is
-# re-proved value-for-value by the full-registry sweep artifact.
+# kanonymity_customers, split_no_leakage, takedown_propagation,
+# mixture_epochs_schedule, cdc_chunk_documents,
+# cross_source_dup_matrix, dup_weighted_docs,
+# winnowing_overlap_pairs). OUT — the ten r7 rotations, all
+# driver-green in CORRECTNESS_r07 (kmv_distinct_users,
+# kmv_audience_overlap, histogram_quantile_error,
+# rendezvous_shard_sizes, hll_hourly_rollup, kmv_month_half_overlap,
+# hll_distinct_users, heavy_hitters_cms, dsir_select_docs,
+# cdc_dedup_rewrite) — the r8 KMV internals change is re-proved
+# value-for-value by the full-registry sweep artifact — plus seven
+# simple relational shapes driver-green since rounds 1-2
+# (counts_and_averages, topk_orders, customers_without_orders,
+# customers_with_urgent_orders, word_count, top_words,
+# json_extract_sum).
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    "pricing_summary", "counts_and_averages", "top_revenue_join",
-    "topk_orders", "filter_project", "customers_without_orders",
-    "customers_with_urgent_orders", "word_count",
-    "top_words", "json_extract_sum", "percentile_buckets",
+    "pricing_summary", "split_no_leakage", "top_revenue_join",
+    "takedown_propagation", "filter_project", "mixture_epochs_schedule",
+    "cdc_chunk_documents", "cross_source_dup_matrix",
+    "dup_weighted_docs", "winnowing_overlap_pairs", "percentile_buckets",
     "etl_ratings_pipeline", "window_topk_per_customer",
     "eval_sample_per_source", "kfold_group_sizes",
     "quality_scores", "histogram_quantiles_value",
