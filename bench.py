@@ -188,6 +188,15 @@ def main() -> None:
             # when Python refs die) so they can't distort this measurement
             spark.catalog.clearCache()
             gc.collect()
+            # and pay the PREVIOUS query's JVM garbage here, not inside
+            # the next measurement: the Arrow/pandas-UDF heavyweights
+            # leave allocation debt that taxes whatever runs next by
+            # ~0.5 s (measured r8: etl after minhash/quality/word_count
+            # runs 1.4-1.6 s vs 0.87 s consecutive; an explicit gc
+            # between recovers ~0.4 s of that). Same rationale as
+            # clearCache above — per-job execution would never carry a
+            # neighbor's heap state.
+            spark._jvm.System.gc()
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)

@@ -253,14 +253,19 @@ SHOWCASE = {
     "mapInPandas pass, then a fingerprint-keyed aggregate over narrow "
     "rows.",
     "kmv_distinct_users": "KMV sketch: one map-side-combined distinct "
-    "exchange of (group, hash) rows, co-partitioned rank window, k-row "
-    "groups into the estimator projection; the exact-count certifier "
-    "joins as a BroadcastHashJoin of a 5-row aggregate.",
-    "kmv_audience_overlap": "JOIN-FREE set algebra: two filtered views "
-    "of ONE sketch tagged through a union, per-hash membership flags "
-    "from a hash aggregate, one global conditional aggregate — no "
-    "constant-key join anywhere (that shape constant-folds to a "
-    "cartesian and the plan audit rejects it).",
+    "exchange of (group, hash) rows, then the r8 salted TWO-STAGE "
+    "bottom-k (rank within (group, h mod fanout), then rank the "
+    "≤ fanout·k survivors per group — no task ever sorts one group's "
+    "full distinct set), k-row groups into the estimator projection; "
+    "the exact-count certifier joins as a BroadcastHashJoin of a "
+    "5-row aggregate.",
+    "kmv_audience_overlap": "JOIN-FREE, COLLECT-FREE set algebra (r8): "
+    "membership-tagged projection of ONE sketch, per-side (n, hk) "
+    "stats via conditional aggregates over a ≤2k-row unpartitioned "
+    "window, theta gate, per-hash dedup, one global conditional "
+    "aggregate — no constant-key join anywhere (that shape "
+    "constant-folds to a cartesian and the plan audit rejects it) and "
+    "no driver literal frozen at construction time.",
     "histogram_quantile_error": "Sketch side stays bin-bounded "
     "(≤128-cell windows); the exact side is the one full-sort "
     "cume_dist window this query deliberately pays to certify the "
