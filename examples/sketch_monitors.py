@@ -8,8 +8,11 @@ to show the error) → Count-Min heavy-hitter terms over the document
 token stream → histogram-sketch P50/P95/P99 of events.value per type
 (vs exact percentile_approx) → the same histogram cells driven through
 a real micro-batch STREAM, proving the streaming monitor converges to
-the batch sketch over identical data. Every sketch is mergeable
-(MAX / SUM cells), which is what makes per-day / per-source rollups
+the batch sketch over identical data → KMV (bottom-k theta) set
+algebra: the overlap/Jaccard question HLL registers structurally
+cannot answer, estimated from two k-row sketches and certified against
+the exact INTERSECT. Every sketch is mergeable (MAX / SUM cells /
+keep-k-smallest), which is what makes per-day / per-source rollups
 free at scale.
 """
 
@@ -127,6 +130,36 @@ def main() -> None:
         n_match = sum(1 for k, v in final.items() if abs(v - hq[k]) < 1e-9)
         print(f"  streaming estimates matching batch sketch: {n_match}/{len(final)}")
         assert n_match == len(final), "streaming monitor diverged from batch sketch"
+
+    # ---- sketch 4: KMV theta set algebra (what HLL cannot do) ---------
+    print("== KMV bottom-k overlap: click vs view audiences (k=128) ==")
+    from spark_streaming_kafka_spark.operators.sketches import (
+        kmv_cross_group_overlap,
+        kmv_sketch,
+    )
+
+    k = 128
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    sk = kmv_sketch(
+        events.filter(F.col("event_type").isin("click", "view")).select(
+            key.alias("k"), "event_type"
+        ),
+        "k",
+        ["event_type"],
+        k=k,
+    )
+    ov = kmv_cross_group_overlap(sk, "event_type", "click", "view", k=k).collect()[0]
+    ua = events.filter(F.col("event_type") == "click").select("user_id")
+    ub = events.filter(F.col("event_type") == "view").select("user_id")
+    exact_inter = ua.intersect(ub).count()
+    err = abs(ov["inter_est"] - exact_inter) / max(exact_inter, 1)
+    print(
+        f"  {ov['pair']}: inter_est={ov['inter_est']:<10} "
+        f"exact={exact_inter:<8} err={err:.3f} jaccard_est={ov['jaccard_est']}"
+    )
+    # The sketch is 2*k rows of state; the exact INTERSECT is the full
+    # shuffle a 100 TB pipeline runs once to certify, then retires.
+    assert err < 0.5, "theta estimate should land near the exact overlap"
 
     print("done.")
 
