@@ -149,8 +149,12 @@ def main() -> None:
         k=k,
     )
     ov = kmv_cross_group_overlap(sk, "event_type", "click", "view", k=k).collect()[0]
-    ua = events.filter(F.col("event_type") == "click").select("user_id")
-    ub = events.filter(F.col("event_type") == "view").select("user_id")
+    # NULL keys are outside the sketch's universe (kmv_sketch drops
+    # them), so the exact baseline must drop them too — Spark's
+    # INTERSECT is null-safe and would otherwise count a NULL member.
+    nn = events.filter(F.col("user_id").isNotNull())
+    ua = nn.filter(F.col("event_type") == "click").select("user_id")
+    ub = nn.filter(F.col("event_type") == "view").select("user_id")
     exact_inter = ua.intersect(ub).count()
     err = abs(ov["inter_est"] - exact_inter) / max(exact_inter, 1)
     print(

@@ -78,10 +78,28 @@ def build_ratings_sql(spark, lineitem: DataFrame, orders: DataFrame) -> DataFram
     :func:`build_ratings` with the default thresholds/probs — noise
     filter ≥ 2, active total ≥ 20, quintile buckets, top-200 catalog).
     ``lineitem`` needs (l_orderkey, l_partkey, l_quantity); ``orders``
-    needs (o_orderkey, o_custkey)."""
-    lineitem.createOrReplaceTempView("__etl_lineitem")
-    orders.createOrReplaceTempView("__etl_orders")
-    return spark.sql(RATINGS_SQL)
+    needs (o_orderkey, o_custkey).
+
+    View hygiene (r8 self-review): the views carry a per-call unique
+    suffix (no cross-caller clobber race on a shared session) and are
+    dropped immediately after ``spark.sql`` — analysis binds the view
+    CONTENTS into the returned plan, so the lazy DataFrame survives the
+    drop and nothing leaks into the session catalog."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
+    li_view, o_view = f"__etl_lineitem_{tag}", f"__etl_orders_{tag}"
+    lineitem.createOrReplaceTempView(li_view)
+    orders.createOrReplaceTempView(o_view)
+    try:
+        return spark.sql(
+            RATINGS_SQL.replace("__etl_lineitem", li_view).replace(
+                "__etl_orders", o_view
+            )
+        )
+    finally:
+        spark.catalog.dropTempView(li_view)
+        spark.catalog.dropTempView(o_view)
 
 
 def filter_min_listens(triplets: DataFrame, min_count: int = 2) -> DataFrame:

@@ -517,6 +517,7 @@ def kmv_intersect_estimate(
     sketch_b: DataFrame,
     group_cols: list[str],
     k: int = 256,
+    prefilter_bits: int = 0,
 ) -> DataFrame:
     """Distinct-intersection + Jaccard estimate between two sketches
     sharing group keys: (group_cols..., inter_est, jaccard_est).
@@ -526,7 +527,15 @@ def kmv_intersect_estimate(
     holds < k rows); X = |matching hashes|, U = |union of retained|;
     inter_est = X / theta (exact X when both sides exact),
     jaccard_est = X / U. Everything is a broadcast-sized join of
-    k-row-per-group tables."""
+    k-row-per-group tables.
+
+    ``prefilter_bits`` MUST match the value the sketches were built
+    with (r8 self-review): under a prefilter a side with n < k
+    surviving hashes is a uniform 2^-b sample, NOT the exact set — its
+    theta is the prefilter threshold 2^(60-b), never the whole space,
+    so no pair of prefiltered sides is ever ``both_exact``. Passing 0
+    for prefiltered sketches silently understates inter_est by ~2^b.
+    The default-0 path is bit-identical to the historical behavior."""
     a_stat = sketch_a.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("na"), F.max("h").alias("hka")
     )
@@ -534,15 +543,20 @@ def kmv_intersect_estimate(
         F.count(F.lit(1)).alias("nb"), F.max("h").alias("hkb")
     )
     # theta in integer hash space; an exact side (n < k) has theta = 1
-    # (the whole space), encoded as 2^60 so min() picks the other side.
-    space = F.lit(1 << 60).cast("long")
+    # (the whole space, encoded as 2^60 so min() picks the other side)
+    # UNLESS the sketch was prefiltered, in which case an n < k side's
+    # theta is the prefilter threshold — the sampling rate it retained.
+    space = F.lit(1 << (60 - prefilter_bits)).cast("long")
     stats = a_stat.join(b_stat, group_cols).select(
         *group_cols,
         F.least(
             F.when(F.col("na") < k, space).otherwise(F.col("hka")),
             F.when(F.col("nb") < k, space).otherwise(F.col("hkb")),
         ).alias("theta_int"),
-        (F.col("na") < k).__and__(F.col("nb") < k).alias("both_exact"),
+        # a prefiltered n<k side is a sample, never exact (see docstring)
+        (
+            (F.col("na") < k) & (F.col("nb") < k) & F.lit(prefilter_bits == 0)
+        ).alias("both_exact"),
     )
     a_kept = sketch_a.join(F.broadcast(stats), group_cols).filter(
         (F.col("h") < F.col("theta_int")) | F.col("both_exact")
@@ -596,6 +610,7 @@ def kmv_cross_group_overlap(
     a: str,
     b: str,
     k: int = 256,
+    prefilter_bits: int = 0,
 ) -> DataFrame:
     """Overlap between TWO GROUPS of one KMV sketch — the common
     "audience overlap between cohorts" shape: (pair, inter_est,
@@ -623,7 +638,10 @@ def kmv_cross_group_overlap(
         F.when(F.col(group_col) == b, 1).otherwise(0).alias("ib"),
     )
     w = Window.partitionBy()  # ≤ 2k rows by construction
-    space = F.lit(1 << 60).cast("long")
+    # An n<k side's theta is the whole space — or the prefilter
+    # threshold if the sketch was prefiltered (then it is a 2^-b
+    # sample, never exact; same rule as kmv_intersect_estimate).
+    space = F.lit(1 << (60 - prefilter_bits)).cast("long")
     na = F.sum("ia").over(w)
     nb = F.sum("ib").over(w)
     hka = F.max(F.when(F.col("ia") == 1, F.col("h"))).over(w)
@@ -636,7 +654,9 @@ def kmv_cross_group_overlap(
             F.when(na < k, space).otherwise(hka),
             F.when(nb < k, space).otherwise(hkb),
         ).alias("theta_int"),
-        ((na < k) & (nb < k)).cast("int").alias("both_exact"),
+        ((na < k) & (nb < k) & F.lit(prefilter_bits == 0)).cast("int").alias(
+            "both_exact"
+        ),
     )
     kept = with_theta.filter(
         (F.col("both_exact") == 1) | (F.col("h") < F.col("theta_int"))

@@ -97,6 +97,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Memoized per (session, sf_dir, table) — see ``_TABLE_CACHE``.
     """
+    if name == "events":
+        # Re-ensure on EVERY call, cached or not (r8 self-review): the
+        # cached plan was analyzed under the conf, but execution still
+        # needs it — and the documented self-heal guarantee is that any
+        # caller's session can read events, even if something unset the
+        # conf between loads.
+        _ensure_nanos_readable(spark)
     try:
         key = (spark.sparkContext.applicationId, sf_dir, name)
     except Exception:
@@ -105,6 +112,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     df = _load_table_uncached(spark, sf_dir, name)
     if key is not None:
+        # Evict other applications' entries on insert (r8 self-review):
+        # their DataFrames pin py4j references into stopped JVMs, and a
+        # process that cycles sessions (sweep tools, pytest) would
+        # otherwise grow the dict monotonically. Sessions are sequential
+        # per process in every caller this repo has.
+        stale = [kk for kk in _TABLE_CACHE if kk[0] != key[0]]
+        for kk in stale:
+            del _TABLE_CACHE[kk]
         _TABLE_CACHE[key] = df
     return df
 
