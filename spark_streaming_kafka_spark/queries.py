@@ -6153,16 +6153,28 @@ def _kmv_k() -> int:
     return 128
 
 
-def _kmv_users_sql() -> str:
-    k = _kmv_k()
+def _kmv_users_sql(prefilter_bits: int = 0) -> str:
+    """One oracle skeleton for both the plain and prefiltered KMV
+    distinct-users queries (r8 review: keep the estimator pipeline in
+    ONE place). ``prefilter_bits=0`` reproduces the historical plain
+    SQL semantics exactly (no threshold filter, exact n<k branch);
+    ``b>0`` adds the ``h < 2^(60-b)`` filter and the n·2^b
+    correction — the same pair of changes kmv_sketch/kmv_estimate
+    apply Spark-side."""
+    k, b = _kmv_k(), prefilter_bits
     h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
     scale = repr(float(k - 1) * float(1 << 60))
+    prefilter = f"WHERE h < {1 << (60 - b)}" if b else ""
+    small = f"CAST(n AS DOUBLE) * {float(1 << b)!r}" if b else "CAST(n AS DOUBLE)"
     return f"""
-    WITH sk AS (
+    WITH hashed AS (
+      SELECT DISTINCT event_type, {h} AS h FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    sk AS (
       SELECT event_type, h,
              row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
-      FROM (SELECT DISTINCT event_type, {h} AS h FROM events
-            WHERE user_id IS NOT NULL)
+      FROM hashed {prefilter}
     ),
     agg AS (
       SELECT event_type, count(*) AS n, max(h) AS hk
@@ -6170,7 +6182,7 @@ def _kmv_users_sql() -> str:
     ),
     est AS (
       SELECT event_type,
-             round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+             round(CASE WHEN n < {k} THEN {small}
                         ELSE {scale} / CAST(hk AS DOUBLE) END, 2) AS kmv_distinct
       FROM agg
     ),
@@ -6218,43 +6230,7 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmv_prefiltered_sql() -> str:
-    k, b = _kmv_k(), 4
-    h = duckdb_md5_long("concat('u', CAST(user_id AS VARCHAR))")
-    thr = 1 << (60 - b)
-    scale = repr(float(k - 1) * float(1 << 60))
-    return f"""
-    WITH hashed AS (
-      SELECT DISTINCT event_type, {h} AS h FROM events
-      WHERE user_id IS NOT NULL
-    ),
-    sk AS (
-      SELECT event_type, h,
-             row_number() OVER (PARTITION BY event_type ORDER BY h) AS pos
-      FROM hashed WHERE h < {thr}
-    ),
-    agg AS (
-      SELECT event_type, count(*) AS n, max(h) AS hk
-      FROM sk WHERE pos <= {k} GROUP BY event_type
-    ),
-    est AS (
-      SELECT event_type,
-             round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE) * {float(1 << b)!r}
-                        ELSE {scale} / CAST(hk AS DOUBLE) END, 2) AS kmv_distinct
-      FROM agg
-    ),
-    exact AS (
-      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
-      FROM events GROUP BY event_type
-    )
-    SELECT est.event_type, est.kmv_distinct, exact.exact_distinct,
-           round(abs(est.kmv_distinct - exact.exact_distinct)
-                 / exact.exact_distinct, 4) AS rel_err
-    FROM est JOIN exact USING (event_type)
-    """
-
-
-@register("kmv_prefiltered_distinct", _kmv_prefiltered_sql())
+@register("kmv_prefiltered_distinct", _kmv_users_sql(prefilter_bits=4))
 def q_kmv_prefiltered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KMV scan-side accelerator, oracle-pinned end-to-end (r8):
     ``prefilter_bits=4`` discards ~15/16 of rows with a codegen'd
@@ -7036,7 +7012,9 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kanonymity_customers, split_no_leakage, takedown_propagation,
 # mixture_epochs_schedule, cdc_chunk_documents,
 # cross_source_dup_matrix, dup_weighted_docs,
-# winnowing_overlap_pairs). OUT — the ten r7 rotations, all
+# winnowing_overlap_pairs) plus the round's one NEW registration
+# (kmv_prefiltered_distinct — every new query earns a driver row
+# immediately, per policy). OUT — the ten r7 rotations, all
 # driver-green in CORRECTNESS_r07 (kmv_distinct_users,
 # kmv_audience_overlap, histogram_quantile_error,
 # rendezvous_shard_sizes, hll_hourly_rollup, kmv_month_half_overlap,
@@ -7046,7 +7024,7 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simple relational shapes driver-green since rounds 1-2
 # (counts_and_averages, topk_orders, customers_without_orders,
 # customers_with_urgent_orders, word_count, top_words,
-# json_extract_sum).
+# json_extract_sum) and doc_fingerprints (driver-green r7).
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "split_no_leakage", "top_revenue_join",
     "takedown_propagation", "filter_project", "mixture_epochs_schedule",
@@ -7056,7 +7034,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "eval_sample_per_source", "kfold_group_sizes",
     "quality_scores", "histogram_quantiles_value",
     "embedding_random_projection", "jaccard_threshold_sweep",
-    "doc_fingerprints", "retrieval_ndcg_bm25",
+    "kmv_prefiltered_distinct", "retrieval_ndcg_bm25",
     "image_ahash_dedup", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "semantic_dedup_clusters", "gap_fill_hourly", "embedding_near_dup",
