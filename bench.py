@@ -34,31 +34,58 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _wait_for_quiet(threshold: float = 2.0, max_wait_sec: float = 900.0, poll: float = 10.0) -> dict:
-    """Spin until the box is quiet before recording anything.
+def _quick_md5_sec() -> float:
+    """Fixed-work single-core probe (32 MB md5, ~54 ms on this class of
+    box when healthy) — measures actual available CPU speed, which
+    loadavg cannot: a noisy-neighbor VM shows loadavg 0 while every
+    cycle runs 3-8× slow (observed r8: matmul calib 0.055 → 0.44 s at
+    loadavg 2.6)."""
+    import hashlib
+
+    buf = b"\xab" * (32 << 20)
+    t0 = time.perf_counter()
+    hashlib.md5(buf).hexdigest()
+    return time.perf_counter() - t0
+
+
+def _wait_for_quiet(
+    threshold: float = 2.0,
+    md5_threshold: float = 0.07,
+    max_wait_sec: float = 900.0,
+    poll: float = 10.0,
+) -> dict:
+    """Spin until the box is quiet AND fast before recording anything.
 
     Three consecutive rounds of graded records were taken on a
     contended box (r5-r7: loadavg 8-9 at sample time), each costing an
     adjudication round to disprove a phantom regression — so the guard
-    is now IN the harness, not in the runbook. Blocks until
-    loadavg_1m < threshold (default 2.0) or max_wait (15 min), polling
-    every ``poll`` seconds; returns what happened so the record is
-    self-describing. If the box never quiets, the run proceeds but the
-    output carries ``"contended": true`` — a record that disqualifies
-    itself instead of silently reading 10% slow. Set
-    SPARK_GRAFT_NO_QUIET_GUARD=1 to skip while iterating locally.
+    is now IN the harness, not in the runbook. Two gates, both
+    required: loadavg_1m < ``threshold`` (other processes) and the
+    fixed-work md5 probe < ``md5_threshold`` (hypervisor steal /
+    noisy-neighbor slowdown, which loadavg misses entirely). Blocks up
+    to ``max_wait_sec`` (15 min), polling every ``poll`` seconds;
+    returns what happened so the record is self-describing. If the box
+    never passes, the run proceeds but the output carries
+    ``"contended": true`` — a record that disqualifies itself instead
+    of silently reading slow. Overrides:
+    SPARK_GRAFT_NO_QUIET_GUARD=1 skips entirely (local iteration);
+    SPARK_GRAFT_MD5_GATE sets the md5 threshold (a genuinely slower
+    machine should raise it rather than wait out the clock).
     """
+    md5_threshold = float(os.environ.get("SPARK_GRAFT_MD5_GATE", md5_threshold))
     if os.environ.get("SPARK_GRAFT_NO_QUIET_GUARD"):
         return {"quiet_wait_sec": 0.0, "contended": os.getloadavg()[0] >= threshold,
                 "guard": "skipped"}
     t0 = time.time()
-    load = os.getloadavg()[0]
-    while load >= threshold and time.time() - t0 < max_wait_sec:
+    load, md5s = os.getloadavg()[0], _quick_md5_sec()
+    while (load >= threshold or md5s >= md5_threshold) and (
+        time.time() - t0 < max_wait_sec
+    ):
         time.sleep(poll)
-        load = os.getloadavg()[0]
+        load, md5s = os.getloadavg()[0], _quick_md5_sec()
     return {
         "quiet_wait_sec": round(time.time() - t0, 1),
-        "contended": load >= threshold,
+        "contended": load >= threshold or md5s >= md5_threshold,
     }
 
 
