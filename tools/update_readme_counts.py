@@ -82,9 +82,17 @@ def main() -> int:
         newest_b = benches[-1]
         rnd = int(re.search(r"_r(\d+)_", newest_b.name).group(1))
         val = json.loads(newest_b.read_text())["value"]
-        if f"r{rnd} {val}" not in text and not re.search(
-            rf"r{rnd} [\d.]+ s — all min-of-2", text
-        ):
+        existing = re.search(rf"r{rnd} ([\d.]+) s(?= — all min-of-2)", text)
+        if existing and existing.group(1) != str(val):
+            # the round's artifact was re-measured: update in place so a
+            # replaced record never leaves a stale history number
+            text = text.replace(
+                f"r{rnd} {existing.group(1)} s — all min-of-2",
+                f"r{rnd} {val} s — all min-of-2",
+                1,
+            )
+            print(f"bench history r{rnd}: {existing.group(1)} -> {val} s")
+        elif not existing:
             # splice " → rN V s" just before the " — all min-of-2" marker
             marker = " — all min-of-2"
             if marker not in text:
