@@ -397,18 +397,68 @@ def _bottom_k(distinct_hashes: DataFrame, group_cols: list[str], k: int, fanout:
     rank window (any hash in the global bottom-k is necessarily in its
     salt class's bottom-k), but no task ever sorts one group's FULL
     distinct set — the per-group funnel the r7 form had at extreme
-    cardinality is now bounded at fanout·k rows."""
+    cardinality is now bounded at fanout·k rows.
+
+    Working columns are ``__``-prefixed (r8 ADVICE: a group column
+    literally named ``salt`` must not be clobbered; ``pos`` in the
+    OUTPUT is public schema, so a group column named ``pos`` stays
+    excluded by contract, asserted here)."""
     from pyspark.sql import Window
 
-    w1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
+    if "pos" in group_cols or "h" in group_cols:
+        raise ValueError("'pos' and 'h' are reserved KMV output columns")
+    w1 = Window.partitionBy(*group_cols, "__kmv_salt").orderBy("h")
     w2 = Window.partitionBy(*group_cols).orderBy("h")
     cand = (
-        distinct_hashes.withColumn("salt", F.pmod(F.col("h"), F.lit(fanout)))
-        .withColumn("pos", F.row_number().over(w1))
-        .filter(F.col("pos") <= k)
-        .drop("salt", "pos")
+        distinct_hashes.withColumn("__kmv_salt", F.pmod(F.col("h"), F.lit(fanout)))
+        .withColumn("__kmv_pos", F.row_number().over(w1))
+        .filter(F.col("__kmv_pos") <= k)
+        .drop("__kmv_salt", "__kmv_pos")
     )
     return cand.withColumn("pos", F.row_number().over(w2)).filter(F.col("pos") <= k)
+
+
+#: Schema-metadata key on the sketch's ``h`` column recording the
+#: prefilter the sketch was built with (r8 ADVICE: estimators must not
+#: depend on the caller re-supplying it correctly).
+_KMV_META_KEY = "kmv_prefilter_bits"
+
+
+def kmv_recorded_prefilter_bits(sketch: DataFrame) -> int | None:
+    """The ``prefilter_bits`` a KMV sketch records in its ``h`` column
+    metadata, or None for a sketch built before r9 / outside
+    :func:`kmv_sketch` (e.g. exploded from the streaming monitor)."""
+    try:
+        meta = sketch.schema["h"].metadata or {}
+    except Exception:
+        return None
+    v = meta.get(_KMV_META_KEY)
+    return int(v) if v is not None else None
+
+
+def _resolve_prefilter_bits(passed: int | None, *sketches: DataFrame) -> int:
+    """Reconcile a caller-passed ``prefilter_bits`` with what the
+    sketch(es) record. None → trust the recording (0 if unrecorded).
+    Explicit value → must MATCH every recording; a mismatch raises
+    instead of silently skewing estimates by ~2^b (r8 ADVICE)."""
+    recorded = {
+        b for b in (kmv_recorded_prefilter_bits(s) for s in sketches) if b is not None
+    }
+    if len(recorded) > 1:
+        raise ValueError(
+            f"KMV sketches record different prefilter_bits {sorted(recorded)}; "
+            "set-operation estimators require sketches built with one prefilter"
+        )
+    rec = recorded.pop() if recorded else None
+    if passed is None:
+        return rec if rec is not None else 0
+    if rec is not None and rec != passed:
+        raise ValueError(
+            f"prefilter_bits={passed} does not match the sketch's recorded "
+            f"prefilter_bits={rec} (the sketch carries how it was built; "
+            "pass None to use the recorded value)"
+        )
+    return passed
 
 
 def kmv_sketch(
@@ -445,10 +495,18 @@ def kmv_sketch(
     n < k branch by 2^b).
 
     NULL keys are dropped (same discipline as the other sketches).
+
+    The sketch RECORDS its ``prefilter_bits`` in the ``h`` column's
+    schema metadata (r9, from r8 ADVICE): the estimators default to the
+    recorded value and raise on an explicit mismatch, so a forgotten or
+    wrong ``b`` surfaces at plan-build time instead of silently biasing
+    estimates by ~2^b.
     """
     c = F.col(key) if isinstance(key, str) else key
     h = md5_long(c)
-    hashed = df.filter(c.isNotNull()).select(*group_cols, h.alias("h"))
+    hashed = df.filter(c.isNotNull()).select(
+        *group_cols, h.alias("h", metadata={_KMV_META_KEY: int(prefilter_bits)})
+    )
     if prefilter_bits:
         hashed = hashed.filter(F.col("h") < F.lit(1 << (60 - prefilter_bits)))
     return _bottom_k(hashed.distinct(), group_cols, k, fanout)
@@ -462,7 +520,7 @@ def kmv_estimate(
     sketch: DataFrame,
     group_cols: list[str],
     k: int = 256,
-    prefilter_bits: int = 0,
+    prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Distinct-count estimate per group from a KMV sketch:
     (group_cols..., kmv_distinct). If a group holds fewer than ``k``
@@ -472,14 +530,16 @@ def kmv_estimate(
     identical literal expression tree, so the DuckDB twin matches
     bit-for-bit after the shared round.
 
-    ``prefilter_bits`` MUST match the value the sketch was built with
-    (r8 ADVICE): under a prefilter the retained hashes are a uniform
-    2^-b sample of the distinct set, so a group with n < k surviving
-    hashes is NOT exact — its unbiased estimate is n / 2^-b = n·2^b
-    (the theta estimator with theta capped at the prefilter threshold).
-    Passing 0 for a prefiltered sketch silently understates such
-    groups by ~2^b; passing the true b restores correctness. The
-    default-0 path is bit-identical to the historical behavior."""
+    ``prefilter_bits`` must match the value the sketch was built with:
+    under a prefilter the retained hashes are a uniform 2^-b sample of
+    the distinct set, so a group with n < k surviving hashes is NOT
+    exact — its unbiased estimate is n / 2^-b = n·2^b (the theta
+    estimator with theta capped at the prefilter threshold). Since r9
+    the sketch RECORDS its b in schema metadata: the default (None)
+    reads it back, and an explicit mismatching value raises at
+    plan-build time (r8 ADVICE — previously a forgotten b silently
+    understated such groups by ~2^b)."""
+    prefilter_bits = _resolve_prefilter_bits(prefilter_bits, sketch)
     agg = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
     )
@@ -503,11 +563,24 @@ def kmv_merge(
     sketches roll up without touching raw data. Same scale-safe
     two-stage rank as :func:`kmv_sketch` (the union of many per-day
     sketches for one group can be large even though each input is
-    k-bounded)."""
+    k-bounded).
+
+    The merged sketch re-records the inputs' common ``prefilter_bits``
+    (inputs recording DIFFERENT prefilters raise — their bottom-k
+    unions are not comparable samples; unrecorded inputs merge as-is
+    and the result carries whatever the recorded inputs agree on)."""
     from functools import reduce
 
+    bits = _resolve_prefilter_bits(None, *sketches)
     allrows = reduce(
-        lambda a, b: a.unionByName(b), [s.select(*group_cols, "h") for s in sketches]
+        lambda a, b: a.unionByName(b),
+        [
+            s.select(
+                *group_cols,
+                F.col("h").alias("h", metadata={_KMV_META_KEY: bits}),
+            )
+            for s in sketches
+        ],
     )
     return _bottom_k(allrows.distinct(), group_cols, k, fanout)
 
@@ -517,7 +590,7 @@ def kmv_intersect_estimate(
     sketch_b: DataFrame,
     group_cols: list[str],
     k: int = 256,
-    prefilter_bits: int = 0,
+    prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Distinct-intersection + Jaccard estimate between two sketches
     sharing group keys: (group_cols..., inter_est, jaccard_est).
@@ -529,13 +602,14 @@ def kmv_intersect_estimate(
     jaccard_est = X / U. Everything is a broadcast-sized join of
     k-row-per-group tables.
 
-    ``prefilter_bits`` MUST match the value the sketches were built
-    with (r8 self-review): under a prefilter a side with n < k
-    surviving hashes is a uniform 2^-b sample, NOT the exact set — its
-    theta is the prefilter threshold 2^(60-b), never the whole space,
-    so no pair of prefiltered sides is ever ``both_exact``. Passing 0
-    for prefiltered sketches silently understates inter_est by ~2^b.
-    The default-0 path is bit-identical to the historical behavior."""
+    ``prefilter_bits`` must match the value the sketches were built
+    with: under a prefilter a side with n < k surviving hashes is a
+    uniform 2^-b sample, NOT the exact set — its theta is the prefilter
+    threshold 2^(60-b), never the whole space, so no pair of
+    prefiltered sides is ever ``both_exact``. Since r9 both sketches
+    record their b in schema metadata: the default (None) reads it
+    back and an explicit mismatch raises (r8 ADVICE)."""
+    prefilter_bits = _resolve_prefilter_bits(prefilter_bits, sketch_a, sketch_b)
     a_stat = sketch_a.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("na"), F.max("h").alias("hka")
     )
@@ -601,7 +675,13 @@ def kmv_intersect_estimate(
     )
 
 
-__all__ += ["kmv_sketch", "kmv_estimate", "kmv_merge", "kmv_intersect_estimate"]
+__all__ += [
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_intersect_estimate",
+    "kmv_recorded_prefilter_bits",
+]
 
 
 def kmv_cross_group_overlap(
@@ -610,7 +690,7 @@ def kmv_cross_group_overlap(
     a: str,
     b: str,
     k: int = 256,
-    prefilter_bits: int = 0,
+    prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Overlap between TWO GROUPS of one KMV sketch — the common
     "audience overlap between cohorts" shape: (pair, inter_est,
@@ -629,9 +709,12 @@ def kmv_cross_group_overlap(
     aggregate. Zero joins, zero driver collects: the plan is lazy and
     re-evaluates correctly if the input sketch changes (the r7 form
     froze theta as a driver literal at construction time and recomputed
-    the sketch up to 3×; r8 ADVICE item)."""
+    the sketch up to 3×; r8 ADVICE item). ``prefilter_bits`` defaults
+    to the sketch's own schema-metadata recording; an explicit
+    mismatch raises (r8 ADVICE, same rule as the other estimators)."""
     from pyspark.sql import Window
 
+    prefilter_bits = _resolve_prefilter_bits(prefilter_bits, sketch)
     tagged = sketch.filter(F.col(group_col).isin(a, b)).select(
         "h",
         F.when(F.col(group_col) == a, 1).otherwise(0).alias("ia"),

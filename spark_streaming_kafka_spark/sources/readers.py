@@ -80,9 +80,13 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
 #: gives every real deployment. Without it every query construction
 #: re-probes the parquet footer through a py4j round trip (~70 ms per
 #: table, measured r8) — pure driver overhead that multi-table queries
-#: paid 2-3× per build. Keyed by applicationId so a stopped/restarted
-#: session can never see a stale JVM reference.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: paid 2-3× per build. Keyed by applicationId (a stopped/restarted
+#: session can never see a stale JVM reference) AND the SparkSession's
+#: Python identity (r8 ADVICE: DataFrames bind to the session that
+#: analyzed them — ``spark.newSession()`` shares the applicationId but
+#: has its own catalog/confs, so a sibling session must never be handed
+#: another session's relation).
+_TABLE_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -105,7 +109,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf between loads.
         _ensure_nanos_readable(spark)
     try:
-        key = (spark.sparkContext.applicationId, sf_dir, name)
+        key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     except Exception:
         key = None
     if key is not None and key in _TABLE_CACHE:

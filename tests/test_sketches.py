@@ -563,9 +563,15 @@ def test_kmv_bottom_k_two_stage_identity_and_plan(spark):
 def test_kmv_estimate_prefilter_corrects_small_groups(spark):
     """r8 ADVICE: under prefilter_bits=b, a group with fewer than k
     surviving hashes is a uniform 2^-b sample, not an exact set —
-    kmv_estimate(prefilter_bits=b) scales the n<k branch by 2^b."""
+    kmv_estimate scales the n<k branch by 2^b. Since r9 the sketch
+    RECORDS b in schema metadata: the default path auto-corrects (the
+    historical silent understatement is unreachable) and an explicit
+    mismatching b raises at plan-build time."""
+    import pytest
+
     from spark_streaming_kafka_spark.operators.sketches import (
         kmv_estimate,
+        kmv_recorded_prefilter_bits,
         kmv_sketch,
     )
 
@@ -575,16 +581,20 @@ def test_kmv_estimate_prefilter_corrects_small_groups(spark):
         [("g", f"key_{i}") for i in range(n_true)], "g string, k string"
     )
     sk = kmv_sketch(df, "k", ["g"], k=k, prefilter_bits=b)
+    assert kmv_recorded_prefilter_bits(sk) == b
     n_kept = sk.count()
     assert n_kept < k  # the scenario the guard exists for (~3000/64 ≈ 47)
-    naive = kmv_estimate(sk, ["g"], k=k).collect()[0]["kmv_distinct"]
-    corrected = kmv_estimate(sk, ["g"], k=k, prefilter_bits=b).collect()[0][
+    # the default now reads the recorded b — auto-corrected
+    auto = kmv_estimate(sk, ["g"], k=k).collect()[0]["kmv_distinct"]
+    explicit = kmv_estimate(sk, ["g"], k=k, prefilter_bits=b).collect()[0][
         "kmv_distinct"
     ]
-    assert naive == float(n_kept)  # the silent understatement, unchanged default
-    assert corrected == float(n_kept * (1 << b))
+    assert auto == explicit == float(n_kept * (1 << b))
     # and the corrected estimate is actually close to the truth
-    assert abs(corrected - n_true) / n_true < 0.35
+    assert abs(explicit - n_true) / n_true < 0.35
+    # an explicit MISMATCH surfaces instead of silently biasing by 2^b
+    with pytest.raises(ValueError, match="recorded prefilter_bits"):
+        kmv_estimate(sk, ["g"], k=k, prefilter_bits=0)
 
 
 def test_kmv_cross_group_overlap_is_lazy_and_correct(spark):
@@ -674,7 +684,11 @@ def test_kmv_intersect_prefilter_corrects_small_sides(spark):
     """r8 self-review: a prefiltered sketch side with n<k surviving
     hashes is a 2^-b sample, never exact — kmv_intersect_estimate and
     kmv_cross_group_overlap with prefilter_bits=b use the prefilter
-    threshold as that side's theta instead of claiming exactness."""
+    threshold as that side's theta instead of claiming exactness.
+    Since r9 the sketches record b, so the default path auto-corrects
+    and a mismatching explicit b raises."""
+    import pytest
+
     from spark_streaming_kafka_spark.operators.sketches import (
         kmv_cross_group_overlap,
         kmv_intersect_estimate,
@@ -691,12 +705,15 @@ def test_kmv_intersect_prefilter_corrects_small_sides(spark):
     sb = kmv_sketch(b_df, "k", ["g"], k=k, prefilter_bits=b)
     assert sa.count() < k and sb.count() < k  # the regime under test
 
-    naive = kmv_intersect_estimate(sa, sb, ["g"], k=k).collect()[0]
+    auto = kmv_intersect_estimate(sa, sb, ["g"], k=k).collect()[0]
     fixed = kmv_intersect_estimate(sa, sb, ["g"], k=k, prefilter_bits=b).collect()[0]
-    # naive treats both sides as exact: raw surviving-intersection count
-    assert naive["inter_est"] < n_inter * 0.2
+    # the default reads the recorded b — identical to the explicit call
+    assert auto == fixed
     # corrected lands near the truth (sampled estimate, generous bound)
     assert abs(fixed["inter_est"] - n_inter) / n_inter < 0.45
+    # a mismatching explicit b raises instead of silently claiming exactness
+    with pytest.raises(ValueError, match="recorded prefilter_bits"):
+        kmv_intersect_estimate(sa, sb, ["g"], k=k, prefilter_bits=0)
 
     # the one-sketch two-group form obeys the same rule
     both = kmv_sketch(

@@ -83,7 +83,9 @@ def main() -> int:
         rnd = int(re.search(r"_r(\d+)_", newest_b.name).group(1))
         val = json.loads(newest_b.read_text())["value"]
         existing = re.search(rf"r{rnd} ([\d.]+) s(?= — all min-of-2)", text)
-        if existing and existing.group(1) != str(val):
+        # compare as floats (r8 ADVICE): '14.80' vs str(14.8) is a
+        # formatting difference, not a re-measurement
+        if existing and float(existing.group(1)) != float(val):
             # the round's artifact was re-measured: update in place so a
             # replaced record never leaves a stale history number
             text = text.replace(
