@@ -1198,3 +1198,144 @@ def kfold_assign(
 
 
 __all__ += ["per_group_sample_k", "kfold_assign"]
+
+
+def weighted_sample_noreplace(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsr",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: exactly
+    ``min(n, |eligible|)`` rows (per group when ``group_cols`` is set),
+    where a row's inclusion probability scales with ``weight_col`` —
+    the fixed-budget counterpart of ``quality_weighted_sample`` (which
+    is Bernoulli: its output SIZE varies with the weight distribution;
+    a training-data budget is usually "give me exactly n docs").
+
+    Efraimidis–Spirakis A-Res (2006): draw u ∈ (0,1] per row, rank by
+    key = u^(1/w) descending, keep the top n — provably equivalent to
+    sequential weighted draws without replacement. Here u is the
+    PORTABLE HASH uniform ``(md5_long(salt||id)+1) / 2^60`` instead of
+    RNG, so the sample is identical across engines, partitionings, and
+    reruns (same discipline as ``per_group_sample_k``, which is the
+    w≡const special case). Ranking uses the monotone-equivalent
+    ``ln(u)/w`` (no pow), rounded to 9 digits with an id tiebreak so
+    both engines order identically.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row must never be drawn; negative weights are undefined).
+
+    Scale shape: grouped → one hash-partition shuffle + per-group rank
+    (AQE splits skew); global → ``orderBy().limit(n)`` which Spark
+    plans as TakeOrderedAndProject — each partition keeps its local
+    top-n, only n·|partitions| candidate rows reach the final heap, no
+    global sort. Rows carry one extra double through the shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    u = (
+        md5_long(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))) + 1
+    ).cast("double") / F.lit(float(1 << 60))
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("es_key", es)
+    order = [F.col("es_key").desc(), F.col(id_col).asc()]
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            eligible.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= n)
+        )
+    # global: distributed top-n first, then rank the n survivors
+    top = eligible.orderBy(*order).limit(n)
+    return top.withColumn("pos", F.row_number().over(Window.orderBy(*order)))
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Minimum-variance stratified-sample allocation (Neyman 1934):
+    given a stratification and a target total sample size, allocate
+    ``n_h ∝ N_h·σ_h`` — strata that are large or internally variable
+    get more of the budget, so the stratified estimator's variance is
+    minimized for the fixed total. The eval-set design step before
+    ``per_group_sample_k`` draws the per-stratum rows: profile once,
+    allocate, then sample each stratum at its allocated size.
+
+    Output: one row per stratum — (stratum..., n_rows, sd, alloc) with
+    Σ alloc = total_n exactly, via largest-remainder rounding (floor
+    every raw allocation, then hand the leftover units to the largest
+    fractional remainders, stratum-key tiebreak — deterministic and
+    engine-portable). Degenerate input (every stratum constant, all
+    σ_h = 0) falls back to proportional-to-size allocation rather than
+    0/0. NULL values are excluded from both counts and spreads.
+
+    Scale shape: ONE partial-aggregated pass over the facts (count +
+    stddev_samp are both map-side combinable); everything after
+    operates on the stratum-count-sized profile through unpartitioned
+    windows — bounded by construction, same discipline as
+    ``kmv_cross_group_overlap``. Allocations can exceed a small
+    stratum's population (Neyman's formula is unconstrained); callers
+    sampling without replacement get min(alloc, N_h) rows from the
+    sampler itself.
+    """
+    from pyspark.sql.window import Window
+
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*stratum_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.stddev_samp(value_col), F.lit(0.0)).alias("sd"),
+        )
+    )
+    wall = Window.partitionBy()  # stratum-count rows by construction
+    weight = F.col("n_rows").cast("double") * F.col("sd")
+    prof = per.select(
+        *stratum_cols,
+        "n_rows",
+        "sd",
+        weight.alias("__w"),
+        F.sum(weight).over(wall).alias("__ws"),
+        F.sum(F.col("n_rows")).over(wall).alias("__ns"),
+    )
+    raw = F.round(
+        F.when(
+            F.col("__ws") > 0, F.lit(float(total_n)) * F.col("__w") / F.col("__ws")
+        ).otherwise(
+            F.lit(float(total_n)) * F.col("n_rows") / F.col("__ns")
+        ),
+        6,
+    )
+    based = prof.select(
+        *stratum_cols,
+        "n_rows",
+        "sd",
+        F.floor(raw).cast("long").alias("__base"),
+        F.round(raw - F.floor(raw), 6).alias("__rem"),
+    )
+    worder = Window.orderBy(
+        F.col("__rem").desc(), *[F.col(c).asc() for c in stratum_cols]
+    )
+    return based.select(
+        *stratum_cols,
+        "n_rows",
+        F.round(F.col("sd"), 6).alias("sd"),
+        (
+            F.col("__base")
+            + (
+                F.row_number().over(worder)
+                <= (F.lit(total_n) - F.sum("__base").over(wall))
+            ).cast("long")
+        ).alias("alloc"),
+    )
+
+
+__all__ += ["weighted_sample_noreplace", "neyman_allocation"]

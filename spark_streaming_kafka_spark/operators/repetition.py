@@ -379,3 +379,111 @@ def substring_dedup_rewrite(
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(cov).cast("long").alias("n_cut"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty against everything INGESTED BEFORE
+    it: (doc_id, n_grams, novel_grams, novelty), where a doc's gram is
+    novel iff no smaller-id document contains it, and ``novelty`` is
+    the novel fraction of its distinct k-grams.
+
+    The curriculum/diversity dial deduplication doesn't give: exact
+    dedup keeps one copy of an identical doc, near-dup dedup keeps one
+    per cluster, but neither says how much NEW text the marginal
+    document contributes — the metric dedup papers report as the novel
+    n-gram rate, and the natural ordering score for "freshest first"
+    sampling or for measuring a crawl snapshot's marginal value
+    (compose with ``source`` to see which feeds have gone stale).
+
+    Plan shape: one distinct-shingle explode (the same corpus-sized
+    pass every dedup operator starts with), a gram-keyed min window to
+    find each gram's first document, then a doc-keyed aggregate — two
+    narrow shuffles, gram rows are (gram, doc_id) only, bodies never
+    shuffle. A stop-gram's window group is big but carries id-pairs,
+    not text (the same skew profile as the inverted-index operators).
+    Docs with fewer than k tokens have no grams and produce no row
+    (the MinHash no-shingles discipline).
+    """
+    from .dedup import doc_shingles
+
+    grams = doc_shingles(docs, text_col, id_col, k)
+    wg = Window.partitionBy("shingle")
+    flagged = grams.withColumn("__first", F.min("doc_id").over(wg))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("doc_id") == F.col("__first")).cast("long")).alias(
+            "novel_grams"
+        ),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        F.round(F.col("novel_grams") / F.col("n_grams"), 6).alias("novelty"),
+    )
+
+
+def ngram_novelty_vs_manifest(
+    new_docs: DataFrame,
+    manifest: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental novelty: score a NEW batch's n-gram novelty against
+    a PERSISTED gram manifest instead of re-reading history — the
+    ingest-time form of :func:`ngram_novelty`, same incremental
+    discipline as ``curation.manifest_dedup`` / MinHash signature
+    manifests (history is touched as a manifest scan, never re-
+    shingled). ``manifest`` is a ``(shingle)`` table — distinct grams
+    of everything ingested so far, i.e. exactly
+    ``dedup.doc_shingles(history).select("shingle").distinct()``.
+
+    Semantics match the batch operator run over history ∪ batch: a
+    gram is novel iff it is absent from the manifest AND this doc is
+    the smallest-id batch member containing it (within-batch firsts
+    count once, like any other first occurrence). So scoring ordered
+    ingests batch-by-batch — appending each batch's grams to the
+    manifest afterwards — reproduces :func:`ngram_novelty` on the
+    concatenated corpus exactly (pinned by test).
+
+    Scale shape: the batch is small by assumption — its distinct gram
+    set BROADCASTS as the build side of a left-semi probe, so the
+    manifest streams through its scan without shuffling (the manifest
+    is the 100 TB side; one narrow column read, zero exchange). The
+    batch-side window and aggregate run on batch-sized gram rows.
+    After scoring, append the batch's distinct grams to the manifest —
+    ingest N+1 stays as cheap as ingest N.
+    """
+    from .dedup import doc_shingles
+
+    grams = doc_shingles(new_docs, text_col, id_col, k)
+    batch_grams = grams.select("shingle").distinct()
+    # manifest grams that occur in this batch: manifest scans ONCE
+    # against a broadcast probe set — no manifest shuffle
+    hits = (
+        manifest.select("shingle")
+        .join(F.broadcast(batch_grams), "shingle", "left_semi")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    wg = Window.partitionBy("shingle")
+    flagged = grams.join(F.broadcast(hits), "shingle", "left").withColumn(
+        "__first", F.min("doc_id").over(wg)
+    )
+    novel = (F.col("__seen").isNull() & (F.col("doc_id") == F.col("__first"))).cast(
+        "long"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(novel).alias("novel_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        F.round(F.col("novel_grams") / F.col("n_grams"), 6).alias("novelty"),
+    )

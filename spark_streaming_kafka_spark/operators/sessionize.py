@@ -105,3 +105,118 @@ def funnel_stages(
         result = result.join(nxt, "user_id", "left")
         prev = f"{s}_ms"
     return result
+
+
+def transition_pairs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Consecutive (key, prev_state, next_state) rows from per-key
+    event sequences — ONE ``lead()`` window ordered by (ts, tiebreak),
+    the total-order discipline every ranking in this repo follows. The
+    shared front half of :func:`markov_transitions` and
+    :func:`sequence_logprob`; its streaming twin is
+    ``streaming/transitions.py`` (lead windows are unsupported on
+    streams, so the carry-over between micro-batches lives in the
+    state store there)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        events.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(state_col).alias("prev_state"),
+        )
+        .withColumn("next_state", F.lead("prev_state").over(w))
+        .filter(F.col("next_state").isNotNull())
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: (prev_state, next_state, n_transitions, prob) with
+    ``prob = P(next | prev)`` row-normalized — the behavioral-model
+    summary of a clickstream (what follows a view? how absorbing is
+    purchase?) and the input to sequence-anomaly scoring (a session
+    whose transitions are improbable under the corpus matrix).
+
+    Consecutive-pair extraction is one ``lead()`` window per key,
+    ordered by (ts, tiebreak) — the tiebreak makes simultaneous events
+    deterministic, the same total-order discipline every ranking in
+    this repo follows. Pair counting is a partial-aggregated groupBy on
+    (prev, next) — at most |states|² rows reach the final stage, so the
+    row-normalizing window runs on a states²-bounded table (same
+    bounded-window discipline as ``kmv_cross_group_overlap``).
+
+    Scale shape: one user-keyed shuffle (the lead window) + one
+    states²-bounded aggregate. Sequences never leave their key's
+    partition; the matrix itself is broadcast-sized by construction.
+    """
+    pairs = transition_pairs(events, key_col, ts_col, state_col, tiebreak_col)
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("prob"),
+    )
+
+
+def sequence_logprob(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    matrix: DataFrame | None = None,
+) -> DataFrame:
+    """Per-key behavioral likelihood under the corpus transition
+    matrix: (key, n_transitions, avg_logprob) where ``avg_logprob`` is
+    the mean ln P(next|prev) over the key's consecutive transitions —
+    the sequence-anomaly screen :func:`markov_transitions` exists to
+    feed (a session walking improbable edges scores far below the
+    population; bots, scripted replays, and instrumentation bugs all
+    surface here before any per-event rule fires).
+
+    ``matrix`` defaults to the matrix fitted on ``events`` itself
+    (self-scoring, the profiling shape); pass a frozen matrix to score
+    new traffic against a reference period (the drift shape). Scoring
+    uses the matrix's ROUNDED probabilities, so both engines take ln
+    of identical doubles — the cross-engine determinism rule every
+    double-valued query follows.
+
+    Scale shape: the pairs need the same one user-keyed window shuffle
+    the matrix fit pays; the matrix itself is |states|²-bounded and
+    BROADCAST into the scoring join, so facts never shuffle again —
+    profile once, score in the same pass.
+    """
+    pairs = transition_pairs(events, key_col, ts_col, state_col, tiebreak_col)
+    if matrix is None:
+        matrix = markov_transitions(
+            events, key_col, ts_col, state_col, tiebreak_col
+        )
+    probs = matrix.select("prev_state", "next_state", "prob")
+    return (
+        pairs.join(F.broadcast(probs), ["prev_state", "next_state"])
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(F.avg(F.log("prob")), 6).alias("avg_logprob"),
+        )
+    )

@@ -6964,6 +6964,274 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_fingerprint_dedup(media)
 
 
+@register(
+    "weighted_sample_noreplace",
+    f"""
+    WITH elig AS (
+      SELECT source, doc_id, n_chars,
+             round(ln(({duckdb_md5_long("concat('wsr_', CAST(doc_id AS VARCHAR))")} + 1)
+                      / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS es_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, es_key, pos FROM (
+      SELECT source, doc_id, n_chars, es_key,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY es_key DESC, doc_id ASC
+             ) AS INTEGER) AS pos
+      FROM elig
+    ) WHERE pos <= 20
+    """,
+)
+def q_weighted_sample_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget WEIGHTED sampling without replacement
+    (operators/curation.py::weighted_sample_noreplace): exactly 20 docs
+    per source with inclusion probability scaling with length —
+    Efraimidis-Spirakis A-Res keys ln(u)/w over the portable hash
+    uniform, so the drawn set is identical across engines and
+    partitionings. The fixed-size complement of the Bernoulli
+    quality_weighted_sample (whose output size floats with the weight
+    distribution); 2^60 = 1152921504606846976 is the md5_long hash
+    space. One group-keyed shuffle carrying one extra double."""
+    from .operators.curation import weighted_sample_noreplace
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return weighted_sample_noreplace(
+        docs, "n_chars", 20, group_cols=["source"], id_col="doc_id"
+    ).select("source", "doc_id", "n_chars", "es_key", "pos")
+
+
+@register(
+    "ngram_novelty_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM tok, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+    ), firsts AS (
+      SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           round(CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-contribution scoring
+    (operators/repetition.py::ngram_novelty): each doc's fraction of
+    distinct 3-grams unseen in any earlier (smaller-id) document — the
+    novel-n-gram-rate curriculum/staleness dial that dedup alone
+    doesn't give (dedup keeps one copy per cluster; novelty says how
+    much NEW text the marginal doc adds). Two narrow shuffles (gram
+    window, doc aggregate); document bodies never shuffle."""
+    from .operators.repetition import ngram_novelty
+
+    return ngram_novelty(_docs_fan(spark, sf_dir), k=3)
+
+
+@register(
+    "event_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS prev_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS next_state
+      FROM events
+    ), counts AS (
+      SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_state IS NOT NULL
+      GROUP BY prev_state, next_state
+    )
+    SELECT prev_state, next_state, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / sum(n_transitions) OVER (PARTITION BY prev_state), 6) AS prob
+    FROM counts
+    """,
+)
+def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/sessionize.py::markov_transitions):
+    P(next_event | event) with (ts, event_id) total-order tiebreak.
+    One user-keyed lead window + a |states|^2-bounded aggregate — the
+    behavioral-model summary and sequence-anomaly input."""
+    from .operators.sessionize import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "neyman_allocation_events",
+    """
+    WITH per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             coalesce(stddev_samp(value), 0.0) AS sd
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ), prof AS (
+      SELECT event_type, n_rows, sd,
+             round(CASE WHEN sum(n_rows * sd) OVER () > 0
+                   THEN 1000.0 * (n_rows * sd) / sum(n_rows * sd) OVER ()
+                   ELSE 1000.0 * n_rows / sum(n_rows) OVER () END, 6) AS raw
+      FROM per
+    ), based AS (
+      SELECT event_type, n_rows, sd,
+             CAST(floor(raw) AS BIGINT) AS base,
+             round(raw - floor(raw), 6) AS rem
+      FROM prof
+    )
+    SELECT event_type, n_rows, round(sd, 6) AS sd,
+           base + CASE WHEN row_number() OVER (ORDER BY rem DESC, event_type ASC)
+                       <= 1000 - sum(base) OVER () THEN 1 ELSE 0 END AS alloc
+    FROM based
+    """,
+)
+def q_neyman_allocation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-variance stratified-sample allocation
+    (operators/curation.py::neyman_allocation): a 1000-row eval budget
+    split across event-type strata by n_h propto N_h*sigma_h with
+    largest-remainder rounding summing to exactly 1000 — the eval-set
+    design step before per_group_sample_k draws the rows. One
+    partial-aggregated fact pass; everything after runs on the
+    stratum-count-sized profile."""
+    from .operators.curation import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", 1000
+    )
+
+
+@register(
+    "manifest_novelty_new",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM tok, unnest(range(1, greatest(len(toks) - 1, 1))) r(i)
+    ), manifest AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % 5 = 0
+    ), firsts AS (
+      SELECT shingle, min(doc_id) AS first_id FROM batch GROUP BY shingle
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN m.shingle IS NULL AND f.first_id = b.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           round(CAST(sum(CASE WHEN m.shingle IS NULL AND f.first_id = b.doc_id
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS novelty
+    FROM batch b
+    JOIN firsts f USING (shingle)
+    LEFT JOIN manifest m USING (shingle)
+    GROUP BY b.doc_id
+    """,
+)
+def q_manifest_novelty_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty at ingest
+    (operators/repetition.py::ngram_novelty_vs_manifest): the 20%
+    batch (doc_id % 5 = 0) scored against the gram manifest of the
+    other 80% — history is a manifest scan against a BROADCAST
+    batch-gram probe set (left-semi, zero manifest shuffle), never
+    re-shingled. Same incremental discipline as manifest_dedup_new /
+    manifest_neardup_new; batch-sequential scoring reproduces
+    ngram_novelty on the concatenated corpus exactly (pinned by
+    test)."""
+    from .operators.dedup import doc_shingles
+    from .operators.repetition import ngram_novelty_vs_manifest
+
+    docs = _docs_fan(spark, sf_dir)
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    manifest = doc_shingles(history).select("shingle").distinct()
+    return ngram_novelty_vs_manifest(batch, manifest, k=3)
+
+
+@register(
+    "session_sequence_logprob",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS prev_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS next_state
+      FROM events
+    ), pairs AS (
+      SELECT user_id, prev_state, next_state FROM seq
+      WHERE next_state IS NOT NULL
+    ), counts AS (
+      SELECT prev_state, next_state, count(*) AS n
+      FROM pairs GROUP BY prev_state, next_state
+    ), matrix AS (
+      SELECT prev_state, next_state,
+             round(CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY prev_state), 6) AS prob
+      FROM counts
+    )
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(avg(ln(m.prob)), 6) AS avg_logprob
+    FROM pairs p JOIN matrix m USING (prev_state, next_state)
+    GROUP BY p.user_id
+    """,
+)
+def q_session_sequence_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequence likelihood under the corpus transition matrix
+    (operators/sessionize.py::sequence_logprob): mean ln P(next|prev)
+    over each user's transitions — the sequence-anomaly screen the
+    Markov matrix feeds (bots and scripted replays walk improbable
+    edges). The |states|^2 matrix BROADCASTS into the scoring join, so
+    facts pay only the one user-keyed window shuffle the fit already
+    paid. Scoring uses the matrix's rounded probabilities, so both
+    engines take ln of identical doubles."""
+    from .operators.sessionize import sequence_logprob
+
+    return sequence_logprob(_t(spark, sf_dir, "events"))
+
+
+#: Frozen toy merge table for the bpe_encode registry entry: the point
+#: is pinning the DISTRIBUTED APPLY path (broadcast ranks, Arrow pass,
+#: per-batch word memoization) on real corpus text at sweep cost ~one
+#: scan — learning merges is bpe_merges' job (its own registry entry +
+#: exact plain-Python-oracle pytest), and apply-reproduces-training is
+#: pinned in tests/test_bpe.py.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("s", "</w>"), ("d", "</w>"), ("t", "</w>"),
+    ("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d</w>"), ("o", "f</w>"),
+    ("in", "g"), ("ing", "</w>"), ("e", "n"),
+]
+
+
+@register("bpe_encode_tokens", None)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE (operators/bpe.py::apply_bpe): tokenize
+    the corpus under a frozen 16-merge table — rank-greedy merge
+    order, per-batch word memoization, one Arrow pass, zero shuffle.
+    Registry entry is rows-only by contract: rank-iterative in-word
+    merging is not SQL-expressible; the merge semantics are pinned
+    exactly by tests/test_bpe.py's plain-Python oracle and the
+    apply-reproduces-training invariant."""
+    from .operators.bpe import apply_bpe
+
+    enc = apply_bpe(_docs_fan(spark, sf_dir), _BPE_FIXED_MERGES)
+    return enc.select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
 # ---------------------------------------------------------------------
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
@@ -7033,13 +7301,22 @@ def q_video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (counts_and_averages, topk_orders, customers_without_orders,
 # customers_with_urgent_orders, word_count, top_words,
 # json_extract_sum) and doc_fingerprints (driver-green r7).
+# Round-9 rotation: IN — the seven new r9 registrations
+# (weighted_sample_noreplace, ngram_novelty_scores,
+# event_markov_transitions, neyman_allocation_events,
+# bpe_encode_tokens, manifest_novelty_new, session_sequence_logprob —
+# new queries earn a driver row immediately, per policy). OUT — seven
+# r8 rotations, all driver-green in CORRECTNESS_r08
+# (split_no_leakage, takedown_propagation, mixture_epochs_schedule,
+# cdc_chunk_documents, cross_source_dup_matrix, dup_weighted_docs,
+# eval_sample_per_source).
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    "pricing_summary", "split_no_leakage", "top_revenue_join",
-    "takedown_propagation", "filter_project", "mixture_epochs_schedule",
-    "cdc_chunk_documents", "cross_source_dup_matrix",
-    "dup_weighted_docs", "winnowing_overlap_pairs", "percentile_buckets",
+    "pricing_summary", "weighted_sample_noreplace", "top_revenue_join",
+    "ngram_novelty_scores", "filter_project", "event_markov_transitions",
+    "neyman_allocation_events", "bpe_encode_tokens",
+    "manifest_novelty_new", "winnowing_overlap_pairs", "percentile_buckets",
     "etl_ratings_pipeline", "window_topk_per_customer",
-    "eval_sample_per_source", "kfold_group_sizes",
+    "session_sequence_logprob", "kfold_group_sizes",
     "quality_scores", "histogram_quantiles_value",
     "embedding_random_projection", "jaccard_threshold_sweep",
     "kmv_prefiltered_distinct", "retrieval_ndcg_bm25",

@@ -712,3 +712,253 @@ def test_kfold_assign_groups_never_straddle_folds(spark):
     extra = spark.createDataFrame([(0, 99)], "user long, item long")
     f0 = kfold_assign(extra, "user", k=5).first()["fold"]
     assert f0 == next(iter(folds_per_user[0]))
+
+
+def test_weighted_sample_noreplace_grouped(spark):
+    """r9: exactly min(n, |eligible|) per group, deterministic under
+    repartitioning, non-positive/NULL weights excluded, and the weight
+    actually biases the draw (Efraimidis-Spirakis key = ln(u)/w)."""
+    import math
+
+    from spark_streaming_kafka_spark.operators.curation import (
+        weighted_sample_noreplace,
+    )
+
+    rows = [("a", i, float(1 + (i % 7))) for i in range(40)] + [
+        ("b", 100, 5.0),
+        ("b", 101, 0.0),   # excluded: zero weight
+        ("b", 102, -2.0),  # excluded: negative weight
+        ("b", 103, None),  # excluded: null weight
+        ("b", 104, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, w double")
+    out = weighted_sample_noreplace(df, "w", 10, group_cols=["src"], id_col="id")
+    got = out.collect()
+    by_src: dict = {}
+    for r in got:
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src["a"]) == 10
+    assert sorted(r["pos"] for r in by_src["a"]) == list(range(1, 11))
+    # only the two eligible b rows survive
+    assert sorted(r["id"] for r in by_src["b"]) == [100, 104]
+    # deterministic under a different partitioning
+    got2 = weighted_sample_noreplace(
+        df.repartition(7), "w", 10, group_cols=["src"], id_col="id"
+    ).collect()
+    assert {(r["src"], r["id"], r["pos"]) for r in got} == {
+        (r["src"], r["id"], r["pos"]) for r in got2
+    }
+    # the key matches the A-Res formula computed in plain Python
+    import hashlib
+
+    def es_key(i, w):
+        h = int(hashlib.md5(f"wsr_{i}".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1) / float(1 << 60)) / w, 9)
+
+    for r in got:
+        assert r["es_key"] == es_key(r["id"], {**{i: float(1 + (i % 7)) for i in range(40)}, 100: 5.0, 104: 1.0}[r["id"]])
+
+
+def test_weighted_sample_noreplace_weight_bias_and_global(spark):
+    """A row with overwhelming weight is drawn ~always across salts;
+    the global (ungrouped) path returns exactly n rows ranked 1..n."""
+    from spark_streaming_kafka_spark.operators.curation import (
+        weighted_sample_noreplace,
+    )
+
+    rows = [(0, 1000.0)] + [(i, 1.0) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    hits = 0
+    for s in range(12):
+        picked = {
+            r["id"]
+            for r in weighted_sample_noreplace(
+                df, "w", 3, id_col="id", salt=f"s{s}"
+            ).collect()
+        }
+        assert len(picked) == 3
+        hits += 0 in picked
+    # P(miss) per draw is ~(1 - 1000/1029)^3-ish; 12 salts all hitting
+    # is the overwhelmingly likely outcome — allow one miss for slack
+    assert hits >= 11
+    out = weighted_sample_noreplace(df, "w", 5, id_col="id").collect()
+    assert sorted(r["pos"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_neyman_allocation_sums_and_favors_variable_strata(spark):
+    from spark_streaming_kafka_spark.operators.curation import neyman_allocation
+
+    # stratum a: large + high spread; b: same size, near-constant;
+    # c: tiny + moderate spread; d: single row (stddev_samp -> NULL -> 0)
+    rows = (
+        [("a", float(v)) for v in range(100)]
+        + [("b", 5.0 + (i % 2) * 0.01) for i in range(100)]
+        + [("c", float(v * 10)) for v in range(5)]
+        + [("d", 7.0)]
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r["s"]: r for r in neyman_allocation(df, ["s"], "v", 50).collect()}
+    assert sum(r["alloc"] for r in out.values()) == 50
+    assert out["a"]["alloc"] > out["b"]["alloc"]
+    assert out["d"]["alloc"] == 0 and out["d"]["sd"] == 0.0
+    assert out["a"]["n_rows"] == 100 and out["c"]["n_rows"] == 5
+    # all-constant strata: proportional-to-size fallback, still sums
+    const = spark.createDataFrame(
+        [("x", 1.0)] * 30 + [("y", 2.0)] * 10, "s string, v double"
+    )
+    got = {r["s"]: r["alloc"] for r in neyman_allocation(const, ["s"], "v", 20).collect()}
+    assert got == {"x": 15, "y": 5}
+
+
+def test_ngram_novelty_hand_values(spark):
+    """r9: novelty = fraction of a doc's distinct k-grams first seen in
+    it (ingest order = id order). doc 1 is all-novel, an exact copy is
+    all-stale, a half-overlap scores 0.5, <k-token docs produce no row."""
+    from spark_streaming_kafka_spark.operators.repetition import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),        # grams {a b c, b c d} — both novel
+        (2, "a b c d"),        # exact copy — nothing novel
+        (3, "b c d e"),        # {b c d (old), c d e (new)} — 0.5
+        (4, "x y"),            # < k tokens — no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_grams"], out[1]["novel_grams"], out[1]["novelty"]) == (2, 2, 1.0)
+    assert (out[2]["novel_grams"], out[2]["novelty"]) == (0, 0.0)
+    assert (out[3]["n_grams"], out[3]["novel_grams"], out[3]["novelty"]) == (2, 1, 0.5)
+    # partitioning-invariant (first-seen is min(id), not arrival order)
+    out2 = {r["doc_id"]: r for r in ngram_novelty(df.repartition(5), k=3).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in out2.items()}
+
+
+def test_markov_transitions_hand_values(spark):
+    """r9: P(next|prev) from per-user (ts, event_id)-ordered sequences;
+    simultaneous events break ties on event_id; rows normalize per
+    prev_state."""
+    from datetime import datetime
+
+    from spark_streaming_kafka_spark.operators.sessionize import markov_transitions
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: view -> click -> purchase
+        (1, 1, t(1), "view"), (2, 1, t(2), "click"), (3, 1, t(3), "purchase"),
+        # u2: view -> view -> click
+        (4, 2, t(1), "view"), (5, 2, t(2), "view"), (6, 2, t(3), "click"),
+        # u3: tie on ts — event_id orders click(7) before view(8)
+        (7, 3, t(5), "click"), (8, 3, t(5), "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {(r["prev_state"], r["next_state"]): r for r in markov_transitions(df).collect()}
+    # view -> {click: 2, view: 1} ; click -> {purchase: 1, view: 1}
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "view")]["n_transitions"] == 1
+    assert out[("view", "click")]["prob"] == 0.666667
+    assert out[("view", "view")]["prob"] == 0.333333
+    assert out[("click", "purchase")]["prob"] == 0.5
+    assert out[("click", "view")]["prob"] == 0.5  # the tie-ordered u3 pair
+    # per-prev probabilities sum to 1 (within rounding)
+    sums: dict = {}
+    for (p, _), r in out.items():
+        sums[p] = sums.get(p, 0.0) + r["prob"]
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_manifest_novelty_matches_batch_operator(spark):
+    """r9: scoring ordered ingests batch-by-batch against a growing
+    gram manifest reproduces ngram_novelty on the concatenated corpus
+    exactly — the incremental-equals-batch contract every manifest
+    operator in this repo keeps."""
+    from spark_streaming_kafka_spark.operators.dedup import doc_shingles
+    from spark_streaming_kafka_spark.operators.repetition import (
+        ngram_novelty,
+        ngram_novelty_vs_manifest,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "c d e f"),
+        (3, "a b c d"),      # all grams stale by now
+        (4, "p q r s"),      # fresh vocabulary
+        (5, "p q r s a b c"),
+        (6, "p q r z z q p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in ngram_novelty(df, k=3).collect()
+    }
+    got: dict = {}
+    for lo, hi in [(1, 2), (3, 4), (5, 6)]:  # three sequential ingests
+        batch = df.filter(F.col("doc_id").between(lo, hi))
+        history = df.filter(F.col("doc_id") < lo)
+        manifest = doc_shingles(history).select("shingle").distinct()
+        for r in ngram_novelty_vs_manifest(batch, manifest, k=3).collect():
+            got[r["doc_id"]] = (r["n_grams"], r["novel_grams"], r["novelty"])
+    assert got == expected
+    # within-batch first occurrences count once (docs 5 and 6 share
+    # 'p q r', ingested in ONE batch: novel for 5, stale for 6)
+    assert got[5][1] > 0 and expected[6][2] < 1.0
+
+
+def test_sequence_logprob_hand_values(spark):
+    """r9: avg ln P(next|prev) per key under the self-fitted matrix,
+    and under a FROZEN reference matrix (the drift shape)."""
+    import math
+    from datetime import datetime
+
+    from spark_streaming_kafka_spark.operators.sessionize import (
+        markov_transitions,
+        sequence_logprob,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, 1, t(1), "a"), (2, 1, t(2), "b"),   # u1: a->b
+        (3, 2, t(1), "a"), (4, 2, t(2), "a"),   # u2: a->a
+        (5, 3, t(1), "a"), (6, 3, t(2), "b"),   # u3: a->b
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    # matrix: P(b|a)=2/3 rounded, P(a|a)=1/3 rounded
+    out = {r["user_id"]: r for r in sequence_logprob(df).collect()}
+    assert out[1]["n_transitions"] == 1
+    assert out[1]["avg_logprob"] == round(math.log(0.666667), 6)
+    assert out[2]["avg_logprob"] == round(math.log(0.333333), 6)
+    assert out[3]["avg_logprob"] == out[1]["avg_logprob"]
+    # frozen-matrix scoring: score u2 under a matrix where a->a is rare
+    frozen = markov_transitions(df)
+    scored = {
+        r["user_id"]: r
+        for r in sequence_logprob(
+            df.filter(F.col("user_id") == 2), matrix=frozen
+        ).collect()
+    }
+    assert scored[2]["avg_logprob"] == out[2]["avg_logprob"]
+
+
+def test_manifest_novelty_plan_broadcasts_batch_probe(spark):
+    """r9 scale shape: the manifest side must stream through a
+    broadcast left-semi probe — at 100 TB the manifest is the big
+    side, so any exchange of it (or a sort-merge join) is a scale
+    bug. Asserted on the physical plan, like every broadcast claim in
+    this repo."""
+    from spark_streaming_kafka_spark.operators.repetition import (
+        ngram_novelty_vs_manifest,
+    )
+    from spark_streaming_kafka_spark.plans.inspect import explain_str
+
+    batch = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    manifest = spark.createDataFrame(
+        [(f"tok{i} tok{i+1} tok{i+2}",) for i in range(100)], "shingle string"
+    )
+    plan = explain_str(ngram_novelty_vs_manifest(batch, manifest, k=3))
+    # the manifest probe is a broadcast semi join, not a shuffled one
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

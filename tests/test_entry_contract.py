@@ -22,8 +22,12 @@ def test_registry_shapes():
     #   (recursive CTEs can't re-aggregate per iteration); the merge
     #   SEQUENCE is pinned exactly against a plain-Python BPE oracle in
     #   tests/test_bpe.py, and determinism makes rows-only stable.
+    # - bpe_encode_tokens (r9): rank-iterative in-word merge
+    #   application — same non-SQL-expressibility as bpe_merges; the
+    #   apply semantics are pinned by tests/test_bpe.py's plain-Python
+    #   oracle and the apply-reproduces-training invariant.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"als_recommend_topk", "bpe_merges"}
+    assert rows_only == {"als_recommend_topk", "bpe_merges", "bpe_encode_tokens"}
     assert "als_recommend_topk_shape" in oracles
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())

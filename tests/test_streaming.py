@@ -429,3 +429,74 @@ def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
         assert got[21][1] is True  # the spike is flagged in batch 2
     finally:
         q.stop()
+
+
+def test_transition_stream_pairs_match_batch(spark, tmp_path):
+    """r9 streaming twin parity: stateful transition extraction must
+    reproduce the batch transition_pairs counts across TWO
+    micro-batches — the cross-batch edge (a user's last event in batch
+    1 pairing with their first in batch 2) comes from the state store."""
+    import time as _time
+
+    from spark_streaming_kafka_spark.operators.sessionize import transition_pairs
+    from spark_streaming_kafka_spark.streaming.transitions import (
+        transition_stream_pairs,
+    )
+
+    rows = [
+        (1, 1, 1000, "view"), (2, 1, 2000, "click"), (3, 2, 1500, "view"),
+        # batch 2: u1 continues (cross-batch edge click->purchase),
+        # u2 continues (view->view), u3 appears fresh
+        (4, 1, 3000, "purchase"), (5, 2, 2500, "view"), (6, 3, 1000, "view"),
+        (7, 3, 1100, "click"),
+    ]
+    schema = "event_id long, user_id long, ts_ms long, event_type string"
+    full = spark.createDataFrame(rows, schema)
+
+    batch_form = full.withColumn(
+        "ts", F.timestamp_millis(F.col("ts_ms"))
+    )
+    expected = sorted(
+        (r["user_id"], r["prev_state"], r["next_state"])
+        for r in transition_pairs(batch_form).collect()
+    )
+
+    data_dir = tmp_path / "trans_in"
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir))
+    _time.sleep(1.1)
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir))
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+    spark.sql("DROP TABLE IF EXISTS trans_out")
+    # Poll the sink, do NOT processAllAvailable/availableNow: with
+    # ProcessingTimeTimeout the engine runs continuous "cleaning up
+    # state" zero-row batches after the data drains (observed ~2/s,
+    # batchId 100+ within a minute), and both drain calls race that
+    # loop's termination condition — the _await_rows pattern is how
+    # every ProcessingTimeTimeout test in this file settles.
+    q = (
+        transition_stream_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("trans_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "trans_ckpt"))
+        .start()
+    )
+    try:
+        rows_out = _await_rows(spark, "trans_out", len(expected), timeout=60.0)
+        got = sorted(
+            (r["user_id"], r["prev_state"], r["next_state"]) for r in rows_out
+        )
+    finally:
+        q.stop()
+    assert got == expected
+    # the cross-batch edge specifically
+    assert (1, "click", "purchase") in got

@@ -184,6 +184,29 @@ SHOWCASE = {
     "fetch, column-pruned to id+embedding, corpus never shuffles), then a "
     "|Q|·refine_n-row mapInPandas exact re-rank and one window cut — the "
     "only exchanges are the ADC partial top-k and the final tiny window.",
+    "weighted_sample_noreplace": "A-Res keys are pure column algebra on the "
+    "scan (hash → ln → divide, codegen'd); ONE group-keyed window exchange "
+    "carrying one extra double — the global form instead plans "
+    "TakeOrderedAndProject (per-partition top-n, no global sort).",
+    "ngram_novelty_scores": "Two narrow exchanges: gram-keyed window (min "
+    "doc per shingle — rows are (gram, id) pairs, never text) then the "
+    "doc-keyed count/sum aggregate; document bodies appear only in the "
+    "initial tokenize projection.",
+    "manifest_novelty_new": "Incremental gate: the manifest scans ONCE "
+    "through a BroadcastHashJoin LeftSemi probe against the broadcast "
+    "batch-gram set — zero manifest exchange; the batch-side window and "
+    "aggregate run on batch-sized gram rows (plan-asserted in "
+    "tests/test_curation.py).",
+    "event_markov_transitions": "One user-keyed window exchange for the "
+    "lead() pairs; the count aggregate partial-combines map-side and the "
+    "row-normalizing window runs on the |states|²-bounded matrix.",
+    "session_sequence_logprob": "The pairs reuse the same user-keyed window "
+    "shuffle the matrix fit pays; the |states|² matrix returns as a "
+    "BroadcastHashJoin into the scoring aggregate — facts never shuffle "
+    "a second time.",
+    "neyman_allocation_events": "ONE partial→final HashAggregate over the "
+    "facts (count + stddev partial-combine); floor/remainder/rank all ride "
+    "unpartitioned windows over the stratum-count-sized profile.",
     "corpus_curation_e2e": "The composed seven-stage pipeline: every "
     "inter-stage hand-off is a BroadcastHashJoin LeftSemi/LeftAnti on "
     "id-only decision sets (no document-body shuffle anywhere); the "
