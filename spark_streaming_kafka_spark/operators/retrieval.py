@@ -327,3 +327,85 @@ def ndcg_at_k(
             F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
         )
     )
+
+
+def basket_pairs_lift(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_items: int = 50,
+) -> DataFrame:
+    """Association mining: co-occurrence support and lift for item
+    pairs sharing a basket — (item_a, item_b, n_ab, support, lift)
+    with ``lift = P(a,b) / (P(a)·P(b))`` over basket incidence, the
+    classic market-basket measure of "together more than chance"
+    (lift > 1 ⟹ affinity; < 1 ⟹ substitution). The co-occurrence
+    family member PMI covers for adjacent TOKENS, generalized to any
+    (basket, item) incidence: users×behaviors, orders×products,
+    documents×entities.
+
+    ``top_items`` caps the item universe to the most basket-frequent
+    items first (ties break item-asc) — the standard frequent-itemset
+    discipline: pair volume is bounded at C(top_items, 2) BY
+    CONSTRUCTION, never |items|². Scale shape: one distinct over
+    (basket, item), a TakeOrderedAndProject for the top items, a
+    broadcast left-semi to keep only their incidences, then the
+    ``_bucket_pairs`` array expansion per basket (one hash aggregate,
+    no self-join — the same pair generator the LSH path uses). The
+    basket total rides a tagged union row into the pair table, so the
+    only unpartitioned window is over ≤ C(top_items,2)+1 rows.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _bucket_pairs
+
+    b = facts.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).distinct()
+    top = (
+        b.groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__item").asc())
+        .limit(top_items)
+    )
+    kept = b.join(F.broadcast(top.select("__item")), "__item", "left_semi")
+    pc = (
+        _bucket_pairs(kept.select("__basket", "__item"), ["__basket"], "__item")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .select(F.lit(0).alias("__tag"), "id_a", "id_b", "n_ab")
+    )
+    nb = b.agg(F.countDistinct("__basket").alias("n_ab")).select(
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(pc.schema["id_a"].dataType).alias("id_a"),
+        F.lit(None).cast(pc.schema["id_b"].dataType).alias("id_b"),
+        "n_ab",
+    )
+    w_all = Window.partitionBy()  # <= C(top_items, 2) + 1 rows
+    with_n = (
+        pc.unionByName(nb)
+        .withColumn(
+            "__nb", F.max(F.when(F.col("__tag") == 1, F.col("n_ab"))).over(w_all)
+        )
+        .filter(F.col("__tag") == 0)
+    )
+    ca = top.select(F.col("__item").alias("id_a"), F.col("__c").alias("__ca"))
+    cb = top.select(F.col("__item").alias("id_b"), F.col("__c").alias("__cb"))
+    return (
+        with_n.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select(
+            F.col("id_a").alias("item_a"),
+            F.col("id_b").alias("item_b"),
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("__nb"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("__nb")
+                / (F.col("__ca") * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

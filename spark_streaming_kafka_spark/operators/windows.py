@@ -145,3 +145,39 @@ def rolling_zscore(
     return df.withColumn("zscore", zscore).withColumn(
         "is_anomaly", F.coalesce(F.abs(zscore) > F.lit(threshold), F.lit(False))
     )
+
+
+def time_decay_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    ref_date: str,
+    half_life_days: float,
+) -> DataFrame:
+    """Freshness-weighted aggregate: per group, ``sum(value · w)`` with
+    ``w = 0.5^(age_days / half_life)`` — recency-decayed revenue/volume
+    so one stale burst can't dominate a "current importance" ranking
+    (the time-decay every recommendation/trending score applies, as an
+    operator). Output: (group..., n_rows, decayed_sum).
+
+    ``ref_date`` is an explicit literal, NOT max(ts): a global max
+    would cost a second pass or a degenerate join, and a pinned
+    reference makes the score reproducible across reruns — pass
+    "today" from the scheduler. Ages are whole days via ``datediff``
+    (type-agnostic: works for TIMESTAMP and TIMESTAMP_NTZ alike, the
+    vanilla-session rule). The per-row weight is ROUNDED to 9 digits
+    before the multiply so every engine sums identical doubles.
+
+    Scale shape: pure column algebra into ONE partial-aggregated hash
+    aggregate — the same single pass any grouped sum costs; no window,
+    no second scan.
+    """
+    age = F.datediff(F.lit(ref_date).cast("date"), F.col(ts_col))
+    w = F.round(
+        F.pow(F.lit(0.5), age.cast("double") / F.lit(float(half_life_days))), 9
+    )
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col(value_col) * w), 2).alias("decayed_sum"),
+    )

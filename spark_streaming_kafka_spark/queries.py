@@ -7201,6 +7201,117 @@ def q_session_sequence_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_logprob(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "vocab_coverage_curve",
+    """
+    WITH tok AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), words AS (
+      SELECT unnest(toks) AS word FROM tok
+    ), wf AS (
+      SELECT word, count(*) AS freq FROM words GROUP BY word
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, word ASC) AS rnk
+      FROM wf
+    ), cum AS (
+      SELECT rnk, sum(freq) OVER (ORDER BY rnk) AS cumf FROM ranked
+    ), tot AS (SELECT sum(freq) AS total FROM wf),
+    cuts(v_cutoff) AS (VALUES (100), (500), (2000), (10000))
+    SELECT c.v_cutoff,
+           CAST(max(cum.cumf) AS BIGINT) AS covered_tokens,
+           CAST(max(tot.total) AS BIGINT) AS total_tokens,
+           round(CAST(max(cum.cumf) AS DOUBLE) / max(tot.total), 6) AS coverage
+    FROM cuts c JOIN cum ON cum.rnk <= c.v_cutoff CROSS JOIN tot
+    GROUP BY c.v_cutoff
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/bpe.py::vocab_coverage):
+    token-occurrence coverage of the top-V words at four vocab sizes —
+    the coverage/OOV analysis run before fixing a tokenizer vocab
+    (where the curve flattens, subword splitting should take over).
+    One corpus scan + TakeOrderedAndProject top-V; the only
+    unpartitioned window is max(cutoffs)+1 rows."""
+    from .operators.bpe import vocab_coverage
+
+    return vocab_coverage(
+        _docs_fan(spark, sf_dir), cutoffs=[100, 500, 2000, 10000]
+    )
+
+
+@register(
+    "behavior_affinity_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+    ), cnt AS (
+      SELECT item, count(*) AS c FROM b GROUP BY item
+    ), top AS (
+      SELECT item, c FROM cnt ORDER BY c DESC, item ASC LIMIT 5
+    ), kept AS (
+      SELECT b.basket, b.item FROM b JOIN top USING (item)
+    ), pairs AS (
+      SELECT a.item AS item_a, bb.item AS item_b, count(*) AS n_ab
+      FROM kept a JOIN kept bb
+        ON a.basket = bb.basket AND a.item < bb.item
+      GROUP BY 1, 2
+    ), n AS (SELECT count(DISTINCT basket) AS nb FROM b)
+    SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           round(CAST(p.n_ab AS DOUBLE) / n.nb, 6) AS support,
+           round(CAST(p.n_ab AS DOUBLE) * n.nb / (ta.c * tb.c), 6) AS lift
+    FROM pairs p CROSS JOIN n
+    JOIN top ta ON ta.item = p.item_a
+    JOIN top tb ON tb.item = p.item_b
+    """,
+)
+def q_behavior_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over behaviors
+    (operators/retrieval.py::basket_pairs_lift): which event types
+    co-occur in the SAME user's history beyond chance — support and
+    lift per pair, generalizing the PMI adjacency collocations to any
+    (basket, item) incidence. Pair volume is C(top_items, 2)-bounded
+    by construction; the pair expansion is the LSH path's
+    _bucket_pairs aggregate, never a self-join."""
+    from .operators.retrieval import basket_pairs_lift
+
+    return basket_pairs_lift(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", top_items=5
+    )
+
+
+@register(
+    "decay_weighted_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice * round(
+             pow(0.5, CAST(date_diff('day', o_orderdate, DATE '2001-09-01')
+                           AS DOUBLE) / 365.0), 9)), 2) AS decayed_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted revenue
+    (operators/windows.py::time_decay_sum): per-priority revenue under
+    a 365-day half-life decay against a pinned reference date — the
+    recency weighting every trending/importance score applies, as one
+    partial-aggregated pass (datediff is type-agnostic, so the vanilla
+    session's TIMESTAMP_NTZ reads score identically; per-row weights
+    rounded to 9 so both engines sum identical doubles)."""
+    from .operators.windows import time_decay_sum
+
+    return time_decay_sum(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        "o_totalprice",
+        ["o_orderpriority"],
+        ref_date="2001-09-01",
+        half_life_days=365.0,
+    )
+
+
 #: Frozen toy merge table for the bpe_encode registry entry: the point
 #: is pinning the DISTRIBUTED APPLY path (broadcast ranks, Arrow pass,
 #: per-batch word memoization) on real corpus text at sweep cost ~one
@@ -7301,24 +7412,27 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (counts_and_averages, topk_orders, customers_without_orders,
 # customers_with_urgent_orders, word_count, top_words,
 # json_extract_sum) and doc_fingerprints (driver-green r7).
-# Round-9 rotation: IN — the seven new r9 registrations
+# Round-9 rotation: IN — the ten new r9 registrations
 # (weighted_sample_noreplace, ngram_novelty_scores,
 # event_markov_transitions, neyman_allocation_events,
-# bpe_encode_tokens, manifest_novelty_new, session_sequence_logprob —
-# new queries earn a driver row immediately, per policy). OUT — seven
-# r8 rotations, all driver-green in CORRECTNESS_r08
-# (split_no_leakage, takedown_propagation, mixture_epochs_schedule,
-# cdc_chunk_documents, cross_source_dup_matrix, dup_weighted_docs,
-# eval_sample_per_source).
+# bpe_encode_tokens, manifest_novelty_new, session_sequence_logprob,
+# vocab_coverage_curve, behavior_affinity_lift,
+# decay_weighted_revenue — new queries earn a driver row immediately,
+# per policy). OUT — ten r8 rotations, all driver-green in
+# CORRECTNESS_r08 (split_no_leakage, takedown_propagation,
+# mixture_epochs_schedule, cdc_chunk_documents,
+# cross_source_dup_matrix, dup_weighted_docs, eval_sample_per_source,
+# kfold_group_sizes, histogram_quantiles_value,
+# embedding_random_projection).
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "weighted_sample_noreplace", "top_revenue_join",
     "ngram_novelty_scores", "filter_project", "event_markov_transitions",
     "neyman_allocation_events", "bpe_encode_tokens",
     "manifest_novelty_new", "winnowing_overlap_pairs", "percentile_buckets",
     "etl_ratings_pipeline", "window_topk_per_customer",
-    "session_sequence_logprob", "kfold_group_sizes",
-    "quality_scores", "histogram_quantiles_value",
-    "embedding_random_projection", "jaccard_threshold_sweep",
+    "session_sequence_logprob", "vocab_coverage_curve",
+    "quality_scores", "behavior_affinity_lift",
+    "decay_weighted_revenue", "jaccard_threshold_sweep",
     "kmv_prefiltered_distinct", "retrieval_ndcg_bm25",
     "image_ahash_dedup", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",

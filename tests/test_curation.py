@@ -962,3 +962,74 @@ def test_manifest_novelty_plan_broadcasts_batch_probe(spark):
     # the manifest probe is a broadcast semi join, not a shuffled one
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_coverage_hand_values(spark):
+    """r9: coverage at V = cumulative freq of top-V words / total;
+    cutoffs beyond the vocab end report full coverage; ties break
+    (freq desc, word asc)."""
+    from spark_streaming_kafka_spark.operators.bpe import vocab_coverage
+
+    # freqs: a=4, b=3, c=2, d=1 (total 10)
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b c d"), (3, "a b")], "doc_id long, text string"
+    )
+    out = {r["v_cutoff"]: r for r in vocab_coverage(df, [1, 2, 3, 99]).collect()}
+    assert out[1]["covered_tokens"] == 4 and out[1]["coverage"] == 0.4
+    assert out[2]["covered_tokens"] == 7 and out[2]["coverage"] == 0.7
+    assert out[3]["covered_tokens"] == 9 and out[3]["coverage"] == 0.9
+    # beyond the vocab end: full coverage, not a missing row
+    assert out[99]["covered_tokens"] == 10 and out[99]["coverage"] == 1.0
+    assert all(r["total_tokens"] == 10 for r in out.values())
+
+
+def test_basket_pairs_lift_hand_values(spark):
+    """r9: lift = n_ab * N / (c_a * c_b) over basket incidence; the
+    top_items cap drops rare items before pairing."""
+    from spark_streaming_kafka_spark.operators.retrieval import basket_pairs_lift
+
+    rows = [
+        (1, "x"), (1, "y"),           # x,y together
+        (2, "x"), (2, "y"),           # x,y together again
+        (3, "x"), (3, "z"),
+        (4, "y"),
+        (5, "z"), (5, "rare"),        # 'rare' appears in 1 basket
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_pairs_lift(df, "basket", "item", top_items=3).collect()
+    }
+    # universe: x (3 baskets), y (3), z (2); N = 5 baskets
+    assert ("rare", "z") not in out and ("z", "rare") not in out
+    xy = out[("x", "y")]
+    assert xy["n_ab"] == 2
+    assert xy["support"] == 0.4           # 2 / 5
+    assert xy["lift"] == round(2 * 5 / (3 * 3), 6)
+    xz = out[("x", "z")]
+    assert xz["n_ab"] == 1 and xz["lift"] == round(1 * 5 / (3 * 2), 6)
+    # y,z never co-occur: no row (support-0 pairs are absent, not 0)
+    assert ("y", "z") not in out
+
+
+def test_time_decay_sum_hand_values(spark):
+    """r9: w = 0.5^(age/half_life) against the pinned reference date —
+    a value half_life days old counts exactly half."""
+    from datetime import datetime
+
+    from spark_streaming_kafka_spark.operators.windows import time_decay_sum
+
+    rows = [
+        ("g", datetime(2024, 1, 11), 100.0),   # age 0 -> w 1
+        ("g", datetime(2024, 1, 1), 100.0),    # age 10 = half-life -> w 0.5
+        ("h", datetime(2023, 12, 22), 100.0),  # age 20 -> w 0.25
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {
+        r["g"]: r
+        for r in time_decay_sum(
+            df, "ts", "v", ["g"], ref_date="2024-01-11", half_life_days=10.0
+        ).collect()
+    }
+    assert out["g"]["n_rows"] == 2 and out["g"]["decayed_sum"] == 150.0
+    assert out["h"]["decayed_sum"] == 25.0
