@@ -39,15 +39,30 @@ def test_pipeline_tier_no_query_regressed():
     if len(arts) < 2:
         pytest.skip("need two committed pipeline artifacts to compare")
     (prev_r, prev), (cur_r, cur) = arts[-2], arts[-1]
-    # Box normalization: the fixed-work md5 microbench scales the bound.
-    # Clamped to [1.0, 1.5] — a FASTER box never tightens the 30% bound
-    # (that would flake on hardware luck), and a >1.5x slower box is a
-    # broken record, not a normalization case.
-    try:
-        scale = cur["calib"]["md5_32mb_sec"] / prev["calib"]["md5_32mb_sec"]
-    except (KeyError, ZeroDivisionError):
+    # Preferred baseline: a SAME-BOX A/B replay — the previous round's
+    # CODE re-run by bench.py on the current round's box, committed as
+    # docs/BENCH_r{cur}_pipeline_ab.json (with replay_of_commit
+    # provenance). Cross-session boxes differ in MULTI-CORE throughput
+    # by up to ~25% while the single-core md5 calib barely moves (r9:
+    # calib within 2%, every untouched query +15-60% vs the r8 record;
+    # the replay proved the code neutral at 1.02x). When the replay
+    # exists, it IS the box-controlled baseline and no further
+    # normalization applies.
+    ab_path = REPO / "docs" / f"BENCH_r{cur_r}_pipeline_ab.json"
+    if ab_path.exists():
+        prev = json.loads(ab_path.read_text())
         scale = 1.0
-    scale = min(max(scale, 1.0), 1.5)
+    else:
+        # Fallback: single-core calib normalization against the previous
+        # round's committed record. Clamped to [1.0, 1.5] — a FASTER box
+        # never tightens the 30% bound (that would flake on hardware
+        # luck), and a >1.5x slower box is a broken record, not a
+        # normalization case.
+        try:
+            scale = cur["calib"]["md5_32mb_sec"] / prev["calib"]["md5_32mb_sec"]
+        except (KeyError, ZeroDivisionError):
+            scale = 1.0
+        scale = min(max(scale, 1.0), 1.5)
     missing = set(prev["queries"]) - set(cur["queries"])
     assert not missing, (
         f"r{cur_r} pipeline record dropped queries present in r{prev_r}: "

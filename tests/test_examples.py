@@ -26,6 +26,7 @@ EXAMPLES = [
     "examples/governance.py",
     "examples/sketch_monitors.py",
     "examples/streaming_e2e.py",
+    "examples/behavior_analytics.py",
 ]
 
 

@@ -207,6 +207,19 @@ SHOWCASE = {
     "neyman_allocation_events": "ONE partial→final HashAggregate over the "
     "facts (count + stddev partial-combine); floor/remainder/rank all ride "
     "unpartitioned windows over the stratum-count-sized profile.",
+    "vocab_coverage_curve": "One corpus scan into the word-frequency hash "
+    "aggregate, TakeOrderedAndProject for the top-V (per-partition heaps, "
+    "no global vocab sort); the grand total rides a tagged union row and "
+    "cutoff assignment is an explode of a filtered LITERAL array — no "
+    "theta join, so no BroadcastNestedLoopJoin.",
+    "behavior_affinity_lift": "Distinct (basket, item) incidence → "
+    "TakeOrderedAndProject top items → broadcast left-semi keep → "
+    "_bucket_pairs array expansion (one hash aggregate, no basket "
+    "self-join); totals and item counts return as broadcasts over the "
+    "C(top_items,2)-bounded pair table.",
+    "decay_weighted_revenue": "Pure column algebra (datediff → pow → "
+    "round) folded into ONE partial→final HashAggregate — the same single "
+    "pass any grouped sum costs.",
     "corpus_curation_e2e": "The composed seven-stage pipeline: every "
     "inter-stage hand-off is a BroadcastHashJoin LeftSemi/LeftAnti on "
     "id-only decision sets (no document-body shuffle anywhere); the "
