@@ -441,3 +441,126 @@ def test_kmv_sketch_matches_python_bottom_k(spark, rows, k, fanout):
         )[:k]
         expect[g] = [(i + 1, h) for i, h in enumerate(hs)]
     assert {g: sorted(v) for g, v in got.items()} == expect
+
+
+@given(
+    rows=st.dictionaries(
+        st.integers(0, 40),
+        st.tuples(st.integers(0, 2), st.floats(0.1, 100.0)),
+        min_size=1,
+        max_size=20,
+    ),
+    n=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_python_ares(spark, rows, n):
+    """weighted_sample_noreplace == plain-Python A-Res with the same
+    hash uniform: identical members AND ranks per group, any weights."""
+    import hashlib
+    import math
+
+    from spark_streaming_kafka_spark.operators.curation import (
+        weighted_sample_noreplace,
+    )
+
+    data = [(g, i, w) for i, (g, w) in rows.items()]
+    df = spark.createDataFrame(data, "g long, id long, w double")
+    got = {
+        (r["g"], r["id"]): r["pos"]
+        for r in weighted_sample_noreplace(
+            df, "w", n, group_cols=["g"], id_col="id"
+        ).collect()
+    }
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wsr_{i}".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1) / float(1 << 60)) / w, 9)
+
+    expected = {}
+    bygroup: dict = {}
+    for g, i, w in data:
+        bygroup.setdefault(g, []).append((i, w))
+    for g, members in bygroup.items():
+        ranked = sorted(members, key=lambda iw: (-key(iw[0], iw[1]), iw[0]))
+        for pos, (i, _) in enumerate(ranked[:n], 1):
+            expected[(g, i)] = pos
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    split=st.integers(1, 7),
+)
+@settings(**_SETTINGS)
+def test_manifest_novelty_equals_batch_on_any_split(spark, docs, split):
+    """For ANY history/batch split at an id boundary, the incremental
+    manifest scoring of the batch equals the batch operator's rows for
+    those ids on the full corpus — the incremental==batch contract."""
+    from spark_streaming_kafka_spark.operators.dedup import doc_shingles
+    from spark_streaming_kafka_spark.operators.repetition import (
+        ngram_novelty,
+        ngram_novelty_vs_manifest,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in ngram_novelty(df, k=2).collect()
+    }
+    history = df.filter(F.col("doc_id") < split)
+    batch = df.filter(F.col("doc_id") >= split)
+    manifest = doc_shingles(history, k=2).select("shingle").distinct()
+    inc = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in ngram_novelty_vs_manifest(batch, manifest, k=2).collect()
+    }
+    assert inc == {i: v for i, v in full.items() if i >= split}
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.sampled_from("xyz")),
+        min_size=2,
+        max_size=24,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+@settings(**_SETTINGS)
+def test_markov_probs_normalize_and_count_pairs(spark, events):
+    """Transition counts equal the per-key consecutive pairs of the
+    (ts, id)-sorted sequences, and probabilities sum to 1 per prev
+    state (within rounding)."""
+    from collections import Counter
+
+    from spark_streaming_kafka_spark.operators.sessionize import (
+        markov_transitions,
+    )
+
+    rows = [
+        (eid, u, _ts(t), s) for eid, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = markov_transitions(df).collect()
+    seqs: dict = {}
+    for eid, u, t, s in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        seqs.setdefault(u, []).append(s)
+    expected = Counter(
+        (seq[i], seq[i + 1])
+        for seq in seqs.values()
+        for i in range(len(seq) - 1)
+    )
+    got = {(r["prev_state"], r["next_state"]): r["n_transitions"] for r in out}
+    assert got == dict(expected)
+    sums: dict = {}
+    for r in out:
+        sums[r["prev_state"]] = sums.get(r["prev_state"], 0.0) + r["prob"]
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
