@@ -109,3 +109,123 @@ def psi_from_counts(
         )
         .orderBy("feature")
     )
+
+
+def mean_shift_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key changepoint detection: the split position maximizing the
+    CUSUM mean-shift statistic ``sqrt(i·(n−i)/n) · |mean(x₁..xᵢ) −
+    mean(xᵢ₊₁..xₙ)|`` over the (ts, tiebreak)-ordered series — the
+    first step of binary segmentation, and the question the PSI drift
+    report can't answer: not "did the distribution move between two
+    snapshots" but WHEN, inside one series, the level shifted most.
+    Output: (key..., n, change_ts_ms, stat) — one row per key with
+    ≥ 2 points; ``change_ts_ms`` is the last point of the left
+    segment (epoch ms).
+
+    All prefix/suffix means come from ONE cumulative window over the
+    key partition (prefix sums make every candidate split O(1)), the
+    arg-max is a rank over the same partition, and the statistic is
+    rounded before ranking with (ts, tiebreak) tiebreaks — so both
+    engines pick identical splits. Cost: the single per-key window
+    shuffle; no per-split recomputation, no UDFs.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy(*key_cols)
+    x = F.col(value_col).cast("double")
+    cur = df.select(
+        *key_cols,
+        F.unix_millis(F.col(ts_col)).alias("__ms"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.sum(x).over(w_cum).alias("__cum"),
+        F.row_number()
+        .over(Window.partitionBy(*key_cols).orderBy(*order))
+        .alias("__i"),
+        F.sum(x).over(w_key).alias("__tot"),
+        F.count(F.lit(1)).over(w_key).alias("__n"),
+    ).filter(F.col("__i") < F.col("__n"))
+    i, n = F.col("__i").cast("double"), F.col("__n").cast("double")
+    pre = F.col("__cum") / i
+    post = (F.col("__tot") - F.col("__cum")) / (n - i)
+    stat = F.round(F.sqrt(i * (n - i) / n) * F.abs(pre - post), 6)
+    ranked = cur.select(
+        *key_cols,
+        F.col("__n").alias("n"),
+        F.col("__ms").alias("change_ts_ms"),
+        stat.alias("stat"),
+        F.row_number()
+        .over(
+            Window.partitionBy(*key_cols).orderBy(
+                stat.desc(), F.col("__ms").asc(), F.col("__tb").asc()
+            )
+        )
+        .alias("__r"),
+    )
+    return ranked.filter(F.col("__r") == 1).drop("__r")
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two CATEGORICAL columns:
+    one row (n, mi, h_x, h_y) with ``mi = Σ p(x,y)·ln(p(x,y) /
+    (p(x)p(y)))`` in nats and the marginal entropies for reference
+    (``mi / min(h_x, h_y)`` is the usual normalized association). The
+    column-relationship profile for feature screens and leakage checks
+    — ``corr_quantity_price`` answers this for numeric pairs, PMI for
+    adjacent tokens; this is the categorical-pair member.
+
+    NULL in either column drops the row (same discipline as the
+    sketches). One partial-aggregated pass builds the (x, y)
+    contingency table; every window after runs on that
+    |X|·|Y|-bounded table (the caller's contract is categorical
+    columns — bucket continuous ones first, e.g. with
+    ``histogram_sketch`` bins). Counts are integers, so both engines
+    derive the doubles from identical inputs; outputs round to 6.
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_all = Window.partitionBy()  # |X|·|Y| rows by construction
+    w_x = Window.partitionBy("__x")
+    w_y = Window.partitionBy("__y")
+    c = F.col("__c").cast("double")
+    n = F.sum("__c").over(w_all).cast("double")
+    cx = F.sum("__c").over(w_x).cast("double")
+    cy = F.sum("__c").over(w_y).cast("double")
+    cells = joint.select(
+        F.col("__c"),
+        ((c / n) * F.log(c * n / (cx * cy))).alias("__mi_term"),
+        (c / n).alias("__pxy"),
+        (cx / n).alias("__px"),
+        (cy / n).alias("__py"),
+        F.sum("__c").over(w_all).alias("__n"),
+        # entropy terms must count each marginal ONCE: weight the
+        # per-cell marginal term by the cell's share of its marginal
+        ((c / cx) * (-(cx / n) * F.log(cx / n))).alias("__hx_term"),
+        ((c / cy) * (-(cy / n) * F.log(cy / n))).alias("__hy_term"),
+    )
+    return cells.groupBy().agg(
+        F.max("__n").alias("n"),
+        F.round(F.sum("__mi_term"), 6).alias("mi"),
+        F.round(F.sum("__hx_term"), 6).alias("h_x"),
+        F.round(F.sum("__hy_term"), 6).alias("h_y"),
+    )

@@ -220,3 +220,35 @@ def sequence_logprob(
             F.round(F.avg(F.log("prob")), 6).alias("avg_logprob"),
         )
     )
+
+
+def debounce_first_per_burst(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_ms: int = 5_000,
+) -> DataFrame:
+    """Burst suppression: keep only the FIRST event of each burst per
+    key, where a burst is a maximal run of events whose inter-event
+    gaps are all ≤ ``gap_ms`` — duplicate-click / retry / at-least-once
+    redelivery hygiene at ingest (the temporal twin of
+    ``curation.source_cap_sample``'s volume caps: there the guard is
+    "too many overall", here it is "too many at once").
+
+    Burst boundaries are the sessionize_by_gap rule with the keep
+    reduced to the session's opening event: one lag over the same
+    (ts, tiebreak)-ordered key window, so the cost is the single
+    hash-partition shuffle every per-key ranking pays, and the result
+    is deterministic under any partitioning. Epoch-ms arithmetic via
+    ``unix_millis`` (inputs loaded through ``load_table`` are
+    normalized TIMESTAMP).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ms = F.unix_millis(F.col(ts_col))
+    keep = F.lag(ms).over(w).isNull() | (ms - F.lag(ms).over(w) > gap_ms)
+    return events.withColumn("__keep", keep).filter(F.col("__keep")).drop(
+        "__keep"
+    )

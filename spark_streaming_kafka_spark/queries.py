@@ -7312,6 +7312,133 @@ def q_decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "debounce_burst_events",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts ASC, event_id ASC
+             ) AS prev_ms
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ms AS ts_ms, value
+    FROM seq
+    WHERE prev_ms IS NULL OR ms - prev_ms > 60000
+    """,
+)
+def q_debounce_burst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression at ingest
+    (operators/sessionize.py::debounce_first_per_burst): keep only the
+    opening event of each (user, event_type) burst — runs whose
+    inter-event gaps are all <= 60 s — the duplicate-click / retry /
+    at-least-once redelivery screen. One lag over the per-key window;
+    deterministic under any partitioning via the (ts, event_id)
+    order."""
+    from .operators.sessionize import debounce_first_per_burst
+
+    ev = _t(spark, sf_dir, "events")
+    return debounce_first_per_burst(
+        ev, ["user_id", "event_type"], gap_ms=60_000
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+    )
+
+
+@register(
+    "value_changepoints",
+    """
+    WITH ordered AS (
+      SELECT event_type,
+             epoch_ms(ts) AS ms, event_id AS tb, value,
+             sum(value) OVER (
+               PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+             ) AS i,
+             sum(value) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ), stats AS (
+      SELECT event_type, n, ms,
+             round(sqrt(CAST(i AS DOUBLE) * (n - i) / n)
+                   * abs(cum / i - (tot - cum) / (n - i)), 6) AS stat,
+             tb
+      FROM ordered WHERE i < n
+    ), ranked AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n, ms AS change_ts_ms, stat,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY stat DESC, ms ASC, tb ASC
+             ) AS r
+      FROM stats
+    )
+    SELECT event_type, n, change_ts_ms, stat FROM ranked WHERE r = 1
+    """,
+)
+def q_value_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type changepoint
+    (operators/drift.py::mean_shift_changepoint): the split maximizing
+    the CUSUM mean-shift statistic over each (ts, event_id)-ordered
+    value series — WHEN the level shifted most, the in-series question
+    the two-snapshot PSI report can't answer. Prefix sums make every
+    candidate split O(1); one per-key window shuffle total."""
+    from .operators.drift import mean_shift_changepoint
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return mean_shift_changepoint(
+        ev, ["event_type"], "ts", "value", "event_id"
+    )
+
+
+@register(
+    "event_hour_mutual_info",
+    """
+    WITH joint AS (
+      SELECT event_type AS x, strftime(ts, '%H') AS y, count(*) AS c
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT c,
+             sum(c) OVER () AS n,
+             sum(c) OVER (PARTITION BY x) AS cx,
+             sum(c) OVER (PARTITION BY y) AS cy
+      FROM joint
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(sum((CAST(c AS DOUBLE) / n)
+                     * ln(CAST(c AS DOUBLE) * n / (cx * cy))), 6) AS mi,
+           round(sum((CAST(c AS DOUBLE) / cx)
+                     * (-(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n))), 6) AS h_x,
+           round(sum((CAST(c AS DOUBLE) / cy)
+                     * (-(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n))), 6) AS h_y
+    FROM cells
+    """,
+)
+def q_event_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association profile
+    (operators/drift.py::mutual_information): MI(event_type;
+    hour-of-day) in nats with both marginal entropies — is behavior
+    time-of-day dependent, the feature-screen/leakage-check companion
+    to corr_quantity_price (numeric pairs) and pmi_collocations
+    (adjacent tokens). One contingency aggregation; all windows run on
+    the |X|x|Y|-bounded table."""
+    from .operators.drift import mutual_information
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "HH").alias("hour")
+    )
+    return mutual_information(ev, "event_type", "hour")
+
+
 #: Frozen toy merge table for the bpe_encode registry entry: the point
 #: is pinning the DISTRIBUTED APPLY path (broadcast ranks, Arrow pass,
 #: per-batch word memoization) on real corpus text at sweep cost ~one
@@ -7412,18 +7539,20 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (counts_and_averages, topk_orders, customers_without_orders,
 # customers_with_urgent_orders, word_count, top_words,
 # json_extract_sum) and doc_fingerprints (driver-green r7).
-# Round-9 rotation: IN — the ten new r9 registrations
+# Round-9 rotation: IN — the thirteen new r9 registrations
 # (weighted_sample_noreplace, ngram_novelty_scores,
 # event_markov_transitions, neyman_allocation_events,
 # bpe_encode_tokens, manifest_novelty_new, session_sequence_logprob,
 # vocab_coverage_curve, behavior_affinity_lift,
-# decay_weighted_revenue — new queries earn a driver row immediately,
-# per policy). OUT — ten r8 rotations, all driver-green in
+# decay_weighted_revenue, debounce_burst_events, value_changepoints,
+# event_hour_mutual_info — new queries earn a driver row immediately,
+# per policy). OUT — thirteen r8 rotations, all driver-green in
 # CORRECTNESS_r08 (split_no_leakage, takedown_propagation,
 # mixture_epochs_schedule, cdc_chunk_documents,
 # cross_source_dup_matrix, dup_weighted_docs, eval_sample_per_source,
 # kfold_group_sizes, histogram_quantiles_value,
-# embedding_random_projection).
+# embedding_random_projection, jaccard_threshold_sweep,
+# retrieval_ndcg_bm25, image_ahash_dedup).
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "weighted_sample_noreplace", "top_revenue_join",
     "ngram_novelty_scores", "filter_project", "event_markov_transitions",
@@ -7432,9 +7561,9 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "etl_ratings_pipeline", "window_topk_per_customer",
     "session_sequence_logprob", "vocab_coverage_curve",
     "quality_scores", "behavior_affinity_lift",
-    "decay_weighted_revenue", "jaccard_threshold_sweep",
-    "kmv_prefiltered_distinct", "retrieval_ndcg_bm25",
-    "image_ahash_dedup", "dedup_exact", "dedup_ngram_jaccard",
+    "decay_weighted_revenue", "debounce_burst_events",
+    "kmv_prefiltered_distinct", "value_changepoints",
+    "event_hour_mutual_info", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "semantic_dedup_clusters", "gap_fill_hourly", "embedding_near_dup",
     "embedding_near_dup_lsh", "semantic_dedup_clusters_lsh",

@@ -333,3 +333,38 @@ def test_inverted_index_caps_and_order(spark):
     assert out["common"]["df"] == 10              # df is UNCAPPED
     assert out["common"]["postings"] == "0,1,2"   # lowest ids, capped
     assert out["x"]["df"] == 9 and out["x"]["postings"] == "0,1,2"
+
+
+def test_debounce_keeps_burst_openers_only(spark):
+    """r9: within a (user, type) burst (gaps <= gap_ms) only the first
+    event survives; a gap > gap_ms opens a new burst; keys are
+    independent; ts ties break on the tiebreak column."""
+    from datetime import datetime, timedelta
+
+    from spark_streaming_kafka_spark.operators.sessionize import (
+        debounce_first_per_burst,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    ms = lambda x: t0 + timedelta(milliseconds=x)
+    rows = [
+        # u1/click: burst at 0,3s,6s (chained <=5s gaps) then 20s
+        (1, 1, ms(0), "click"), (2, 1, ms(3000), "click"),
+        (3, 1, ms(6000), "click"), (4, 1, ms(20000), "click"),
+        # u1/view independent of clicks
+        (5, 1, ms(1000), "view"),
+        # u2: tie at identical ts — event_id 6 opens, 7 suppressed
+        (6, 2, ms(0), "click"), (7, 2, ms(0), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in debounce_first_per_burst(
+            df, ["user_id", "event_type"], gap_ms=5000
+        ).collect()
+    )
+    # chained suppression: 3s and 6s are both inside the burst opened
+    # at 0 (each gap <= 5s), 20s opens a new burst
+    assert kept == [1, 4, 5, 6]

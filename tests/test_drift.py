@@ -260,3 +260,66 @@ def test_streaming_incremental_dedup_corrupt_manifest_aborts(spark, tmp_path):
     b = spark.createDataFrame([(1, "alpha bravo")], "doc_id long, text string")
     with pytest.raises(Exception, match="[Pp]arquet"):
         sink(b, 1)
+
+
+def test_mean_shift_changepoint_hand_values(spark):
+    """r9: the CUSUM statistic peaks at the true level shift; ties and
+    single-point keys behave by contract."""
+    from datetime import datetime
+
+    from spark_streaming_kafka_spark.operators.drift import (
+        mean_shift_changepoint,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = (
+        # key 'a': clean level shift 10,10,10 -> 20,20,20 after s=3
+        [(i, "a", t(i), 10.0) for i in range(1, 4)]
+        + [(i, "a", t(i), 20.0) for i in range(4, 7)]
+        # key 'b': constant series — stat 0 everywhere, earliest wins
+        + [(i, "b", t(i), 5.0) for i in range(1, 4)]
+        # key 'c': single point — no interior split, no row
+        + [(99, "c", t(1), 1.0)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, k string, ts timestamp, v double")
+    out = {
+        r["k"]: r
+        for r in mean_shift_changepoint(df, ["k"], "ts", "v", "event_id").collect()
+    }
+    assert set(out) == {"a", "b"}
+    # split after the third point (ts s=3): i=3, n=6,
+    # stat = sqrt(3*3/6)*|10-20| = sqrt(1.5)*10
+    a = out["a"]
+    assert a["n"] == 6
+    assert a["change_ts_ms"] == int(t(3).timestamp() * 1000)
+    assert a["stat"] == round((1.5 ** 0.5) * 10, 6)
+    # constant series: all stats 0 -> earliest split by tiebreak
+    assert out["b"]["stat"] == 0.0
+    assert out["b"]["change_ts_ms"] == int(t(1).timestamp() * 1000)
+
+
+def test_mutual_information_hand_values(spark):
+    """r9: MI = 0 for independent columns; MI = H for identical ones."""
+    import math
+
+    from spark_streaming_kafka_spark.operators.drift import mutual_information
+
+    # perfectly dependent: y == x, two symbols 50/50 -> mi = h = ln 2
+    dep = spark.createDataFrame(
+        [("a", "a")] * 4 + [("b", "b")] * 4, "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r["n"] == 8
+    assert r["mi"] == r["h_x"] == r["h_y"] == round(math.log(2), 6)
+    # independent: every (x, y) cell equal -> mi = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x string, y string",
+    )
+    r2 = mutual_information(ind, "x", "y").collect()[0]
+    assert r2["mi"] == 0.0 and r2["h_x"] == round(math.log(2), 6)
+    # nulls drop
+    withnull = spark.createDataFrame(
+        [("a", "c"), ("a", None), (None, "d")], "x string, y string"
+    )
+    assert mutual_information(withnull, "x", "y").collect()[0]["n"] == 1

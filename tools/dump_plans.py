@@ -220,6 +220,16 @@ SHOWCASE = {
     "decay_weighted_revenue": "Pure column algebra (datediff → pow → "
     "round) folded into ONE partial→final HashAggregate — the same single "
     "pass any grouped sum costs.",
+    "debounce_burst_events": "One lag over the (user, type)-keyed window "
+    "— the single hash-partition shuffle every per-key ranking pays; the "
+    "keep predicate evaluates inside the window stage.",
+    "value_changepoints": "Prefix sums + key totals in ONE window stage "
+    "over the per-key shuffle make every candidate split O(1); the "
+    "arg-max rank reuses the same partitioning — no per-split "
+    "recomputation, no second exchange.",
+    "event_hour_mutual_info": "One partial→final HashAggregate builds the "
+    "contingency table; every window after runs on the |X|·|Y|-bounded "
+    "cells and the final global aggregate is one row.",
     "corpus_curation_e2e": "The composed seven-stage pipeline: every "
     "inter-stage hand-off is a BroadcastHashJoin LeftSemi/LeftAnti on "
     "id-only decision sets (no document-body shuffle anywhere); the "
