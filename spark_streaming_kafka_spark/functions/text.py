@@ -432,3 +432,45 @@ def logistic_quality(text: Column) -> Column:
         6,
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# --- readability ----------------------------------------------------------
+
+
+def readability_features(text: Column) -> dict[str, Column]:
+    """Flesch-style readability proxies, pure column algebra.
+
+    Real syllable counting needs a dictionary; the standard corpus-scale
+    proxy is VOWEL GROUPS (maximal ``[aeiouy]+`` runs, lowercased),
+    which tracks syllables closely enough to rank documents. Sentences
+    are terminator runs ``[.!?]+`` with a floor of 1 (a fragment is one
+    sentence); words are the whitespace tokenizer shared with
+    :func:`quality_features`. The score is the Flesch reading-ease
+    formula over those proxies:
+
+        206.835 - 1.015 * words/sentence - 84.6 * vowel_groups/word
+
+    Every count is an exact integer and both regexes behave identically
+    under Java regex (Spark) and RE2 (DuckDB), so the oracle reproduces
+    the scores bit-for-bit after rounding. Zero-word documents score
+    NULL (no ratio is defined), never a fake 0.
+    """
+    words = F.size(F.filter(F.split(text, " "), lambda x: x != ""))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    vgroups = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), 0)
+    )
+    wps = words / sents
+    vpw = vgroups / words
+    return {
+        "n_words": words.cast("long"),
+        "n_sentences": sents.cast("long"),
+        "n_vowel_groups": vgroups.cast("long"),
+        "words_per_sentence": F.when(words > 0, wps),
+        "vowel_groups_per_word": F.when(words > 0, vpw),
+        "flesch": F.when(
+            words > 0, F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * vpw
+        ),
+    }

@@ -25,7 +25,7 @@ Scale shape — the whole point of the implementation:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -130,4 +130,60 @@ def merge_additive_aggregates(
     )
     return u.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in add_cols]
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type-2 history from a change
+    stream: collapse consecutive identical attribute observations into
+    effective-dated versions.
+
+    The dimension-building counterpart of :func:`snapshot_diff` — that
+    answers "what changed between two snapshots", this answers "what
+    was the value at time T" given EVERY observation. Each key's
+    observations are compressed to the rows where ``attr_col`` actually
+    changed; each surviving row gets ``effective_from_ms`` (its own
+    timestamp), ``effective_to_ms`` (the NEXT change's timestamp; NULL
+    while current), and a 1-based ``version``.
+
+    Two window functions over ONE (ts, tiebreak)-ordered key window, so
+    the cost is a single hash-partition shuffle on ``key_cols`` —
+    lag to find change points, then lead/row_number on the filtered
+    change rows (Catalyst keeps both in the same sort since the
+    filter preserves the partitioning). NULL attribute values are
+    legal and compared null-safely (NULL → non-NULL counts as a
+    change). Deterministic under any partitioning.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    prev = F.lag(F.col(attr_col)).over(w)
+    prev_seen = F.lag(F.lit(1)).over(w)
+    is_change = prev_seen.isNull() | ~F.col(attr_col).eqNullSafe(prev)
+    changed = (
+        changes.select(
+            *key_cols,
+            F.col(attr_col),
+            F.unix_millis(F.col(ts_col)).alias("effective_from_ms"),
+            F.col(tiebreak_col).alias("__tb"),
+            is_change.alias("__chg"),
+        )
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col("effective_from_ms").asc(), F.col("__tb").asc()
+    )
+    return changed.select(
+        *key_cols,
+        F.col(attr_col),
+        "effective_from_ms",
+        F.lead("effective_from_ms").over(w2).alias("effective_to_ms"),
+        F.row_number().over(w2).cast("int").alias("version"),
     )

@@ -1339,3 +1339,62 @@ def neyman_allocation(
 
 
 __all__ += ["weighted_sample_noreplace", "neyman_allocation"]
+
+
+def curriculum_interleave(
+    docs: DataFrame,
+    source_col: str,
+    order_by: "list[Column]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum schedule: rank documents within each source by the
+    given ordering (best first), then interleave the sources
+    round-robin into one global training order — every source's k-th
+    best document lands in the k-th block of the schedule, so early
+    training sees the best of EVERY source instead of draining the
+    largest one first.
+
+    The scale trick is that the global position is ARITHMETIC, not a
+    global sort: ``sched_pos = (within_rank - 1) * n_sources +
+    source_idx`` is collision-free by construction, so the only
+    data-sized work is the per-source ranking window (one shuffle on
+    ``source_col``; a dominant source serializes its own ranking task
+    — the quantile-bucket refinement documented in percentile.py is
+    the escape hatch at extreme skew). The source index and count
+    come from a sources-sized distinct + broadcast join.
+
+    Returns (id, source, ``within_rank``, ``sched_pos``), both ranks
+    1-based.
+    """
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy(source_col).orderBy(*order_by)
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w_src).cast("long").alias("within_rank"),
+    )
+    w_all = Window.orderBy(F.col(source_col).asc())  # sources-sized
+    sources = (
+        docs.select(source_col)
+        .distinct()
+        .select(
+            F.col(source_col),
+            F.dense_rank().over(w_all).cast("long").alias("__src_idx"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ).cast("long").alias("__n_src"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(sources), source_col)
+        .select(
+            id_col,
+            source_col,
+            "within_rank",
+            (
+                (F.col("within_rank") - 1) * F.col("__n_src")
+                + F.col("__src_idx")
+            ).alias("sched_pos"),
+        )
+    )

@@ -174,3 +174,60 @@ def mad_outliers(
         ),
     )
     return scored.filter(F.abs(F.col("mz")) > threshold).drop("__dev")
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total weight.
+
+    The quantity-weighted price question ("the price at which half the
+    VOLUME cleared") that the row-weighted :func:`group_quantiles`
+    cannot answer. Weights are rounded to integers and summed as longs,
+    so every comparison is exact integer arithmetic — no float-order
+    sensitivity between engines — and the ROWS-framed running sum is
+    strictly increasing (weights are >= 1 after rounding, enforced by
+    filtering), so exactly one row per group crosses the half-total
+    boundary.
+
+    One window shuffle on ``group_col`` computes both the running and
+    the total weight; the crossing filter is a map. Returns
+    (group, ``weighted_median``, ``total_weight``).
+    """
+    order = [F.col(value_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    wt = F.round(F.col(weight_col)).cast("long")
+    base = df.filter(wt >= 1).select(
+        F.col(group_col),
+        F.col(value_col),
+        wt.alias("__w"),
+        *[F.col(c) for c in (tiebreak_cols or [])],
+    )
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = F.sum("__w").over(w_run)
+    tot = F.sum("__w").over(w_all)
+    return (
+        base.select(
+            F.col(group_col),
+            F.col(value_col).alias("weighted_median"),
+            cum.alias("__cum"),
+            (cum - F.col("__w")).alias("__prev"),
+            tot.alias("total_weight"),
+        )
+        .filter(
+            (F.col("__cum") * 2 >= F.col("total_weight"))
+            & (F.col("__prev") * 2 < F.col("total_weight"))
+        )
+        .drop("__cum", "__prev")
+    )

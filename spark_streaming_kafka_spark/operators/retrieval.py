@@ -409,3 +409,92 @@ def basket_pairs_lift(
             ).alias("lift"),
         )
     )
+
+
+def item_cooccurrence_topk(
+    facts: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    max_basket_size: int = 64,
+) -> DataFrame:
+    """Item-item collaborative filtering neighbors: for every item, the
+    top-``k`` co-purchased items ranked by lift — the "customers who
+    bought X also bought Y" table, built from basket co-occurrence.
+
+    Complements :func:`basket_pairs_lift`: that caps the ITEM UNIVERSE
+    to the globally frequent head (association-rule mining over a few
+    items), this keeps every item and instead caps the BASKET size —
+    the right bound for recommendations, where pair volume is
+    Σ C(|basket|, 2) and a handful of pathological mega-baskets (a
+    crawler account, a test order) would otherwise dominate the
+    expansion. Baskets above ``max_basket_size`` are dropped whole
+    (log-and-drop is the caller's job; retail baskets are tiny).
+
+    Scale shape: distinct incidence → basket-size filter (one agg +
+    semi-join on the basket key) → the ``_bucket_pairs`` array
+    expansion (one hash agg, never a self-join) → symmetrize →
+    per-item counts equi-joined on the item key → lift → per-item
+    top-k window. The basket total rides a broadcast single-row
+    equi-join on a constant key (BroadcastHashJoin, not a nested
+    loop). Lift is one division of exact longs; ranking ties break by
+    (n_ab desc, neighbor asc), so the result is engine-independent.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _bucket_pairs
+
+    b = facts.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).distinct()
+    sizes = b.groupBy("__basket").agg(F.count(F.lit(1)).alias("__sz"))
+    keep = sizes.filter(
+        (F.col("__sz") >= 2) & (F.col("__sz") <= max_basket_size)
+    ).select("__basket")
+    kept = b.join(keep, "__basket", "left_semi")
+
+    pairs = (
+        _bucket_pairs(kept, ["__basket"], "__item")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("item"), F.col("id_b").alias("neighbor"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("item"), F.col("id_a").alias("neighbor"), "n_ab"
+        )
+    )
+    counts = kept.groupBy("__item").agg(F.count(F.lit(1)).alias("__c"))
+    # Basket total: one bounded single-scalar collect — the same
+    # corpus-constant pattern bm25_topk uses for N/avgdl (a constant-key
+    # broadcast join constant-folds into the cross join the plan audit
+    # rightly rejects).
+    nb = int(kept.agg(F.countDistinct("__basket")).first()[0] or 0)
+
+    joined = sym.join(
+        counts.select(
+            F.col("__item").alias("item"), F.col("__c").alias("__ca")
+        ),
+        "item",
+    ).join(
+        counts.select(
+            F.col("__item").alias("neighbor"), F.col("__c").alias("__cb")
+        ),
+        "neighbor",
+    )
+    scored = joined.select(
+        "item",
+        "neighbor",
+        "n_ab",
+        F.round(
+            F.col("n_ab") * F.lit(nb) / (F.col("__ca") * F.col("__cb")), 6
+        ).alias("lift"),
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("lift").desc(), F.col("n_ab").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

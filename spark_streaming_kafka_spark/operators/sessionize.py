@@ -252,3 +252,114 @@ def debounce_first_per_burst(
     return events.withColumn("__keep", keep).filter(F.col("__keep")).drop(
         "__keep"
     )
+
+
+def merge_intervals(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    duration_ms: int = 5 * 60 * 1000,
+) -> DataFrame:
+    """Islands-and-gaps interval merging: expand each event to the
+    interval ``[ts, ts + duration_ms)`` and coalesce per-key intervals
+    that overlap or touch into maximal islands.
+
+    The classic warehouse interval-coalesce (uptime windows, visit
+    stitching, meeting-room occupancy). Differs from
+    :func:`sessionize_by_gap` in that membership is decided against the
+    RUNNING MAX interval end, not the immediately previous event — a
+    short event inside a long one must not split the island, which the
+    plain lag-gap rule would get wrong for variable-length intervals.
+
+    One window shuffle on ``key_cols``: running-max end over strictly
+    preceding rows, island breaks where ``start > prev_max_end``,
+    island ids by running sum, then the per-island rollup reuses the
+    same hash partitioning under AQE. Deterministic under any
+    partitioning via the (ts, tiebreak) order.
+
+    Returns one row per island: key cols, ``island_idx`` (0-based,
+    per key), ``start_ms``, ``end_ms`` (exclusive), ``n_events``,
+    ``span_ms``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    start = F.unix_millis(F.col(ts_col))
+    end = start + F.lit(duration_ms)
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (start > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = events.select(
+        *key_cols,
+        start.alias("__start"),
+        end.alias("__end"),
+        (
+            F.sum(new_island).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.lit(1)
+        ).cast("long").alias("island_idx"),
+    )
+    return tagged.groupBy(*key_cols, "island_idx").agg(
+        F.min("__start").alias("start_ms"),
+        F.max("__end").alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("__end") - F.min("__start")).alias("span_ms"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity month
+    (the cohort), counted in each subsequent month they were active.
+
+    The standard product-analytics retention report. Three hash
+    aggregations, all on bounded-cardinality outputs: distinct
+    (user, month) activity; per-user min month (the cohort); then the
+    (cohort, offset) rollup. The user->cohort join broadcasts when the
+    user dimension is small and shuffles on ``user_col`` otherwise —
+    both sides are already distinct-per-user so no skew beyond the
+    natural user distribution.
+
+    Returns (``cohort_month`` 'yyyy-MM', ``month_offset``, ``n_users``,
+    ``retention`` = n_users / cohort size at offset 0, rounded to 6).
+    """
+    month = F.date_trunc("month", F.col(ts_col))
+    active = (
+        events.select(
+            F.col(user_col).alias("__user"), month.alias("__month")
+        )
+        .distinct()
+    )
+    cohorts = active.groupBy("__user").agg(
+        F.min("__month").alias("__cohort")
+    )
+    per_cell = (
+        active.join(cohorts, "__user")
+        .groupBy("__cohort", "__month")
+        .agg(F.countDistinct("__user").alias("n_users"))
+        .select(
+            F.date_format("__cohort", "yyyy-MM").alias("cohort_month"),
+            F.months_between(F.col("__month"), F.col("__cohort"))
+            .cast("long")
+            .alias("month_offset"),
+            "n_users",
+        )
+    )
+    size_w = Window.partitionBy("cohort_month")
+    base = F.max(
+        F.when(F.col("month_offset") == 0, F.col("n_users"))
+    ).over(size_w)
+    return per_cell.select(
+        "cohort_month",
+        "month_offset",
+        "n_users",
+        F.round(F.col("n_users") / base, 6).alias("retention"),
+    )

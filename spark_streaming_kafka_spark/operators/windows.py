@@ -181,3 +181,149 @@ def time_decay_sum(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(F.col(value_col) * w), 2).alias("decayed_sum"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    preceding: int = 2,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact rolling median of ``value_col`` over the trailing
+    ``preceding``+1 rows of each ``part_col`` group.
+
+    The robust twin of the running mean: one spike does not move it,
+    which is why monitoring and pricing features prefer it. Spark's
+    exact ``percentile`` aggregate works as a window function over a
+    ROWS frame, so this stays a single per-key window shuffle with a
+    bounded O(frame) buffer per row — no self-join, no collect_list
+    blowup beyond the fixed frame, linear-interpolation semantics
+    identical to DuckDB's ``median`` (even-count frames average the
+    two middle values).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col, F.expr(f"percentile({value_col}, 0.5)").over(w)
+    )
+
+
+def period_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 12),
+) -> DataFrame:
+    """Period-over-period growth: monthly rollup of ``value_col`` plus
+    percent change vs each lag in ``lags`` (1 = MoM, 12 = YoY).
+
+    The data-sized input collapses to one row per calendar month FIRST
+    (map-side-combined hash agg), so the only unpartitioned window —
+    unavoidable for a global time series — orders a months-sized table
+    (~e2 rows for years of data), never the fact table. Missing prior
+    periods (series head) yield NULL growth, as does a zero base —
+    try_divide, never /0. Sums are rounded to 4 before the ratio so
+    both engines difference identical doubles.
+    """
+    monthly = (
+        df.groupBy(
+            F.date_format(F.date_trunc("month", F.col(ts_col)), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(F.round(F.sum(value_col), 4).alias("value"))
+    )
+    w = Window.orderBy(F.col("month").asc())  # months-sized table only
+    out = monthly
+    for lag in lags:
+        prev = F.lag("value", lag).over(w)
+        out = out.withColumn(
+            f"growth_{lag}",
+            F.round(F.try_divide(F.col("value") - prev, prev) * 100, 6),
+        )
+    return out
+
+
+def seasonal_baseline_residual(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonal baseline and residual for a daily series.
+
+    The first stage of any weekly-seasonality decomposition: roll the
+    facts up to one row per day (data-sized work, one hash agg), then
+    attach each day-of-week's mean over the whole span and the day's
+    deviation from it. The dow means are computed with a window over
+    the days-sized rollup (bounded: one row per calendar day), so
+    nothing beyond the initial aggregation touches the fact table.
+    ``dow`` is Sunday=0..Saturday=6 — Spark's ``dayofweek()-1``,
+    matching DuckDB's ``dayofweek()`` for the oracle.
+    """
+    daily = (
+        df.groupBy(F.date_trunc("day", F.col(ts_col)).alias("__day"))
+        .agg(F.round(F.sum(value_col), 4).alias("day_value"))
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            (F.dayofweek("__day") - 1).cast("int").alias("dow"),
+            "day_value",
+        )
+    )
+    w = Window.partitionBy("dow")  # days-sized table only
+    # Residual subtracts the ROUNDED mean: the raw avg carries ~1e-10
+    # fold-order noise between engines, which a later round() can tip
+    # across a digit boundary — subtracting identical rounded doubles
+    # keeps the residual bit-identical under the oracle.
+    dow_mean = F.round(F.avg("day_value").over(w), 6)
+    return daily.select(
+        "day",
+        "dow",
+        "day_value",
+        dow_mean.alias("dow_mean"),
+        F.round(F.col("day_value") - dow_mean, 6).alias("residual"),
+    )
+
+
+def ses_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Simple-exponential-smoothing one-step forecast per key over the
+    daily rollup of ``value_col`` — the baseline forecaster every
+    monitoring pipeline wants next to its anomaly flags.
+
+    The recursion ``l_t = α·v_t + (1-α)·l_{t-1}`` (init ``l_1 = v_1``)
+    UNROLLS to a weighted sum — ``l_T = (1-α)^{T-1}·v_1 +
+    Σ_{i>1} α·(1-α)^{T-i}·v_i`` — so no sequential scan, no UDF: one
+    daily rollup, one per-key window for the day index, one weighted
+    aggregate, all whole-stage codegen. Weights are rounded to 9
+    (decay_weighted_revenue's pow-portability discipline: JVM and C
+    ``pow`` may differ in the last ulp) and daily sums to 4, so both
+    engines sum identical doubles.
+
+    Returns per key: ``n_days``, ``forecast`` (round 6).
+    """
+    daily = df.groupBy(
+        *key_cols, F.date_trunc("day", F.col(ts_col)).alias("__day")
+    ).agg(F.round(F.sum(value_col), 4).alias("__v"))
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__day").asc())
+    idx = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    weight = F.round(
+        F.pow(F.lit(1.0 - alpha), (n - idx).cast("double")), 9
+    ) * F.when(idx == 1, F.lit(1.0)).otherwise(F.lit(alpha))
+    contrib = daily.select(
+        *key_cols, (F.col("__v") * weight).alias("__c")
+    )
+    return contrib.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum("__c"), 6).alias("forecast"),
+    )

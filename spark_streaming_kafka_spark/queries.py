@@ -7439,6 +7439,642 @@ def q_event_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(ev, "event_type", "hour")
 
 
+@register(
+    "merge_event_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e,
+             max(epoch_ms(ts) + 300000) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM events
+    ), tagged AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY s ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS island_idx
+      FROM iv
+    )
+    SELECT user_id, CAST(island_idx AS BIGINT) AS island_idx,
+           min(s) AS start_ms, max(e) AS end_ms,
+           count(*) AS n_events, max(e) - min(s) AS span_ms
+    FROM tagged GROUP BY user_id, island_idx
+    """,
+)
+def q_merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (operators/sessionize.py::merge_intervals):
+    expand each event to a 5-minute interval and merge per-user
+    intervals that overlap or touch into maximal islands — the
+    islands-and-gaps uptime/visit-stitching shape. Membership tests
+    against the RUNNING MAX end (not the previous event), so nested
+    intervals never split an island; one window shuffle on user_id,
+    and the rollup reuses the partitioning under AQE."""
+    from .operators.sessionize import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return merge_intervals(ev, ["user_id"], duration_ms=300_000)
+
+
+@register(
+    "scd2_event_type_history",
+    """
+    WITH obs AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+             lag(event_type) OVER w AS prev,
+             lag(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), chg AS (
+      SELECT user_id, event_type, ms AS effective_from_ms, event_id
+      FROM obs
+      WHERE prev_id IS NULL OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type, effective_from_ms,
+           lead(effective_from_ms) OVER w2 AS effective_to_ms,
+           CAST(row_number() OVER w2 AS INTEGER) AS version
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id
+                  ORDER BY effective_from_ms ASC, event_id ASC)
+    """,
+)
+def q_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/cdc.py::scd2_history):
+    compress each user's event_type observations to effective-dated
+    versions — change rows only, [from, to) validity, 1-based version.
+    The "what was the value at time T" contract that snapshot_diff's
+    two-version delta cannot answer; one (ts, event_id)-ordered key
+    window serves both the change detection and the validity stitch."""
+    from .operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev, ["user_id"], "event_type")
+
+
+@register(
+    "pareto_frontier_users",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS n_events, max(value) AS max_value
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_events, max_value FROM u a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM u b
+      WHERE b.n_events >= a.n_events AND b.max_value >= a.max_value
+        AND (b.n_events > a.n_events OR b.max_value > a.max_value))
+    """,
+)
+def q_pareto_frontier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (operators/skyline.py::skyline_2d): the users not
+    weakly dominated on (event count, max value) — multi-objective
+    top-k with no single sort key. The oracle states the NOT-EXISTS
+    definition; the engine runs the two-phase distributed skyline
+    (partition-local prune via sort+running-strict-max, then an exact
+    resolve over the frontier-sized candidate set) — sound, exact,
+    no quadratic self-join, no unpartitioned window sort."""
+    from .operators.skyline import skyline_2d
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+    return skyline_2d(users, "n_events", "max_value")
+
+
+@register(
+    "rolling_median_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(median(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+    FROM orders
+    """,
+)
+def q_rolling_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (operators/windows.py::rolling_median) of
+    each customer's last 3 order totals — the robust running level that
+    running_revenue_per_customer's mean is not. Spark's exact
+    ``percentile`` aggregate over a ROWS frame: one key-window shuffle,
+    O(frame) state per row, linear interpolation matching DuckDB's
+    ``median`` on even-count frames."""
+    from .operators.windows import rolling_median
+
+    orders = _t(spark, sf_dir, "orders")
+    out = rolling_median(
+        orders,
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+        preceding=2,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("rolling_median", 6).alias("rolling_median"),
+    )
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH b AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(round(l_quantity) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE round(l_quantity) >= 1
+    ), r AS (
+      SELECT l_returnflag, price, w,
+             sum(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY price ASC, l_orderkey ASC,
+                                   l_linenumber ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total_weight
+      FROM b
+    )
+    SELECT l_returnflag, price AS weighted_median,
+           CAST(total_weight AS BIGINT) AS total_weight
+    FROM r
+    WHERE cum * 2 >= total_weight AND (cum - w) * 2 < total_weight
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted median (operators/percentile.py::weighted_median):
+    the price at which half the shipped QUANTITY cleared, per return
+    flag — the quantity-weighted question row-weighted group_quantiles
+    cannot ask. Integer weights make every boundary comparison exact;
+    one key-window shuffle computes running and total weight, the
+    unique crossing row survives a map-side filter."""
+    from .operators.percentile import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    ).select(
+        "l_returnflag",
+        F.col("weighted_median"),
+        "total_weight",
+    )
+
+
+@register(
+    "ab_conversion_ztest",
+    """
+    WITH pu AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+        CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_0,
+        CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_1
+      FROM pu
+    )
+    SELECT n_0, n_1, conv_0, conv_1,
+           round(conv_0 * 1.0 / n_0, 6) AS rate_0,
+           round(conv_1 * 1.0 / n_1, 6) AS rate_1,
+           round(CASE WHEN conv_0 + conv_1 > 0
+                       AND conv_0 + conv_1 < n_0 + n_1 THEN
+             (conv_0 * 1.0 / n_0 - conv_1 * 1.0 / n_1)
+             / sqrt(((conv_0 + conv_1) * 1.0 / (n_0 + n_1))
+                    * (1 - (conv_0 + conv_1) * 1.0 / (n_0 + n_1))
+                    * (1.0 / n_0 + 1.0 / n_1)) END, 6) AS z
+    FROM v
+    """,
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (operators/abtest.py::two_proportion_ztest):
+    deterministic unit split (user_id % 2), a unit converts if ANY of
+    its events is a high-value purchase, pooled z over the two
+    variants. One per-unit hash agg (map-side combined) + a 2-way
+    conditional-sum pivot in a single global aggregate — no scalar
+    cross join, nothing driver-side; the only doubles are ratios of
+    exact longs, and degenerate splits yield NULL z, never /0."""
+    from .operators.abtest import two_proportion_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        ev,
+        "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 150),
+    )
+
+
+@register(
+    "readability_scores",
+    """
+    WITH ft AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS BIGINT) AS n_words,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+          AS BIGINT) AS n_sentences,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          AS BIGINT) AS n_vowel_groups
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+      round(CASE WHEN n_words > 0
+            THEN n_words * 1.0 / n_sentences END, 6) AS words_per_sentence,
+      round(CASE WHEN n_words > 0
+            THEN n_vowel_groups * 1.0 / n_words END, 6)
+        AS vowel_groups_per_word,
+      round(CASE WHEN n_words > 0
+            THEN 206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_vowel_groups * 1.0 / n_words) END, 6) AS flesch
+    FROM ft
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability (functions/text.py::readability_features):
+    words-per-sentence and vowel-group-per-word proxies + the reading-
+    ease score, pure codegen column algebra over one scan — the
+    curation filter that ranks documents by structural readability,
+    complementing quality_scores' length/punct/stopword features.
+    Zero-word documents score NULL, never a fake 0."""
+    from .functions.text import readability_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    ft = readability_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ft["n_words"].alias("n_words"),
+        ft["n_sentences"].alias("n_sentences"),
+        ft["n_vowel_groups"].alias("n_vowel_groups"),
+        F.round(ft["words_per_sentence"], 6).alias("words_per_sentence"),
+        F.round(ft["vowel_groups_per_word"], 6).alias(
+            "vowel_groups_per_word"
+        ),
+        F.round(ft["flesch"], 6).alias("flesch"),
+    )
+
+
+@register(
+    "cohort_retention_triangle",
+    """
+    WITH active AS (
+      SELECT DISTINCT o_custkey AS user_id,
+             date_trunc('month', o_orderdate) AS m FROM orders
+    ), cohorts AS (
+      SELECT user_id, min(m) AS cohort FROM active GROUP BY user_id
+    ), per_cell AS (
+      SELECT strftime(c.cohort, '%Y-%m') AS cohort_month,
+             CAST(date_diff('month', c.cohort, a.m) AS BIGINT)
+               AS month_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM active a JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_month, month_offset, n_users,
+           round(n_users * 1.0 /
+                 max(CASE WHEN month_offset = 0 THEN n_users END)
+                   OVER (PARTITION BY cohort_month), 6) AS retention
+    FROM per_cell
+    """,
+)
+def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators/sessionize.py::
+    cohort_retention): customers bucketed by first-order month, counted
+    in every later month they order again — the standard
+    product-analytics retention report, generalizing
+    purchase_retention's single step to the full (cohort x offset)
+    triangle (orders, not events: the events table spans one month, so
+    only orders' 1995-2001 range exercises the triangle). Three
+    bounded-cardinality hash aggs; the user->cohort join broadcasts at
+    small dims and shuffles on the distinct-per-user key otherwise."""
+    from .operators.sessionize import cohort_retention
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts")
+    )
+    return cohort_retention(orders)
+
+
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             round(sum(o_totalprice), 4) AS value
+      FROM orders GROUP BY 1
+    )
+    SELECT month, value,
+      round((value - lag(value, 1) OVER w) / lag(value, 1) OVER w * 100, 6)
+        AS growth_1,
+      round((value - lag(value, 12) OVER w) / lag(value, 12) OVER w * 100, 6)
+        AS growth_12
+    FROM m WINDOW w AS (ORDER BY month ASC)
+    """,
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth (operators/windows.py::period_growth):
+    monthly revenue with MoM and YoY percent change. The fact table
+    collapses to one row per month first, so the unavoidable global
+    time-series window orders ~e2 rows, never the data; series-head
+    and zero-base cases are NULL via try_divide."""
+    from .operators.windows import period_growth
+
+    return period_growth(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
+@register(
+    "seasonal_dow_adjustment",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+             round(sum(o_totalprice), 4) AS day_value
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day, dow, day_value,
+           round(avg(day_value) OVER (PARTITION BY dow), 6) AS dow_mean,
+           round(day_value
+                 - round(avg(day_value) OVER (PARTITION BY dow), 6), 6)
+             AS residual
+    FROM d
+    """,
+)
+def q_seasonal_dow_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality decomposition, stage one
+    (operators/windows.py::seasonal_baseline_residual): daily revenue,
+    each day-of-week's span-wide mean, and the daily residual — the
+    deseasonalized series changepoint/anomaly operators should consume
+    instead of raw values. Data-sized work is one hash agg; the dow
+    windows run on the days-sized rollup."""
+    from .operators.windows import seasonal_baseline_residual
+
+    return seasonal_baseline_residual(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
+_CURRICULUM_Q_SQL = f"""
+    WITH ft0 AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_sql_tokens()},
+                  t -> list_contains({_STOP_SQL}, lower(t)))) AS BIGINT)
+               AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+               AS n_punct
+      FROM documents
+    ), ft AS (
+      SELECT doc_id, source,
+             round((least(n_tokens / 50.0, 1.0)
+                  + least((CASE WHEN n_tokens > 0
+                           THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END)
+                          / 0.2, 1.0)
+                  + (1.0 - least((CASE WHEN n_chars > 0
+                                  THEN n_punct * 1.0 / n_chars ELSE 0.0 END)
+                                 * 5.0, 1.0))) / 3.0, 6) AS q
+      FROM ft0
+    ), ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY q DESC, doc_id ASC
+             ) AS BIGINT) AS within_rank
+      FROM ft
+    ), src AS (
+      SELECT source,
+             CAST(dense_rank() OVER (ORDER BY source ASC) AS BIGINT)
+               AS src_idx,
+             CAST(count(*) OVER () AS BIGINT) AS n_src
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source, r.within_rank,
+           (r.within_rank - 1) * s.n_src + s.src_idx AS sched_pos
+    FROM ranked r JOIN src s USING (source)
+    """
+
+
+@register("curriculum_schedule", _CURRICULUM_Q_SQL)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first interleaved curriculum
+    (operators/curation.py::curriculum_interleave): rank documents by
+    the composite quality score within each source, then round-robin
+    the sources into one global training order. The global position is
+    arithmetic — (rank-1)*n_sources + source_idx — so no global sort
+    ever happens: the data-sized work is one per-source ranking
+    window, and source index/count come from a sources-sized distinct
+    broadcast. Ranking uses the ROUNDED score so both engines order
+    identical doubles (doc_id tiebreak)."""
+    from .operators.curation import curriculum_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_interleave(
+        docs,
+        "source",
+        [
+            F.round(quality_score(F.col("text")), 6).desc(),
+            F.col("doc_id").asc(),
+        ],
+    )
+
+
+@register(
+    "part_cooccurrence_topk",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), keep AS (
+      SELECT basket FROM b GROUP BY basket
+      HAVING count(*) BETWEEN 2 AND 64
+    ), kept AS (
+      SELECT b.basket, b.item FROM b JOIN keep USING (basket)
+    ), pairs AS (
+      SELECT a.item AS item, c.item AS neighbor, count(*) AS n_ab
+      FROM kept a JOIN kept c
+        ON a.basket = c.basket AND a.item <> c.item
+      GROUP BY 1, 2
+    ), cnt AS (
+      SELECT item, count(*) AS c FROM kept GROUP BY item
+    ), nbt AS (
+      SELECT count(DISTINCT basket) AS nb FROM kept
+    ), scored AS (
+      SELECT p.item, p.neighbor, CAST(p.n_ab AS BIGINT) AS n_ab,
+             round(p.n_ab * nbt.nb * 1.0 / (ca.c * cb.c), 6) AS lift
+      FROM pairs p
+      CROSS JOIN nbt
+      JOIN cnt ca ON ca.item = p.item
+      JOIN cnt cb ON cb.item = p.neighbor
+    )
+    SELECT item, neighbor, n_ab, lift,
+           CAST(row_number() OVER (
+             PARTITION BY item
+             ORDER BY lift DESC, n_ab DESC, neighbor ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY item ORDER BY lift DESC, n_ab DESC, neighbor ASC
+    ) <= 5
+    """,
+)
+def q_part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF neighbors
+    (operators/retrieval.py::item_cooccurrence_topk): per part, the
+    top-5 co-ordered parts by lift — "bought X, also bought Y" from
+    order baskets. Unlike behavior_affinity_lift's head-capped
+    association rules, every item survives; pair volume is bounded by
+    the BASKET-size cap instead (Σ C(|basket|,2), baskets ≤ 64). The
+    pair expansion is the join-free _bucket_pairs aggregate; the
+    basket total is one bounded single-scalar collect (the bm25
+    corpus-constant pattern), never a nested-loop join."""
+    from .operators.retrieval import item_cooccurrence_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_cooccurrence_topk(li, "l_orderkey", "l_partkey", k=5)
+
+
+@register(
+    "cuped_revenue_sensitivity",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             round(sum(CASE WHEN year(o_orderdate) < 1997
+                            THEN o_totalprice ELSE 0 END), 4) AS pre,
+             round(sum(CASE WHEN year(o_orderdate) >= 1997
+                            THEN o_totalprice ELSE 0 END), 4) AS post
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(covar_pop(pre, post) / var_pop(pre), 6) AS theta,
+           round(covar_pop(pre, post) * covar_pop(pre, post)
+                 / (var_pop(pre) * var_pop(post)) * 100, 6)
+             AS var_reduction_pct
+    FROM per_cust
+    """,
+)
+def q_cuped_revenue_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-period adjustment (operators/abtest.py::cuped_summary):
+    per-customer 1995-96 revenue as the covariate for 1997+ revenue —
+    theta and the variance reduction (= corr²) the adjustment buys an
+    experiment on the post metric. One per-unit hash agg + one
+    single-pass covar/var/corr aggregate; outputs are scale-free
+    ratios, so engine fold-order noise dies at round-6. year() is the
+    type-agnostic period split (TIMESTAMP and NTZ alike)."""
+    from .operators.abtest import cuped_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") < 1997, F.col("o_totalprice")
+                ).otherwise(F.lit(0.0))
+            ),
+            4,
+        ).alias("pre"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") >= 1997, F.col("o_totalprice")
+                ).otherwise(F.lit(0.0))
+            ),
+            4,
+        ).alias("post"),
+    )
+    return cuped_summary(per_cust, "pre", "post")
+
+
+@register(
+    "ses_forecast_events",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day ASC) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(v * round(pow(0.7, CAST(n - i AS DOUBLE)), 9)
+                     * CASE WHEN i = 1 THEN 1.0 ELSE 0.3 END), 6)
+             AS forecast
+    FROM idx GROUP BY event_type
+    """,
+)
+def q_ses_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-smoothing forecast
+    (operators/windows.py::ses_forecast): one-step SES (α=0.3) of each
+    event type's daily value total. The recursion unrolls to a
+    closed-form weighted sum, so the plan is a rollup + one per-key
+    window + one aggregate — no sequential UDF, no driver loop;
+    weights round at 9 (pow portability), inputs at 4, output at 6."""
+    from .operators.windows import ses_forecast
+
+    return ses_forecast(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "value", alpha=0.3
+    )
+
+
+@register(
+    "seasonal_anomaly_days",
+    """
+    WITH d AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+             round(sum(o_totalprice), 4) AS day_value
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT day, dow, day_value,
+             round(day_value
+                   - round(avg(day_value) OVER (PARTITION BY dow), 6), 6)
+               AS residual
+      FROM d
+    ), s AS (
+      SELECT day, dow, day_value, residual,
+             round(stddev_pop(residual) OVER (PARTITION BY dow), 6) AS sd
+      FROM r
+    )
+    SELECT day, dow, day_value, residual, sd
+    FROM s WHERE abs(residual) > 2 * sd
+    """,
+)
+def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized anomaly days: compose
+    seasonal_baseline_residual's weekly baseline with a per-dow 2-sigma
+    gate — the days whose revenue is anomalous RELATIVE TO THEIR
+    WEEKDAY, which a raw-value z-score would miss (every Sunday looks
+    anomalous against a Monday baseline). All windows run on the
+    days-sized rollup; sd is rounded to 6 in both engines before the
+    comparison so threshold membership can't flip on fold-order
+    noise."""
+    from .operators.windows import seasonal_baseline_residual
+
+    r = seasonal_baseline_residual(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    ).drop("dow_mean")
+    sd = F.round(
+        F.stddev_pop("residual").over(Window.partitionBy("dow")), 6
+    )
+    return (
+        r.withColumn("sd", sd)
+        .filter(F.abs(F.col("residual")) > 2 * F.col("sd"))
+        .select("day", "dow", "day_value", "residual", "sd")
+    )
+
+
 #: Frozen toy merge table for the bpe_encode registry entry: the point
 #: is pinning the DISTRIBUTED APPLY path (broadcast ranks, Arrow pass,
 #: per-batch word memoization) on real corpus text at sweep cost ~one
@@ -7539,6 +8175,26 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (counts_and_averages, topk_orders, customers_without_orders,
 # customers_with_urgent_orders, word_count, top_words,
 # json_extract_sum) and doc_fingerprints (driver-green r7).
+# Round-10 rotation: IN — the twelve new r10 registrations
+# (merge_event_intervals, scd2_event_type_history,
+# pareto_frontier_users, rolling_median_orders, weighted_median_price,
+# ab_conversion_ztest, readability_scores, cohort_retention_triangle,
+# monthly_revenue_growth, seasonal_dow_adjustment,
+# curriculum_schedule, part_cooccurrence_topk — new queries earn a
+# driver row immediately, per policy; the thirteen r9 registrations
+# STAY — they were added after CORRECTNESS_r08 sampled, so this round
+# is their first driver window). OUT — twelve driver-green shapes
+# with no open scale risk (winnowing_overlap_pairs,
+# percentile_buckets, window_topk_per_customer, quality_scores,
+# kanonymity_customers, audio_fingerprint_dedup,
+# video_fingerprint_dedup, kmv_prefiltered_distinct — green r08 —
+# plus quality_classifier_scores, boilerplate_ngrams,
+# contrastive_pairs, web_corpus_gate, winnowing_fingerprints — green
+# r06 — and filter_project, top_revenue_join — green every round
+# since r1), re-proved each round by the full-registry sweep
+# artifact. The r10 IN set is fifteen total: the twelve above plus
+# cuped_revenue_sensitivity, ses_forecast_events,
+# seasonal_anomaly_days.
 # Round-9 rotation: IN — the thirteen new r9 registrations
 # (weighted_sample_noreplace, ngram_novelty_scores,
 # event_markov_transitions, neyman_allocation_events,
@@ -7554,15 +8210,16 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_random_projection, jaccard_threshold_sweep,
 # retrieval_ndcg_bm25, image_ahash_dedup).
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    "pricing_summary", "weighted_sample_noreplace", "top_revenue_join",
-    "ngram_novelty_scores", "filter_project", "event_markov_transitions",
+    "pricing_summary", "weighted_sample_noreplace", "cuped_revenue_sensitivity",
+    "ngram_novelty_scores", "ses_forecast_events", "event_markov_transitions",
     "neyman_allocation_events", "bpe_encode_tokens",
-    "manifest_novelty_new", "winnowing_overlap_pairs", "percentile_buckets",
-    "etl_ratings_pipeline", "window_topk_per_customer",
+    "manifest_novelty_new", "merge_event_intervals",
+    "scd2_event_type_history", "etl_ratings_pipeline",
+    "pareto_frontier_users",
     "session_sequence_logprob", "vocab_coverage_curve",
-    "quality_scores", "behavior_affinity_lift",
+    "rolling_median_orders", "behavior_affinity_lift",
     "decay_weighted_revenue", "debounce_burst_events",
-    "kmv_prefiltered_distinct", "value_changepoints",
+    "weighted_median_price", "value_changepoints",
     "event_hour_mutual_info", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "semantic_dedup_clusters", "gap_fill_hourly", "embedding_near_dup",
@@ -7572,10 +8229,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "salted_bigjoin_revenue", "bloom_prefilter_orders",
     "benchmark_contamination", "corpus_curation_e2e",
     "ann_topk_pq_refined",
-    "quality_classifier_scores", "boilerplate_ngrams",
-    "audio_fingerprint_dedup", "video_fingerprint_dedup",
-    "kanonymity_customers",
-    "contrastive_pairs", "winnowing_fingerprints", "web_corpus_gate",
+    "monthly_revenue_growth", "seasonal_dow_adjustment",
+    "ab_conversion_ztest", "readability_scores",
+    "cohort_retention_triangle",
+    "curriculum_schedule", "seasonal_anomaly_days",
+    "part_cooccurrence_topk",
 ]
 
 assert len(_DRIVER_SAMPLE_FIRST) == 50
