@@ -159,6 +159,10 @@ PIPELINE = [
     "split_no_leakage",         # duplicate-graph-safe train/test split
     "web_corpus_gate",          # composed quality/langid/boilerplate gate
     "bpe_merges",               # iterative BPE vocabulary learning
+    # r10 additions (families new this round; earlier entries unchanged
+    # so r7-r9 pipeline records stay comparable on the shared prefix):
+    "part_cooccurrence_topk",   # basket pair expansion + per-item top-k
+    "curriculum_schedule",      # per-source quality ranking + interleave
 ]
 
 SUITES = {"headline": HEADLINE, "pipeline": PIPELINE}

@@ -44,3 +44,17 @@ def test_headline_suite_frozen_since_r3():
         "corpus_clean_pipeline", "dedup_clusters", "gap_fill_hourly",
         "etl_ratings_pipeline",
     ]
+
+
+def test_pipeline_suite_frozen():
+    """Same tripwire for the pipeline tier: the r7-r9 members are the
+    comparable prefix; r10 appended two new-family representatives.
+    Intentional changes update this list AND the README."""
+    bench = _bench()
+    assert bench.PIPELINE == [
+        "cdc_dedup_rewrite", "cdc_chunk_documents",
+        "winnowing_overlap_pairs", "dsir_select_docs", "bm25_topk_docs",
+        "hybrid_search_rrf", "hll_distinct_users", "heavy_hitters_cms",
+        "split_no_leakage", "web_corpus_gate", "bpe_merges",
+        "part_cooccurrence_topk", "curriculum_schedule",
+    ]

@@ -319,6 +319,28 @@ SHOWCASE = {
     "rendezvous_shard_sizes": "Map-only placement: 8 md5 struct "
     "entries folded with array_max inside the scan's project — the "
     "ONLY exchange is the final 8-row size aggregate.",
+    "merge_event_intervals": "Islands-and-gaps coalesce (r10): "
+    "running-max-end, island-break flag, and running island id all "
+    "evaluate in ONE Window stage over ONE user_id exchange, and the "
+    "per-island rollup reuses that partitioning under AQE — a "
+    "data-sized interval merge for the price of a single shuffle.",
+    "pareto_frontier_users": "Two-phase distributed skyline (r10): after "
+    "the per-user aggregate, the plan is two MapInPandas stages — "
+    "partition-local frontier prune (sound: dominated-anywhere ⊆ "
+    "dominated-locally), then the exact resolve over the frontier-sized "
+    "candidates — NO quadratic self-anti-join, NO unpartitioned sort "
+    "of the full table.",
+    "curriculum_schedule": "Interleaved curriculum (r10): the global "
+    "training position is ARITHMETIC ((rank-1)·n_sources + src_idx), so "
+    "the plan shows one per-source ranking window plus a sources-sized "
+    "BroadcastHashJoin — no global sort, no single-partition window "
+    "over the corpus.",
+    "part_cooccurrence_topk": "Item-item CF (r10): pair expansion is the "
+    "join-free _bucket_pairs hash aggregate (baskets ≤ 64 cap bounds "
+    "ΣC(n,2)); per-item counts attach via two id-keyed equi-joins of "
+    "narrow (item, count) rows; the basket total is a bounded "
+    "single-scalar collect — no constant-key join to constant-fold "
+    "into a cartesian.",
 }
 
 
