@@ -564,3 +564,146 @@ def test_markov_probs_normalize_and_count_pairs(spark, events):
     for r in out:
         sums[r["prev_state"]] = sums.get(r["prev_state"], 0.0) + r["prob"]
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+# --- r10 operators --------------------------------------------------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1, max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_properties(spark, pts):
+    """Frontier ⊆ input; no member weakly dominated; every non-member
+    weakly dominated by someone — the NOT-EXISTS definition verbatim."""
+    from spark_streaming_kafka_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, x, float(y)) for i, (x, y) in enumerate(pts)],
+        "id int, x long, y double",
+    )
+    got = [(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()]
+    fset = set(got)
+
+    def dominated(a):
+        return any(
+            b[0] >= a[0] and b[1] >= a[1] and b != a
+            for b in {(x, float(y)) for x, y in pts}
+        )
+
+    for p in fset:
+        assert p in {(x, float(y)) for x, y in pts}
+        assert not dominated(p)
+    for p in {(x, float(y)) for x, y in pts} - fset:
+        assert dominated(p)
+    # multiplicity: every input row with frontier coords is returned
+    assert len(got) == sum(1 for p in pts if (p[0], float(p[1])) in fset)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 40), st.integers(1, 5)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_python_oracle(spark, rows):
+    """Smallest value whose cumulative (value-sorted) weight reaches
+    half the total — duplicates of (g, v) allowed, tiebreak by id."""
+    from spark_streaming_kafka_spark.operators.percentile import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), float(w), i) for i, (g, v, w) in enumerate(rows)],
+        "g int, v double, w double, tb long",
+    )
+    got = {
+        r["g"]: (r["weighted_median"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w", ["tb"]).collect()
+    }
+    by_g: dict[int, list[tuple[float, int]]] = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((float(v), int(w)))
+    for g, items in by_g.items():
+        items.sort()
+        tot = sum(w for _, w in items)
+        cum = 0
+        for v, w in items:
+            cum += w
+            if 2 * cum >= tot:
+                assert got[g] == (v, tot), (g, items)
+                break
+
+
+@given(
+    seq=st.lists(st.sampled_from(["a", "b", None]), min_size=1, max_size=15)
+)
+@settings(**_SETTINGS)
+def test_scd2_reconstructs_observation_sequence(spark, seq):
+    """Run-length property: versions = collapsed runs of the attribute
+    sequence (null-safe), validity intervals tile [first_ts, open)."""
+    from spark_streaming_kafka_spark.operators.cdc import scd2_history
+
+    rows = [("k", i, _ts(i * 60), v) for i, v in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "key string, event_id long, ts timestamp, attr string"
+    )
+    out = sorted(
+        scd2_history(df, ["key"], "attr", "ts", "event_id").collect(),
+        key=lambda r: r["version"],
+    )
+    runs = []
+    for v in seq:
+        if not runs or runs[-1] != v:
+            runs.append(v)
+    assert [r["attr"] for r in out] == runs
+    # intervals tile: each version's end is the next version's start
+    for a, b in zip(out, out[1:]):
+        assert a["effective_to_ms"] == b["effective_from_ms"]
+    assert out[-1]["effective_to_ms"] is None
+
+
+@given(
+    gaps=st.lists(st.integers(0, 600), min_size=1, max_size=15),
+    dur=st.integers(60, 300),
+)
+@settings(**_SETTINGS)
+def test_merge_intervals_matches_python_sweep(spark, gaps, dur):
+    """Islands equal the classic sorted sweep (merge while
+    start <= running max end) on any gap pattern and duration."""
+    from spark_streaming_kafka_spark.operators.sessionize import (
+        merge_intervals,
+    )
+
+    ts, times = 0, []
+    for g in gaps:
+        ts += g
+        times.append(ts)
+    df = spark.createDataFrame(
+        [("u", i, _ts(t)) for i, t in enumerate(times)],
+        "user_id string, event_id long, ts timestamp",
+    )
+    got = sorted(
+        (r["island_idx"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in merge_intervals(
+            df, ["user_id"], duration_ms=dur * 1000
+        ).collect()
+    )
+    base = int(_ts(0).timestamp() * 1000)
+    islands, cur = [], None
+    for t in sorted(times):
+        s, e = base + t * 1000, base + (t + dur) * 1000
+        if cur and s <= cur[1]:
+            cur[1] = max(cur[1], e)
+            cur[2] += 1
+        else:
+            cur = [s, e, 1]
+            islands.append(cur)
+    expect = sorted(
+        (i, s, e, n) for i, (s, e, n) in enumerate(islands)
+    )
+    assert got == expect
