@@ -27,6 +27,7 @@ EXAMPLES = [
     "examples/sketch_monitors.py",
     "examples/streaming_e2e.py",
     "examples/behavior_analytics.py",
+    "examples/business_analytics.py",
 ]
 
 
