@@ -182,6 +182,7 @@ def weighted_median(
     value_col: str,
     weight_col: str,
     tiebreak_cols: list[str] | None = None,
+    buckets: int = 32,
 ) -> DataFrame:
     """Per-group weighted (lower) median: the smallest value whose
     cumulative weight reaches half the group's total weight.
@@ -190,14 +191,29 @@ def weighted_median(
     VOLUME cleared") that the row-weighted :func:`group_quantiles`
     cannot answer. Weights are rounded to integers and summed as longs,
     so every comparison is exact integer arithmetic — no float-order
-    sensitivity between engines — and the ROWS-framed running sum is
-    strictly increasing (weights are >= 1 after rounding, enforced by
+    sensitivity between engines — and the cumulative sum is strictly
+    increasing (weights are >= 1 after rounding, enforced by
     filtering), so exactly one row per group crosses the half-total
     boundary.
 
-    One window shuffle on ``group_col`` computes both the running and
-    the total weight; the crossing filter is a map. Returns
-    (group, ``weighted_median``, ``total_weight``).
+    **Scale path (default): bucket-pruned.** The naive formulation —
+    one running-sum window per group — serializes each group into a
+    single task, which at LOW group cardinality (the common case: 3
+    return flags, a handful of segments) means three tasks sort the
+    whole table. Instead: (1) one map-combined aggregate takes each
+    group's min/max/total; (2) rows bucket by equal value width —
+    pure column algebra; (3) a buckets-sized aggregate + prefix
+    window finds the ONE bucket containing the crossing and its exact
+    weight offset; (4) only that bucket's rows (~1/``buckets`` of the
+    group under mild uniformity) are sorted for the final crossing.
+    The result is EXACT for any boundary placement — equal values
+    always share a bucket and the offset is an exact lower-bucket
+    weight sum — so value skew can only fatten the crossing bucket
+    (degrading toward the naive cost), never change the answer.
+    ``buckets <= 1`` selects the direct single-window form (the
+    oracle-shaped reference path).
+
+    Returns (group, ``weighted_median``, ``total_weight``).
     """
     order = [F.col(value_col).asc()] + [
         F.col(c).asc() for c in (tiebreak_cols or [])
@@ -209,21 +225,92 @@ def weighted_median(
         wt.alias("__w"),
         *[F.col(c) for c in (tiebreak_cols or [])],
     )
+
+    if buckets <= 1:
+        w_run = (
+            Window.partitionBy(group_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(group_col)
+        cum = F.sum("__w").over(w_run)
+        tot = F.sum("__w").over(w_all)
+        return (
+            base.select(
+                F.col(group_col),
+                F.col(value_col).alias("weighted_median"),
+                cum.alias("__cum"),
+                (cum - F.col("__w")).alias("__prev"),
+                tot.alias("total_weight"),
+            )
+            .filter(
+                (F.col("__cum") * 2 >= F.col("total_weight"))
+                & (F.col("__prev") * 2 < F.col("total_weight"))
+            )
+            .drop("__cum", "__prev")
+        )
+
+    # (1) per-group min/max/total: one map-combined aggregate. Bucket
+    # boundaries are EQUAL-WIDTH — boundaries only prune, they never
+    # affect the answer, so the O(1)-per-row min/max beats a quantile
+    # sketch whose per-row update cost exceeds the sort it saves
+    # (measured: percentile_approx boundaries made the whole operator
+    # 2.6x slower than the naive window at sf0.1). Value skew merely
+    # fattens the crossing bucket, degrading toward the naive cost.
+    bounds = base.groupBy(group_col).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.sum("__w").alias("__tot"),
+    )
+    # (2) bucket by width; equal values always share a bucket, so global
+    # (value, tiebreak) order is preserved across bucket indices.
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(buckets)
+    bkt = F.when(width > 0, F.least(
+        F.floor((F.col(value_col) - F.col("__lo")) / width),
+        F.lit(buckets - 1),
+    )).otherwise(F.lit(0)).cast("int")
+    tagged = base.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        value_col,
+        "__w",
+        *[F.col(c) for c in (tiebreak_cols or [])],
+        bkt.alias("__bkt"),
+        "__tot",
+    )
+    # (3) the crossing bucket per group + its exact weight offset.
+    bsums = tagged.groupBy(group_col, "__bkt").agg(
+        F.sum("__w").alias("__bsum"), F.max("__tot").alias("__tot")
+    )
+    w_pfx = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    target = (
+        bsums.withColumn(
+            "__off", F.coalesce(F.sum("__bsum").over(w_pfx), F.lit(0))
+        )
+        .filter(
+            (F.col("__off") * 2 < F.col("__tot"))
+            & ((F.col("__off") + F.col("__bsum")) * 2 >= F.col("__tot"))
+        )
+        .select(group_col, "__bkt", "__off")
+    )
+    # (4) sort ONLY the crossing bucket's rows for the exact answer.
+    cand = tagged.join(F.broadcast(target), [group_col, "__bkt"])
     w_run = (
         Window.partitionBy(group_col)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy(group_col)
-    cum = F.sum("__w").over(w_run)
-    tot = F.sum("__w").over(w_all)
+    cum = F.col("__off") + F.sum("__w").over(w_run)
     return (
-        base.select(
+        cand.select(
             F.col(group_col),
             F.col(value_col).alias("weighted_median"),
             cum.alias("__cum"),
             (cum - F.col("__w")).alias("__prev"),
-            tot.alias("total_weight"),
+            F.col("__tot").alias("total_weight"),
         )
         .filter(
             (F.col("__cum") * 2 >= F.col("total_weight"))

@@ -451,46 +451,72 @@ def item_cooccurrence_topk(
     keep = sizes.filter(
         (F.col("__sz") >= 2) & (F.col("__sz") <= max_basket_size)
     ).select("__basket")
-    kept = b.join(keep, "__basket", "left_semi")
+    # Persist: three consumers (pair expansion, item counts, basket
+    # total) would otherwise each re-run the distinct + size-filter
+    # subtree — measured 2 duplicate shuffle rounds at sf0.1. Narrow
+    # (basket, item) rows only; the nb collect below populates the
+    # cache, so every later consumer reads it.
+    kept = b.join(keep, "__basket", "left_semi").persist()
 
     pairs = (
         _bucket_pairs(kept, ["__basket"], "__item")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    sym = pairs.select(
-        F.col("id_a").alias("item"), F.col("id_b").alias("neighbor"), "n_ab"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("item"), F.col("id_a").alias("neighbor"), "n_ab"
-        )
-    )
     counts = kept.groupBy("__item").agg(F.count(F.lit(1)).alias("__c"))
     # Basket total: one bounded single-scalar collect — the same
     # corpus-constant pattern bm25_topk uses for N/avgdl (a constant-key
     # broadcast join constant-folds into the cross join the plan audit
-    # rightly rejects).
+    # rightly rejects). Also populates the kept cache for the consumers
+    # above.
     nb = int(kept.agg(F.countDistinct("__basket")).first()[0] or 0)
 
-    joined = sym.join(
-        counts.select(
-            F.col("__item").alias("item"), F.col("__c").alias("__ca")
-        ),
-        "item",
-    ).join(
-        counts.select(
-            F.col("__item").alias("neighbor"), F.col("__c").alias("__cb")
-        ),
-        "neighbor",
+    # Count joins run on the HALF-SIZE unordered pair table; lift is
+    # symmetric, so symmetrization happens AFTER scoring by exploding a
+    # 2-struct array — one evaluation of the pair aggregate (a
+    # unionByName would re-run the subtree per branch) and half the
+    # join volume.
+    scored_pairs = (
+        pairs.join(
+            counts.select(
+                F.col("__item").alias("id_a"), F.col("__c").alias("__ca")
+            ),
+            "id_a",
+        )
+        .join(
+            counts.select(
+                F.col("__item").alias("id_b"), F.col("__c").alias("__cb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.lit(nb) / (F.col("__ca") * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
     )
-    scored = joined.select(
-        "item",
-        "neighbor",
-        "n_ab",
-        F.round(
-            F.col("n_ab") * F.lit(nb) / (F.col("__ca") * F.col("__cb")), 6
-        ).alias("lift"),
-    )
+    scored = scored_pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("item"),
+                    F.col("id_b").alias("neighbor"),
+                    F.col("n_ab"),
+                    F.col("lift"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("item"),
+                    F.col("id_a").alias("neighbor"),
+                    F.col("n_ab"),
+                    F.col("lift"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.item", "__e.neighbor", "__e.n_ab", "__e.lift")
     w = Window.partitionBy("item").orderBy(
         F.col("lift").desc(), F.col("n_ab").desc(), F.col("neighbor").asc()
     )

@@ -228,7 +228,10 @@ def period_growth(
     (~e2 rows for years of data), never the fact table. Missing prior
     periods (series head) yield NULL growth, as does a zero base —
     try_divide, never /0. Sums are rounded to 4 before the ratio so
-    both engines difference identical doubles.
+    both engines difference identical doubles. Lags step over PRESENT
+    months (an empty calendar month is absent from the rollup, not a
+    zero row), so on sparse series "lag 12" means twelve active months
+    back — gap-fill first if calendar alignment matters.
     """
     monthly = (
         df.groupBy(
