@@ -8175,26 +8175,25 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (counts_and_averages, topk_orders, customers_without_orders,
 # customers_with_urgent_orders, word_count, top_words,
 # json_extract_sum) and doc_fingerprints (driver-green r7).
-# Round-10 rotation: IN — the twelve new r10 registrations
+# Round-10 rotation: IN — the fifteen new r10 registrations
 # (merge_event_intervals, scd2_event_type_history,
 # pareto_frontier_users, rolling_median_orders, weighted_median_price,
 # ab_conversion_ztest, readability_scores, cohort_retention_triangle,
 # monthly_revenue_growth, seasonal_dow_adjustment,
-# curriculum_schedule, part_cooccurrence_topk — new queries earn a
-# driver row immediately, per policy; the thirteen r9 registrations
-# STAY — they were added after CORRECTNESS_r08 sampled, so this round
-# is their first driver window). OUT — twelve driver-green shapes
-# with no open scale risk (winnowing_overlap_pairs,
-# percentile_buckets, window_topk_per_customer, quality_scores,
-# kanonymity_customers, audio_fingerprint_dedup,
-# video_fingerprint_dedup, kmv_prefiltered_distinct — green r08 —
-# plus quality_classifier_scores, boilerplate_ngrams,
-# contrastive_pairs, web_corpus_gate, winnowing_fingerprints — green
-# r06 — and filter_project, top_revenue_join — green every round
-# since r1), re-proved each round by the full-registry sweep
-# artifact. The r10 IN set is fifteen total: the twelve above plus
+# curriculum_schedule, part_cooccurrence_topk,
 # cuped_revenue_sensitivity, ses_forecast_events,
-# seasonal_anomaly_days.
+# seasonal_anomaly_days — new queries earn a driver row immediately,
+# per policy; the thirteen r9 registrations STAY — they were added
+# after CORRECTNESS_r08 sampled, so this round is their first driver
+# window). OUT — fifteen driver-green shapes with no open scale risk
+# (winnowing_overlap_pairs, percentile_buckets,
+# window_topk_per_customer, quality_scores, kanonymity_customers,
+# audio_fingerprint_dedup, video_fingerprint_dedup,
+# kmv_prefiltered_distinct — green r08 — plus
+# quality_classifier_scores, boilerplate_ngrams, contrastive_pairs,
+# web_corpus_gate, winnowing_fingerprints — green r06 — and
+# filter_project, top_revenue_join — green every round since r1),
+# re-proved each round by the full-registry sweep artifact.
 # Round-9 rotation: IN — the thirteen new r9 registrations
 # (weighted_sample_noreplace, ngram_novelty_scores,
 # event_markov_transitions, neyman_allocation_events,
