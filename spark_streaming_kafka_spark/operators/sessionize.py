@@ -363,3 +363,103 @@ def cohort_retention(
         "n_users",
         F.round(F.col("n_users") / base, 6).alias("retention"),
     )
+
+
+def first_seen_cumulative(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+    fmt: str = "yyyy-MM",
+) -> DataFrame:
+    """Cumulative unique-user growth: per period, how many users appear
+    for the FIRST time, and the running total of users seen so far.
+
+    The growth-accounting curve "how many customers have we ever had" —
+    NOT expressible as a windowed count(distinct) (no engine runs
+    distinct aggregates over cumulative frames at scale); the scalable
+    identity is first-seen attribution: cumulative distinct users
+    through period P = sum of per-period first-timer counts up to P.
+    One per-user min (map-side combined), one periods-sized rollup,
+    one running sum over the periods-sized table. Returns (``period``,
+    ``n_new``, ``cum_users``).
+    """
+    firsts = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.date_trunc(period, F.col(ts_col))).alias("__p")
+    )
+    per_period = firsts.groupBy(
+        F.date_format("__p", fmt).alias("period")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy(F.col("period").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # periods-sized table only
+    return per_period.select(
+        "period", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )
+
+
+def new_vs_returning_rollup(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "month",
+    fmt: str = "yyyy-MM",
+) -> DataFrame:
+    """Per-period value split into FIRST-period vs RETURNING users —
+    the new/repeat revenue decomposition every growth report opens
+    with (is revenue growth acquisition or retention?).
+
+    A row is "new" iff its period equals its user's first-seen period.
+    Two hash aggregations on the user key (the per-user first period
+    joins back onto the facts — broadcast at small user dims, shuffled
+    co-partitioned otherwise) and one periods-sized rollup; the share
+    is a ratio of the ROUNDED sums so both engines divide identical
+    doubles. Returns (``period``, ``new_value``, ``returning_value``,
+    ``n_new_users``, ``n_returning_users``, ``new_share``).
+    """
+    p = F.date_trunc(period, F.col(ts_col))
+    firsts = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.date_trunc(period, F.col(ts_col))).alias("__first_p")
+    )
+    tagged = events.join(
+        firsts, F.col(user_col) == F.col("__u")
+    ).select(
+        F.date_format(p, fmt).alias("period"),
+        F.col(user_col).alias("__user"),
+        F.col(value_col).alias("__v"),
+        (p == F.col("__first_p")).alias("__is_new"),
+    )
+    new_v = F.round(
+        F.sum(F.when(F.col("__is_new"), F.col("__v")).otherwise(F.lit(0.0))), 4
+    )
+    ret_v = F.round(
+        F.sum(
+            F.when(~F.col("__is_new"), F.col("__v")).otherwise(F.lit(0.0))
+        ),
+        4,
+    )
+    out = tagged.groupBy("period").agg(
+        new_v.alias("new_value"),
+        ret_v.alias("returning_value"),
+        F.countDistinct(
+            F.when(F.col("__is_new"), F.col("__user"))
+        ).alias("n_new_users"),
+        F.countDistinct(
+            F.when(~F.col("__is_new"), F.col("__user"))
+        ).alias("n_returning_users"),
+    )
+    return out.select(
+        "period",
+        "new_value",
+        "returning_value",
+        "n_new_users",
+        "n_returning_users",
+        F.round(
+            F.try_divide(
+                F.col("new_value"),
+                F.col("new_value") + F.col("returning_value"),
+            ),
+            6,
+        ).alias("new_share"),
+    )

@@ -8075,6 +8075,84 @@ def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cumulative_new_customers_monthly",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS p
+      FROM orders GROUP BY o_custkey
+    ), per_period AS (
+      SELECT strftime(p, '%Y-%m') AS period,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1
+    )
+    SELECT period, n_new,
+           CAST(sum(n_new) OVER (
+             ORDER BY period ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM per_period
+    """,
+)
+def q_cumulative_new_customers_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative unique-customer growth
+    (operators/sessionize.py::first_seen_cumulative): per month, the
+    first-time customers and the running total ever seen — the
+    growth-accounting curve a windowed count(distinct) cannot express
+    at scale; first-seen attribution makes it one per-user min + a
+    months-sized running sum."""
+    from .operators.sessionize import first_seen_cumulative
+
+    orders = _t(spark, sf_dir, "orders")
+    return first_seen_cumulative(orders, "o_custkey", "o_orderdate")
+
+
+@register(
+    "new_vs_returning_revenue",
+    """
+    WITH firsts AS (
+      SELECT o_custkey AS u, min(date_trunc('month', o_orderdate)) AS fp
+      FROM orders GROUP BY o_custkey
+    ), tagged AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS period,
+             o_custkey AS usr, o_totalprice AS v,
+             date_trunc('month', o_orderdate) = f.fp AS is_new
+      FROM orders JOIN firsts f ON o_custkey = f.u
+    ), rolled AS (
+      SELECT period,
+             round(sum(CASE WHEN is_new THEN v ELSE 0 END), 4) AS new_value,
+             round(sum(CASE WHEN NOT is_new THEN v ELSE 0 END), 4)
+               AS returning_value,
+             CAST(count(DISTINCT CASE WHEN is_new THEN usr END) AS BIGINT)
+               AS n_new_users,
+             CAST(count(DISTINCT CASE WHEN NOT is_new THEN usr END)
+               AS BIGINT) AS n_returning_users
+      FROM tagged GROUP BY period
+    )
+    SELECT period, new_value, returning_value, n_new_users,
+           n_returning_users,
+           round(new_value / (new_value + returning_value), 6) AS new_share
+    FROM rolled
+    """,
+)
+def q_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue decomposition
+    (operators/sessionize.py::new_vs_returning_rollup): each month's
+    revenue split by whether the customer is in their first-seen month
+    — is growth acquisition or retention, the opening question of
+    every growth report. Two user-keyed hash aggregations + a
+    months-sized rollup; the share divides the rounded sums so both
+    engines see identical doubles."""
+    from .operators.sessionize import new_vs_returning_rollup
+
+    orders = _t(spark, sf_dir, "orders")
+    return new_vs_returning_rollup(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
 #: Frozen toy merge table for the bpe_encode registry entry: the point
 #: is pinning the DISTRIBUTED APPLY path (broadcast ranks, Arrow pass,
 #: per-batch word memoization) on real corpus text at sweep cost ~one
@@ -8193,7 +8271,12 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_classifier_scores, boilerplate_ngrams, contrastive_pairs,
 # web_corpus_gate, winnowing_fingerprints — green r06 — and
 # filter_project, top_revenue_join — green every round since r1),
-# re-proved each round by the full-registry sweep artifact.
+# re-proved each round by the full-registry sweep artifact. Late-r10
+# addendum: cumulative_new_customers_monthly and
+# new_vs_returning_revenue rotate IN (new-query policy), evicting
+# dedup_exact and gap_fill_hourly (driver-green since r1/r4, both
+# still measured every round by the headline bench and proved by the
+# sweep).
 # Round-9 rotation: IN — the thirteen new r9 registrations
 # (weighted_sample_noreplace, ngram_novelty_scores,
 # event_markov_transitions, neyman_allocation_events,
@@ -8219,9 +8302,11 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "rolling_median_orders", "behavior_affinity_lift",
     "decay_weighted_revenue", "debounce_burst_events",
     "weighted_median_price", "value_changepoints",
-    "event_hour_mutual_info", "dedup_exact", "dedup_ngram_jaccard",
+    "event_hour_mutual_info", "cumulative_new_customers_monthly",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "semantic_dedup_clusters", "gap_fill_hourly", "embedding_near_dup",
+    "semantic_dedup_clusters", "new_vs_returning_revenue",
+    "embedding_near_dup",
     "embedding_near_dup_lsh", "semantic_dedup_clusters_lsh",
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
     "asof_click_view", "band_join_click_error",

@@ -514,3 +514,83 @@ def test_skyline_exact_on_adversarial_sorted_layout(spark):
         for r in skyline_2d(df, "x", "y", prepartition=True).collect()
     )
     assert a == expect and b == expect
+
+
+# --- growth accounting ----------------------------------------------------
+
+
+def test_first_seen_cumulative_toy(spark):
+    from spark_streaming_kafka_spark.operators.sessionize import (
+        first_seen_cumulative,
+    )
+
+    rows = [
+        ("u1", _ts("2024-01-05T00:00:00")),
+        ("u1", _ts("2024-03-01T00:00:00")),   # repeat, not a first-timer
+        ("u2", _ts("2024-01-20T00:00:00")),
+        ("u3", _ts("2024-02-02T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        r["period"]: (r["n_new"], r["cum_users"])
+        for r in first_seen_cumulative(df).collect()
+    }
+    assert got == {"2024-01": (2, 2), "2024-02": (1, 3)}
+    # march has no first-timers → no row (cumulative carries implicitly)
+
+
+def test_new_vs_returning_rollup_toy(spark):
+    from spark_streaming_kafka_spark.operators.sessionize import (
+        new_vs_returning_rollup,
+    )
+
+    rows = [
+        ("u1", _ts("2024-01-05T00:00:00"), 10.0),   # new in Jan
+        ("u1", _ts("2024-01-20T00:00:00"), 5.0),    # same first month: new
+        ("u1", _ts("2024-02-02T00:00:00"), 7.0),    # returning in Feb
+        ("u2", _ts("2024-02-10T00:00:00"), 3.0),    # new in Feb
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, v double")
+    got = {
+        r["period"]: (
+            r["new_value"], r["returning_value"],
+            r["n_new_users"], r["n_returning_users"], r["new_share"],
+        )
+        for r in new_vs_returning_rollup(df, "u", "ts", "v").collect()
+    }
+    assert got["2024-01"] == (15.0, 0.0, 1, 0, 1.0)
+    assert got["2024-02"] == (3.0, 7.0, 1, 1, 0.3)
+
+
+def test_growth_identities_on_orders(spark, tables):
+    """Σ n_new = distinct customers; per-month new+returning revenue =
+    plain monthly revenue."""
+    from spark_streaming_kafka_spark.operators.sessionize import (
+        first_seen_cumulative,
+        new_vs_returning_rollup,
+    )
+
+    orders = tables["orders"]
+    cum = first_seen_cumulative(orders, "o_custkey", "o_orderdate").collect()
+    total = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_new"] for r in cum) == total
+    assert max(r["cum_users"] for r in cum) == total
+
+    split = {
+        r["period"]: r["new_value"] + r["returning_value"]
+        for r in new_vs_returning_rollup(
+            orders, "o_custkey", "o_orderdate", "o_totalprice"
+        ).collect()
+    }
+    monthly = {
+        r["m"]: r["v"]
+        for r in orders.groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("m")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("v"))
+        .collect()
+    }
+    for m, v in monthly.items():
+        assert abs(split[m] - v) < 0.01
