@@ -2492,6 +2492,73 @@ def q_als_recommend_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _als_factor_expr(kind: str, id_expr: str, d: int) -> str:
+    """DuckDB twin of tools/make_pinned_factors.py::pinned_feature —
+    recomputes the committed factor parquet's doubles bit-for-bit
+    (the manifest-novelty precedent: oracle re-derives pinned state
+    in SQL instead of reading repo files)."""
+    h = duckdb_md5_long(f"'{kind}_' || {id_expr} || '_{d}'")
+    return f"({h} % 1000000) / 1000000.0 - 0.5"
+
+
+_ALS_SERVE_SQL = f"""
+WITH uf AS (
+  SELECT CAST(s_suppkey AS INTEGER) AS user_id,
+         {_als_factor_expr('u', 's_suppkey', 0)} AS u0,
+         {_als_factor_expr('u', 's_suppkey', 1)} AS u1,
+         {_als_factor_expr('u', 's_suppkey', 2)} AS u2,
+         {_als_factor_expr('u', 's_suppkey', 3)} AS u3
+  FROM supplier WHERE s_suppkey BETWEEN 0 AND 999
+), itf AS (
+  SELECT CAST(i.range AS INTEGER) AS item_id,
+         {_als_factor_expr('i', 'i.range', 0)} AS i0,
+         {_als_factor_expr('i', 'i.range', 1)} AS i1,
+         {_als_factor_expr('i', 'i.range', 2)} AS i2,
+         {_als_factor_expr('i', 'i.range', 3)} AS i3
+  FROM range(1, 101) i
+), scored AS (
+  SELECT user_id, item_id, u0*i0 + u1*i1 + u2*i2 + u3*i3 AS score
+  FROM uf CROSS JOIN itf
+), ranked AS (
+  SELECT user_id, item_id, score,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY score DESC, item_id
+         ) AS rn
+  FROM scored
+)
+SELECT user_id, CAST(rn AS INTEGER) AS rec_rank, item_id,
+       round(score, 6) AS score
+FROM ranked WHERE rn <= 5
+"""
+
+
+@register("als_scores_from_saved_factors", _ALS_SERVE_SQL)
+def q_als_saved_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M3/S16 hash-matched: the ALS SERVING path — load saved factor
+    parquet (the reference's steady-state mode: `engine.py:43` loads
+    `music_lens_als/data/{user,product}` and answers top-k without
+    retraining), dot-product score each requested user against the item
+    catalog, top-5 per user.
+
+    This closes the largest rows-only hole in the ML surface: training
+    is float-nondeterministic (stays rows-only in `als_recommend_topk`),
+    but SERVING from fixed factors is deterministic and SQL-expressible.
+    The committed artifact (tools/make_pinned_factors.py) pins factor
+    values from the portable md5 hash so the oracle recomputes them
+    bit-identically; the Spark side genuinely READS THE PARQUET — the
+    hash gate therefore also verifies the artifact round-trip. Request
+    set = supplier keys (the users present at this sf)."""
+    from .recommend import score_saved_factors
+
+    users = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("int").alias("user_id")
+    )
+    out = score_saved_factors(spark, users, k=5)
+    return out.select(
+        "user_id", "rec_rank", "item_id", F.round("score", 6).alias("score")
+    )
+
+
 # --------------------------------------------------------------------
 # Corpus-curation operators (operators/curation.py): decontamination,
 # PII scrubbing, stratified sampling, incremental manifest dedup, and
@@ -8291,10 +8358,19 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kfold_group_sizes, histogram_quantiles_value,
 # embedding_random_projection, jaccard_threshold_sweep,
 # retrieval_ndcg_bm25, image_ahash_dedup).
+# Round-10 rotation: IN — als_scores_from_saved_factors (new-query
+# policy: it hash-matches the ALS serving path from the committed
+# factor artifact, closing the largest rows-only ML hole). OUT —
+# bpe_encode_tokens: it has NO DuckDB oracle (sql=None — greedy BPE
+# merge learning is sequential), so a driver-window row can only ever
+# read `err: no_oracle` (the r9 self-inflicted red). Policy amendment
+# encoded here: rows-only queries are EXEMPT from the
+# new-queries-earn-a-driver-row rotation — their coverage is pytest
+# (tests/test_bpe.py) + the full-registry sweep's rows-only check.
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "weighted_sample_noreplace", "cuped_revenue_sensitivity",
     "ngram_novelty_scores", "ses_forecast_events", "event_markov_transitions",
-    "neyman_allocation_events", "bpe_encode_tokens",
+    "neyman_allocation_events", "als_scores_from_saved_factors",
     "manifest_novelty_new", "merge_event_intervals",
     "scd2_event_type_history", "etl_ratings_pipeline",
     "pareto_frontier_users",

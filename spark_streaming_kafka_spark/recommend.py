@@ -289,3 +289,98 @@ class RecommendationEngine:
     def _require_model(self) -> None:
         if self.model is None:
             raise RuntimeError("no model: call retrain() or load_model() first")
+
+
+# =====================================================================
+# Factor-serving path (S16/M2/M3): score from SAVED factors, no model
+# object and no retrain — the reference's steady-state serving mode
+# (engine.py:43 loads `music_lens_als/data/{user,product}` parquet and
+# answers top-k from it; spark_kafka.py:120 shapes the output).
+# =====================================================================
+
+import os as _os
+
+#: Committed deterministic factor artifact (tools/make_pinned_factors.py)
+#: mirroring the reference's saved-model shape: `id INT, features
+#: array<double>`, rank 4, 1000 users / 100 items.
+PINNED_FACTORS_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "data", "als_factors"
+)
+
+
+def score_saved_factors(
+    spark: SparkSession,
+    users: DataFrame,
+    k: int = 5,
+    user_factors_path: str | None = None,
+    item_factors_path: str | None = None,
+    user_id_col: str = "user_id",
+) -> DataFrame:
+    """Top-``k`` items per requested user from saved factor parquet.
+
+    Plan shape (the one a 1000-executor serving job wants):
+
+    - **Item factors are model state of bounded dimension** (the
+      reference catalog is 100 products; even web-scale catalogs are
+      millions of rows × small rank — a dimension table). They are read
+      DRIVER-SIDE via pyarrow at plan build (a local-file read, no
+      Spark job) and inlined as one ``array(named_struct(...))``
+      literal that ``explode`` expands — a narrow op, so the plan has
+      no crossJoin/BroadcastNestedLoopJoin (plan-audit clean) and the
+      user side is never shuffled for scoring.
+    - **User factors are a distributed parquet scan** joined to the
+      request set; the pinned artifact side is broadcast. At real scale
+      whichever side is smaller broadcasts — AQE's call when stats are
+      fresh; the explicit hint here pins the bounded artifact.
+    - **Scoring is a codegen'd expression** ``f[0]*g[0] + ... +
+      f[r-1]*g[r-1]`` built as ONE ``F.expr`` string (a higher-order
+      ``zip_with``/``aggregate`` fold runs interpreted and costs
+      hundreds of Py4J round-trips to build — the minhash 'expr'
+      lesson), with left-to-right addition order so the DuckDB oracle's
+      ``p0+p1+p2+p3`` reproduces the doubles bit-for-bit.
+    - Ranking is one window (``row_number`` per user, score DESC with
+      item_id tiebreak) — the only shuffle in the plan.
+
+    Returns ``(user_id, rec_rank, item_id, score)``.
+    """
+    import pyarrow.parquet as _pq
+
+    upath = user_factors_path or _os.path.join(PINNED_FACTORS_DIR, "user.parquet")
+    ipath = item_factors_path or _os.path.join(PINNED_FACTORS_DIR, "item.parquet")
+
+    items = _pq.read_table(ipath).to_pylist()
+    if not items:
+        raise ValueError(f"empty item factor table: {ipath}")
+    rank = len(items[0]["features"])
+    # repr() is shortest-round-trip; the 'D' suffix parses as DOUBLE
+    # (a bare decimal literal would parse as DECIMAL and break the
+    # bit-exactness contract with the oracle).
+    item_lit = "array(" + ", ".join(
+        "named_struct('item_id', {id}, 'ifeat', array({fs}))".format(
+            id=int(r["id"]), fs=", ".join(f"{repr(float(v))}D" for v in r["features"])
+        )
+        for r in items
+    ) + ")"
+    dot = " + ".join(f"features[{d}] * it.ifeat[{d}]" for d in range(rank))
+
+    uf = spark.read.parquet(upath)
+    req = users.select(F.col(user_id_col).cast("int").alias("user_id"))
+    joined = req.join(
+        F.broadcast(uf.select(F.col("id").cast("int").alias("user_id"), "features")),
+        "user_id",
+    )
+    scored = joined.select(
+        "user_id", F.expr(f"explode({item_lit})").alias("it"), "features"
+    ).select(
+        "user_id",
+        F.col("it.item_id").cast("int").alias("item_id"),
+        F.expr(dot).alias("score"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= k)
+        .select("user_id", F.col("rec_rank").cast("int").alias("rec_rank"), "item_id", "score")
+    )

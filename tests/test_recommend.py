@@ -194,3 +194,63 @@ def test_add_ratings_bounds_persisted_storage(spark, tables):
 
     eng.ratings.unpersist()
     eng.rating_counts.unpersist()
+
+
+# ---------------------------------------------------------------------
+# Factor-serving path (score_saved_factors): the committed pinned
+# artifact + the serving plan (parquet load -> inlined item catalog ->
+# codegen dot product -> windowed top-k).
+# ---------------------------------------------------------------------
+
+def test_saved_factor_scores_match_numpy(spark):
+    """Serving output equals a NumPy recomputation from the same
+    parquet — pins the dot-product expression and the ranking."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_streaming_kafka_spark.recommend import (
+        PINNED_FACTORS_DIR,
+        score_saved_factors,
+    )
+
+    users = spark.createDataFrame([(u,) for u in [0, 7, 42, 999]], "user_id int")
+    got = {
+        (r.user_id, r.rec_rank): (r.item_id, r.score)
+        for r in score_saved_factors(spark, users, k=3).collect()
+    }
+
+    uf = {r["id"]: np.array(r["features"]) for r in pq.read_table(
+        f"{PINNED_FACTORS_DIR}/user.parquet").to_pylist()}
+    itf = {r["id"]: np.array(r["features"]) for r in pq.read_table(
+        f"{PINNED_FACTORS_DIR}/item.parquet").to_pylist()}
+    for u in [0, 7, 42, 999]:
+        scores = sorted(
+            ((float(uf[u] @ v), i) for i, v in itf.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank in (1, 2, 3):
+            exp_score, exp_item = scores[rank - 1]
+            item, score = got[(u, rank)]
+            assert item == exp_item, (u, rank)
+            assert abs(score - exp_score) < 1e-12, (u, rank)
+
+
+def test_saved_factor_serving_drops_unknown_users(spark):
+    """Users absent from the factor table get no rows (inner join) —
+    the caller decides cold-start policy, the scorer never fabricates."""
+    from spark_streaming_kafka_spark.recommend import score_saved_factors
+
+    users = spark.createDataFrame([(5,), (123456,)], "user_id int")
+    out = score_saved_factors(spark, users, k=2)
+    assert sorted(r.user_id for r in out.collect()) == [5, 5]
+
+
+def test_saved_factor_serving_ranks_are_dense(spark):
+    from spark_streaming_kafka_spark.recommend import score_saved_factors
+
+    users = spark.createDataFrame([(1,), (2,)], "user_id int")
+    out = score_saved_factors(spark, users, k=5).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.rec_rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_user.values())
