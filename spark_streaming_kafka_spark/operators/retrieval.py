@@ -451,12 +451,12 @@ def item_cooccurrence_topk(
     keep = sizes.filter(
         (F.col("__sz") >= 2) & (F.col("__sz") <= max_basket_size)
     ).select("__basket")
-    # Persist: three consumers (pair expansion, item counts, basket
-    # total) would otherwise each re-run the distinct + size-filter
-    # subtree — measured 2 duplicate shuffle rounds at sf0.1. Narrow
-    # (basket, item) rows only; the nb collect below populates the
-    # cache, so every later consumer reads it.
-    kept = b.join(keep, "__basket", "left_semi").persist()
+    # No persist (r9 ADVICE: the old .persist() here was never
+    # unpersisted — every invocation leaked a session-lifetime cache).
+    # The nb job below re-runs this subtree once; the two consumers in
+    # the RETURNED plan share its exchanges via Spark's exchange reuse,
+    # which is what the cache was actually buying in the final job.
+    kept = b.join(keep, "__basket", "left_semi")
 
     pairs = (
         _bucket_pairs(kept, ["__basket"], "__item")
@@ -464,11 +464,16 @@ def item_cooccurrence_topk(
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     counts = kept.groupBy("__item").agg(F.count(F.lit(1)).alias("__c"))
-    # Basket total: one bounded single-scalar collect — the same
-    # corpus-constant pattern bm25_topk uses for N/avgdl (a constant-key
-    # broadcast join constant-folds into the cross join the plan audit
-    # rightly rejects). Also populates the kept cache for the consumers
-    # above.
+    # Basket total: a single-row aggregate joined on a constant key —
+    # BroadcastHashJoin of one row (the bm25 corpus-constant pattern,
+    # kept lazy instead of collected).
+    # Basket total: one bounded single-scalar collect at plan-build
+    # time (NOTE: building this DataFrame therefore runs one Spark job,
+    # and the lift constant reflects the data as of build — the
+    # documented bm25 corpus-constant trade; re-call the function after
+    # data changes). A lazy constant-key join was tried and rejected:
+    # any compile-time-constant key folds to a trivially-true condition
+    # and plans the BroadcastNestedLoopJoin the suite audit bans.
     nb = int(kept.agg(F.countDistinct("__basket")).first()[0] or 0)
 
     # Count joins run on the HALF-SIZE unordered pair table; lift is

@@ -73,6 +73,7 @@ def skyline_2d(
     y_col: str,
     *,
     prepartition: bool = False,
+    candidate_guard: int | None = None,
 ) -> DataFrame:
     """Rows of ``df`` on the 2-D Pareto frontier (maximize both columns).
 
@@ -80,6 +81,17 @@ def skyline_2d(
     under dominance) and is filtered up front. All other columns ride
     along unchanged. Set ``prepartition`` when the input layout is
     sorted/range-clustered along an objective (see module docstring).
+
+    Memory: each phase folds Arrow batches INCREMENTALLY — the running
+    frontier is re-pruned against every batch, so a task holds at most
+    (current frontier + one batch) in pandas, never its whole partition
+    (the r9 ADVICE finding: a concat-everything pass made anti-chain
+    data — e.g. strongly negatively correlated objectives, where the
+    frontier IS the dataset — an OOM, not just a slow case). The global
+    resolve still lands on one task by design; for inputs where an
+    O(data)-sized frontier is plausible, pass ``candidate_guard=N`` to
+    fail fast with a clear error (one extra count job) instead of
+    funnelling N+ rows into a single task.
     """
     clean = df.filter(df[x_col].isNotNull() & df[y_col].isNotNull())
     if prepartition:
@@ -87,12 +99,27 @@ def skyline_2d(
     schema = clean.schema
 
     def local(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = [b for b in batches if not b.empty]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        yield _skyline_pdf(pdf, x_col, y_col)
+        frontier: pd.DataFrame | None = None
+        for b in batches:
+            if b.empty:
+                continue
+            merged = b if frontier is None else pd.concat(
+                [frontier, b], ignore_index=True
+            )
+            frontier = _skyline_pdf(merged, x_col, y_col)
+        if frontier is not None:
+            yield frontier
 
     candidates = clean.mapInPandas(local, schema=schema)
-    # Frontier-sized by construction: one partition, same exact kernel.
+    if candidate_guard is not None:
+        n = candidates.limit(candidate_guard + 1).count()
+        if n > candidate_guard:
+            raise ValueError(
+                f"skyline candidate set exceeds guard ({n} > "
+                f"{candidate_guard}): the frontier is O(data)-sized — "
+                "the single-task global resolve would concentrate the "
+                "dataset; raise the guard only if that is acceptable"
+            )
+    # Frontier-sized by construction (or guarded above): one partition,
+    # same exact kernel.
     return candidates.repartition(1).mapInPandas(local, schema=schema)

@@ -208,9 +208,13 @@ def rolling_median(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(-preceding, Window.currentRow)
     )
-    return df.withColumn(
-        out_col, F.expr(f"percentile({value_col}, 0.5)").over(w)
-    )
+    # Backtick-quoted identifier in the expr string (r9 ADVICE: a bare
+    # f-string broke on names needing quoting — spaces/dots/hyphens).
+    # `median()` can't replace this: Spark 4.x rejects it over a window
+    # frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); `percentile`
+    # with the same exact-interpolation semantics is frame-capable.
+    qname = "`" + value_col.replace("`", "``") + "`"
+    return df.withColumn(out_col, F.expr(f"percentile({qname}, 0.5)").over(w))
 
 
 def period_growth(

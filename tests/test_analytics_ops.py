@@ -10,6 +10,7 @@ import math
 import random
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka_spark.operators.abtest import two_proportion_ztest
@@ -594,3 +595,41 @@ def test_growth_identities_on_orders(spark, tables):
     }
     for m, v in monthly.items():
         assert abs(split[m] - v) < 0.01
+
+
+def test_skyline_incremental_fold_on_antichain(spark):
+    """Anti-chain input (y = -x): the frontier IS the dataset. The
+    incremental batch fold must return all rows exactly (r9 ADVICE:
+    the old concat-everything pass was an OOM shape here; small Arrow
+    batches force multiple fold steps)."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        df = spark.createDataFrame(
+            [(i, float(i), float(-i)) for i in range(200)], "id int, x double, y double"
+        ).repartition(3)
+        got = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+        assert got == list(range(200))
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_skyline_candidate_guard_trips(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(100)], "id int, x double, y double"
+    )
+    with pytest.raises(ValueError, match="exceeds guard"):
+        skyline_2d(df, "x", "y", candidate_guard=10).collect()
+    # a generous guard passes through untouched
+    assert skyline_2d(df, "x", "y", candidate_guard=1000).count() == 100
+
+
+def test_rolling_median_handles_quoted_column_names(spark):
+    """Column names needing backticks (dots/spaces) must work — the
+    operator is Column-based like the rest of the module (r9 ADVICE)."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 90.0)],
+        ["k", "t", "the value"],
+    ).withColumnRenamed("the value", "v.alue")
+    out = rolling_median(df, "k", ["t"], "v.alue", preceding=2)
+    vals = [r["rolling_median"] for r in out.orderBy("t").collect()]
+    assert vals == [10.0, 15.0, 20.0]

@@ -91,3 +91,45 @@ def test_passjoin_candidate_stage_is_narrow_and_pinned(spark, sf_dir):
     # the codegen'd verify survives (textually repeated across the
     # Filter/Project pair that shares the expression)
     assert "levenshtein" in fplan
+
+
+# ---------------------------------------------------------------------
+# Positive join-strategy pins (r10): the negative bans above catch
+# cartesians, but a regression that silently DROPS a broadcast hint
+# (dim-side sort-merge of a 5-row region table against the fact scan)
+# passes them and only shows up as a bench delta. Pin the intended
+# strategy on the headline join queries so it turns the suite red.
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name",
+    ["top_revenue_join", "salted_bigjoin_revenue", "etl_ratings_pipeline"],
+)
+def test_dim_joins_stay_broadcast(spark, sf_dir, name):
+    fn, _ = REGISTRY[name]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, (
+        f"{name}: dimension join lost its broadcast (sort-merge of a "
+        "dim table against the fact scan at 100 TB)"
+    )
+
+
+def test_etl_fact_fact_join_is_shuffled_hash(spark, sf_dir):
+    """etl_ratings_pipeline's triplets x user-totals join is fact-fact:
+    neither side broadcasts at scale, and SortMergeJoin would add two
+    sorts a hash join doesn't need. The SHUFFLE_HASH hint is the r8
+    tuning win — pin it."""
+    fn, _ = REGISTRY["etl_ratings_pipeline"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_click_view_is_join_free(spark, sf_dir):
+    """The as-of query's scale guarantee is NOT a broadcast — it is the
+    union + fill-forward-window plan (operators/asof.py): one shuffle on
+    the key, no range join, no join operator at all. Pin that."""
+    fn, _ = REGISTRY["asof_click_view"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "Join" not in plan, "asof gained a join — union+window plan lost"
+    assert "Window" in plan
