@@ -291,6 +291,83 @@ def _minhash_signatures_pandas(
     )
 
 
+def _minhash_band_keys_pandas(
+    docs: DataFrame,
+    num_perm: int,
+    bands: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """FUSED signature+banding pass: one ``mapInPandas`` emits the
+    ``(doc_id, band, key)`` rows :func:`_band_keys` would derive from
+    the signature table — same key format ('_'-joined band-slice
+    values; parity pinned in tests), one fewer plan segment, and the
+    5000×num_perm signature arrays never round-trip through Arrow or
+    the interpreted named_struct/concat_ws projection.
+
+    Also memoizes md5 per UNIQUE shingle within each Arrow batch: a
+    near-dup corpus is exactly the input where shingles repeat across
+    documents, so the hash count drops toward |unique shingles| instead
+    of Σ|doc shingles|.
+    """
+    import hashlib
+
+    import numpy as np
+
+    params = minhash_params(num_perm)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    rows = num_perm // bands
+    kk = k
+
+    def emit(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            memo: dict[str, int] = {}
+            ids, bnd, keys = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _py_shingles(text or "", kk)
+                if not sh:
+                    continue  # parity: no shingles -> no rows
+                hs = np.empty(len(sh), dtype=np.int64)
+                for j, s in enumerate(sh):
+                    v = memo.get(s)
+                    if v is None:
+                        # == int(hexdigest[:15], 16) — see
+                        # _minhash_signatures_pandas for the bit math
+                        v = (
+                            int.from_bytes(
+                                hashlib.md5(s.encode()).digest()[:8], "big"
+                            )
+                            >> 4
+                        ) % MERSENNE_P
+                        memo[s] = v
+                    hs[j] = v
+                sig = ((A * hs[None, :] + B) % MERSENNE_P).min(axis=1)
+                for i in range(bands):
+                    ids.append(did)
+                    bnd.append(i)
+                    keys.append(
+                        "_".join(map(str, sig[i * rows : (i + 1) * rows]))
+                    )
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids),
+                    "band": pd.Series(bnd, dtype="int32"),
+                    "key": pd.Series(keys, dtype="object"),
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return fan_out(docs).select(id_col, text_col).mapInPandas(
+        emit, schema=f"doc_id {id_type}, band int, key string"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -310,32 +387,54 @@ def minhash_lsh_pairs(
     arrays — candidate-count bounded, not corpus-quadratic), which
     removes LSH false positives; false-negative rate is the standard
     1-(1-s^r)^b curve (≈0 for s near 1).
+
+    The signature and banding phases are FUSED into one Arrow pass
+    (:func:`_minhash_band_keys_pandas`) — band keys come straight out
+    of the corpus scan, so the plan is scan → bucket-agg pair
+    expansion → distinct → candidate-bounded verify.
     """
-    sigs = minhash_signatures(docs, num_perm, k, text_col, id_col)
-    bands_df = _band_keys(sigs, "doc_id", num_perm, bands)
-    cand = _bucket_pairs(bands_df, ["band", "key"], "doc_id").distinct()
+    bands_df = _minhash_band_keys_pandas(
+        docs, num_perm, bands, k, text_col, id_col
+    )
+    cand = _bucket_pairs(bands_df, ["band", "key"], "doc_id")
     if not verify:
-        return cand
+        return cand.distinct()
+    # No .distinct() before verification: the text-fetch pivot below
+    # already groups by (id_a, id_b), so multi-band duplicate
+    # candidates collapse there for free — one fewer shuffle stage
+    # (duplicates inflate the broadcast pair list by at most the band
+    # count, still candidate-bounded).
     # Exact-Jaccard verification, candidate-bounded: fetch the two texts
-    # per candidate pair (cand is tiny — both joins broadcast it) and
-    # shingle+compare in an Arrow-batched pandas UDF. The previous
-    # formulation re-ran the interpreted word_shingles expression over
-    # the WHOLE corpus twice (~2× corpus scans of higher-order lambda
-    # evaluation); this does Python set-ops on |candidates| rows only.
-    da = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    db = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    # per candidate pair and shingle+compare in an Arrow-batched pandas
+    # UDF — Python set-ops on |candidates| rows only, never the corpus.
+    # Text fetch is ONE corpus scan: the pair list explodes to
+    # (id_a, id_b, doc_id) rows, broadcast against the corpus (explicit
+    # — with stale stats on a cluster AQE could sort-merge the corpus
+    # against a few-thousand-row candidate set), then a candidate-
+    # bounded pivot aggregation reassembles (pair → __ta, __tb). The
+    # old two-join form scanned the corpus twice and built two
+    # broadcast exchanges for the same bounded pair set.
     jac = _jaccard_text_udf(k)
-    # Explicit broadcast on cand ONLY (bounded: two ids per row) — AQE
-    # usually infers it locally, but with stale stats on a cluster a
-    # sort-merge of the full corpus against a few-thousand-row candidate
-    # set is the failure mode. The second join's small side (cand + one
-    # text each) is left to AQE: with 100 KB documents it can exceed the
-    # 8 GB broadcast hard limit, and a runtime-planned join degrades
-    # gracefully where a forced broadcast would fail the job.
-    with_a = da.join(F.broadcast(cand), "id_a")
+    long = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__did")
+    )
+    texts = docs.select(
+        F.col(id_col).alias("__did"), F.col(text_col).alias("__t")
+    )
+    per_pair = (
+        texts.join(F.broadcast(long), "__did")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.when(F.col("__did") == F.col("id_a"), F.col("__t"))
+            ).alias("__ta"),
+            F.max(
+                F.when(F.col("__did") == F.col("id_b"), F.col("__t"))
+            ).alias("__tb"),
+        )
+    )
     return (
-        db.join(with_a, "id_b")
-        .withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
+        per_pair.withColumn("jaccard", jac(F.col("__ta"), F.col("__tb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -451,12 +451,17 @@ def item_cooccurrence_topk(
     keep = sizes.filter(
         (F.col("__sz") >= 2) & (F.col("__sz") <= max_basket_size)
     ).select("__basket")
-    # No persist (r9 ADVICE: the old .persist() here was never
-    # unpersisted — every invocation leaked a session-lifetime cache).
-    # The nb job below re-runs this subtree once; the two consumers in
-    # the RETURNED plan share its exchanges via Spark's exchange reuse,
-    # which is what the cache was actually buying in the final job.
-    kept = b.join(keep, "__basket", "left_semi")
+    # Shared materialization for the three consumers (pair expansion,
+    # item counts, basket total) WITHOUT the r9 ADVICE leak: a lazy
+    # localCheckpoint materializes once at the nb job below and serves
+    # the returned plan's two branches from its blocks — but unlike the
+    # old never-unpersisted .persist(), the blocks are freed by the
+    # ContextCleaner when the returned DataFrame is garbage-collected,
+    # not pinned in the CacheManager for the session's lifetime.
+    # (Plain exchange reuse was measured NOT to fire across these
+    # branches — the un-materialized form re-ran the distinct subtree
+    # three times, 3.2 s vs 1.5 s at sf0.1.)
+    kept = b.join(keep, "__basket", "left_semi").localCheckpoint(eager=False)
 
     pairs = (
         _bucket_pairs(kept, ["__basket"], "__item")

@@ -1006,3 +1006,26 @@ def test_winnowing_candidate_volume_linear_on_clone_growth(spark):
         ).collect()
     }
     assert {(j, n + j) for j in range(8)} <= found
+
+
+def test_fused_band_keys_match_two_phase_derivation(spark, tables):
+    """The fused signature+banding Arrow pass must emit exactly the
+    (doc_id, band, key) rows _band_keys derives from the signature
+    table — the r10 stage fusion is an optimization, never a semantics
+    change (this is what keeps dedup_minhash_lsh's oracle exact)."""
+    from spark_streaming_kafka_spark.operators.dedup import (
+        _band_keys,
+        _minhash_band_keys_pandas,
+        minhash_signatures,
+    )
+
+    docs = tables["documents"].limit(300).select("doc_id", "text")
+    sigs = minhash_signatures(docs, 32, 3, "text", "doc_id")
+    two_phase = set(map(tuple, _band_keys(sigs, "doc_id", 32, 16).collect()))
+    fused = set(
+        map(
+            tuple,
+            _minhash_band_keys_pandas(docs, 32, 16, 3, "text", "doc_id").collect(),
+        )
+    )
+    assert fused == two_phase and len(fused) > 0
