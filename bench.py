@@ -163,6 +163,10 @@ PIPELINE = [
     # so r7-r9 pipeline records stay comparable on the shared prefix):
     "part_cooccurrence_topk",   # basket pair expansion + per-item top-k
     "curriculum_schedule",      # per-source quality ranking + interleave
+    # r10 batch-B additions (same prefix-stability rule):
+    "graph_triangle_counts",    # degree-ordered triangle enumeration
+    "rfm_customer_segments",    # 3x distributed global_ntile passes
+    "attribution_u_shaped",     # per-user conversion x touch join + window
 ]
 
 SUITES = {"headline": HEADLINE, "pipeline": PIPELINE}

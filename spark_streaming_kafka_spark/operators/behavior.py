@@ -1,0 +1,284 @@
+"""Behavioral / marketing analytics: attribution, conversion latency,
+RFM segmentation, behavioral entropy.
+
+The event-stream questions a product-analytics user asks right after
+funnels (`funnel_conversion`) and transitions
+(`event_markov_transitions`):
+
+- :func:`position_attribution` — split each conversion's value across
+  the user's preceding touch events (U-shaped position weighting).
+- :func:`time_to_conversion` — per-user first-touch → first-conversion
+  latency.
+- :func:`rfm_scores` — recency/frequency/monetary quintile scoring of
+  customers over their order history.
+- :func:`behavioral_entropy` — Shannon entropy of each user's
+  event-type mix (how specialized vs. diverse a user's activity is).
+
+Determinism contract (queries.py rules): weights are rational
+arithmetic (divisions of exact integers — no pow/exp, whose last-ulp
+behavior differs across engines), every ranking carries a unique
+tiebreaker, doubles are rounded by the callers before comparison.
+Entropy uses log2 like the committed mutual-information operator
+(`event_hour_mutual_info` established cross-engine log parity under
+round-6).
+
+Scale shapes: everything here is hash aggregations plus per-user
+equi-joins/windows — shuffles keyed by user/customer, fact-sized once,
+then dimension-sized. The attribution join is bounded per user by the
+lookback window; pathological single-user streams are the same skew
+knob every per-user operator in this package shares (salt or cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "position_attribution",
+    "time_to_conversion",
+    "rfm_scores",
+    "behavioral_entropy",
+]
+
+
+def position_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_ms: int = 7 * 24 * 3600 * 1000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution.
+
+    For every conversion event, its ``value`` is credited to the same
+    user's touch events with ``0 <= Δt <= lookback_ms`` before the
+    conversion: 40% to the first touch, 40% to the last, the remaining
+    20% split evenly over the middle touches (1 touch → 100%, 2 →
+    50/50 — the standard U-shape degenerations). Credits aggregate per
+    touch ``event_type``.
+
+    Output: ``(event_type, n_touches, credited_value)`` — how much
+    conversion revenue each channel actually drove, vs. the last-click
+    answer a naive groupBy gives.
+
+    Plan: conversions ⋈ touches is a per-user equi-join (both sides
+    shuffle by user once), the window filter prunes to the lookback,
+    position weights come from one row_number window per conversion,
+    and the final aggregate is channel-sized. Weights are exact
+    rational divisions — no float pow — so the DuckDB twin reproduces
+    every credit bit-for-bit before rounding.
+    """
+    conv = events.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.col("event_id").alias("__cid"),
+        F.col(value_col).alias("__val"),
+    )
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col("event_id").alias("__tid"),
+        F.col(type_col).alias("event_type"),
+    )
+    joined = conv.join(touch, "__u").filter(
+        (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.unix_millis(F.col("__cts")) - F.unix_millis(F.col("__tts"))
+            <= F.lit(lookback_ms)
+        )
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("__tts").asc(), F.col("__tid").asc()
+    )
+    pos = joined.select(
+        "__cid",
+        "__val",
+        "event_type",
+        F.row_number().over(w).alias("__pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("__cid")).alias("__n"),
+    )
+    n = F.col("__n")
+    first_or_last = (F.col("__pos") == 1) | (F.col("__pos") == n)
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(first_or_last, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+    )
+    return (
+        pos.select(
+            "event_type", (F.col("__val") * weight).alias("__credit")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("__credit").alias("credited_value"),
+        )
+    )
+
+
+def time_to_conversion(
+    events: DataFrame,
+    start_type: str = "view",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user conversion latency: first ``start_type`` event → first
+    ``convert_type`` event AT OR AFTER it.
+
+    Output: ``(user_id, first_touch_ms, first_conversion_ms,
+    latency_s)`` — one row per user who converted after touching;
+    never-converted and converted-before-touch users are absent (the
+    caller left-joins if it wants the full base). All integer
+    epoch-millis arithmetic; ``latency_s`` is millis/1000.0 rounded by
+    the caller.
+
+    Plan: one conditional aggregation per user (min ts of each type
+    with the conversion min conditioned on >= the touch min via a
+    second pass over the same grouped rows) — a single fact shuffle
+    keyed by user, no join at all.
+    """
+    ms = F.unix_millis(F.col(ts_col))
+    first_touch = (
+        events.filter(F.col(type_col) == start_type)
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(F.min(ms).alias("first_touch_ms"))
+    )
+    # The conditional min (first conversion AT OR AFTER the first
+    # touch) needs the touch min first: one user-keyed join of the
+    # conversion stream against the user-sized touch table (broadcast
+    # when the user base is bounded; shuffle-safe regardless), then a
+    # second user-keyed aggregation.
+    conv = events.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("user_id"), ms.alias("__cms")
+    )
+    first_conv_after = (
+        conv.join(first_touch, "user_id")
+        .filter(F.col("__cms") >= F.col("first_touch_ms"))
+        .groupBy("user_id")
+        .agg(F.min("__cms").alias("first_conversion_ms"))
+    )
+    return (
+        first_touch.join(first_conv_after, "user_id")
+        .select(
+            "user_id",
+            "first_touch_ms",
+            "first_conversion_ms",
+            (
+                (F.col("first_conversion_ms") - F.col("first_touch_ms"))
+                / 1000.0
+            ).alias("latency_s"),
+        )
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per customer, ``ntile(buckets)`` scores for
+    Recency (days since last order — lower is better, so the tile runs
+    over recency DESC to make 5 = most recent), Frequency (order
+    count), and Monetary (total spend in exact cents).
+
+    Output: ``(customer_id, recency_days, n_orders, total_cents,
+    r_score, f_score, m_score)``. Monetary uses integer cents
+    (``round(price*100)``) so cross-engine sums are exact; every ntile
+    ordering carries the customer id tiebreak (the committed
+    ntile_buckets parity precedent).
+
+    Plan — the scale-honest global ranking: one fact aggregation by
+    customer, then THREE :func:`~.percentile.global_ntile` passes over
+    the customer-sized table (each is a distributed range sort + a
+    bounded offset collect — never the single-partition
+    ``Window.partitionBy()`` trap an unpartitioned ntile plans). The
+    dataset's last order date is one scalar aggregate collected at
+    build (the documented corpus-constant pattern).
+    """
+    from .percentile import global_ntile
+
+    per_cust = orders.groupBy(
+        F.col(customer_col).alias("customer_id")
+    ).agg(
+        F.max(F.col(ts_col)).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col(amount_col) * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    max_date = orders.agg(F.max(F.col(ts_col))).first()[0]
+    rec = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.lit(max_date), F.col("__last")).cast("long"),
+    )
+    scored = global_ntile(
+        rec,
+        [F.col("recency_days").desc(), F.col("customer_id").asc()],
+        buckets,
+        "r_score",
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("n_orders").asc(), F.col("customer_id").asc()],
+        buckets,
+        "f_score",
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("total_cents").asc(), F.col("customer_id").asc()],
+        buckets,
+        "m_score",
+    )
+    return scored.select(
+        "customer_id",
+        "recency_days",
+        "n_orders",
+        "total_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+    )
+
+
+def behavioral_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type distribution:
+    ``H(u) = -Σ_t p_t log2 p_t`` with ``p_t = n_{u,t} / n_u``.
+
+    The behavioral-diversity score: 0 = a user who only ever does one
+    thing, log2(k) = uniform over k types. Output: ``(user_id,
+    n_events, entropy_bits)``.
+
+    Plan: one (user, type) hash aggregation (map-side combined), one
+    user-sized re-aggregation deriving the total and the entropy sum
+    in a single pass — the per-user total is folded in via sum-over-
+    group rather than a join. Counts are exact integers; log2 parity
+    under round-6 follows the mutual-information precedent.
+    """
+    ut = events.groupBy(
+        F.col(user_col).alias("user_id"), F.col(type_col).alias("__t")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    per_user = ut.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("n_events"),
+        F.sum(F.col("__c") * F.log2("__c")).alias("__clogc"),
+    )
+    # H = log2(n) - (Σ c·log2 c)/n  — one pass, no p_t materialization
+    return per_user.select(
+        "user_id",
+        "n_events",
+        (
+            F.log2("n_events") - F.col("__clogc") / F.col("n_events")
+        ).alias("entropy_bits"),
+    )

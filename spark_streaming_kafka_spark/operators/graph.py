@@ -84,3 +84,128 @@ def pagerank(
     nodes.unpersist()
     e_deg.unpersist()
     return out
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree distribution of an undirected simple graph given as
+    normalized (a < b) edge rows: ``(degree, n_nodes)``.
+
+    Two hash aggregations, both map-side combined: node degrees
+    (explode each edge to its two endpoints — edge-sized, narrow),
+    then the histogram (degree-sized). The standard first look at any
+    link/co-occurrence graph before running anything iterative on it.
+    """
+    ends = edges.select(
+        F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph
+    (normalized a < b edge rows): ``(node, n_triangles)`` for every
+    node in at least one triangle.
+
+    Degree-ordered orientation — the classic bound that makes triangle
+    enumeration feasible on skewed graphs: direct every edge from its
+    lower endpoint to its higher endpoint under the total order
+    (degree, node id), so every vertex's OUT-degree is O(√m) even when
+    a hub's raw degree is O(n). Wedges are then generated per source
+    from out-neighbor pairs (Σ outdeg² ≤ O(m^1.5) instead of Σ deg²,
+    which a hub makes quadratic), and closed against the normalized
+    edge set with one equi-join. Each triangle is found exactly once —
+    at its (degree, id)-minimal vertex — then exploded to credit its
+    three corners.
+
+    Every join is an equi-join (shuffle/broadcast by key — no
+    cartesian); all values are integers, so the DuckDB oracle matches
+    exactly.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("__deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("__deg").alias("__db"))
+    # orient: lower (deg, id) endpoint -> higher
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("__o")
+        )
+        .select("__o.u", "__o.v")
+    )
+    # Edge-iterator closure instead of materialized wedges: collect each
+    # node's oriented out-neighborhood ONCE (arrays bounded by the
+    # O(√m) oriented out-degree), attach both endpoints' arrays to each
+    # oriented edge, and intersect. A triangle (u, v, x) with u→v, u→x,
+    # v→x appears exactly as x ∈ N⁺(u) ∩ N⁺(v) on edge (u, v). Same
+    # integer result as the wedge join, but the shuffle carries one row
+    # per edge with an array payload instead of one row per WEDGE —
+    # measured 25× fewer shuffled rows (and 3× wall) on the sf0.1
+    # co-occurrence graph, where Σ outdeg² ≈ 50M wedges vs 1M edges.
+    width = edges.sparkSession.sparkContext.defaultParallelism
+    # The neighborhood aggregation is width-pinned for the same reason
+    # as the intersect stage below: its shuffle bytes undersell its
+    # work (collect_list builds every adjacency array here), and AQE
+    # coalesced it to one 2.4 s task at sf0.1.
+    adj = (
+        oriented.repartition(width, "u")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sort_array(F.collect_list("v")).alias("__nbrs"))
+    )
+    # Explicit stage width for the intersect/explode stage (the
+    # Pass-Join lesson, pinned there by test_plan_audit): the shuffle
+    # BYTES entering it are tiny (edge ids + array payloads compress to
+    # ~1 MB at sf0.1) so AQE coalesces it to ONE task — but the stage's
+    # WORK is the Σ|N⁺| array intersections, which AQE cannot see.
+    # Measured 6.7 s single-task vs sub-second at full width.
+    e2 = (
+        oriented.join(
+            adj.select(F.col("node").alias("u"), F.col("__nbrs").alias("__nu")),
+            "u",
+        )
+        .repartition(width, "v")
+        .join(
+            adj.select(F.col("node").alias("v"), F.col("__nbrs").alias("__nv")),
+            "v",
+            "left",  # v may have no out-edges
+        )
+        .select(
+            "u",
+            "v",
+            F.array_intersect(
+                F.col("__nu"), F.coalesce(F.col("__nv"), F.array())
+            ).alias("__common"),
+        )
+    )
+    corners = e2.select(
+        F.explode(
+            F.concat(
+                # u and v each close size(common) triangles on this edge
+                F.transform(F.col("__common"), lambda _: F.col("u")),
+                F.transform(F.col("__common"), lambda _: F.col("v")),
+                F.col("__common"),
+            )
+        ).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

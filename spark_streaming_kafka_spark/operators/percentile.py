@@ -318,3 +318,114 @@ def weighted_median(
         )
         .drop("__cum", "__prev")
     )
+
+
+def _ranked_with_offsets(
+    df: DataFrame,
+    order_cols: Sequence,
+    num_parts: int | None,
+):
+    """Range-partition on the order, count per partition (bounded
+    collect), return (ranged_df_with___pid, offsets dict, total n)."""
+    cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    return ranged, cols, offsets, acc
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence,
+    out_col: str = "__grank",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact GLOBAL row number under a total order — without the
+    single-partition window trap.
+
+    ``Window.partitionBy().orderBy(...)`` funnels the whole input into
+    ONE task; this is the distributed two-pass form instead:
+    range-repartition on the order columns (the same machinery a
+    distributed orderBy uses), count rows per range partition (a
+    bounded, partition-count-sized collect), broadcast the cumulative
+    offsets back as a literal lookup, and add each partition's local
+    ``row_number``. Identical output to the unpartitioned window for
+    any TOTAL order (pass a unique tiebreaker — same rule every
+    ranking in this package follows).
+
+    NOTE: building runs one counting job (the offsets), like the other
+    documented build-time constants (bm25, item_cooccurrence_topk).
+    """
+    ranged, cols, offsets, _n = _ranked_with_offsets(df, order_cols, num_parts)
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    return ranged.withColumn(out_col, (off_expr + local).cast("long")).drop(
+        "__pid"
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence,
+    buckets: int,
+    out_col: str = "tile",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(buckets)`` at any scale, value-identical to
+    the SQL window function (the first ``n % buckets`` tiles get
+    ``ceil(n / buckets)`` rows), built on the :func:`global_rank`
+    machinery — one range repartition + one bounded counting job, never
+    a single-partition window.
+
+    Tile from (rank, n, b), all INTEGER arithmetic (``DIV``, exact in
+    both engines at any n): with ``q = n div b``, ``m = n mod b``,
+    ranks ``<= m*(q+1)`` land in tile ``ceil(rank/(q+1))``, the rest in
+    ``m + ceil((rank - m*(q+1))/q)``.
+    """
+    ranged, cols, offsets, n = _ranked_with_offsets(df, order_cols, num_parts)
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    ranked = ranged.withColumn("__grank", (off_expr + local).cast("long"))
+    q, m = divmod(n, buckets)
+    if q == 0:
+        tile = F.col("__grank")  # fewer rows than buckets: rank IS the tile
+    else:
+        head = m * (q + 1)
+        # ceil(x / d) over positive longs = (x + d - 1) DIV d
+        tile = F.when(
+            F.col("__grank") <= F.lit(head),
+            F.expr(f"(__grank + {q}) DIV {q + 1}"),
+        ).otherwise(
+            F.lit(m) + F.expr(f"(__grank - {head} + {q - 1}) DIV {q}")
+        )
+    return (
+        ranked.withColumn(out_col, tile.cast("int"))
+        .drop("__grank")
+        .drop("__pid")
+    )

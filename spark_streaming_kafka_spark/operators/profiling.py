@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -140,4 +140,127 @@ def grouped_trend(
         F.col(key),
         F.col("__n").cast("long").alias("n_points"),
         F.round(slope, round_digits).alias(slope_alias),
+    )
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """Benford's-law first-significant-digit profile of a positive
+    numeric column — the classic fabricated-/corrupted-data smell test
+    for financial and measurement columns.
+
+    Output per digit d ∈ 1..9: ``(digit, n_values, observed_share,
+    expected_share, chi2_term)`` with ``expected_share =
+    log10(1 + 1/d)`` and ``chi2_term = (obs - exp)² / exp`` over the
+    shares (sum the column for the test statistic). Zero/negative/null
+    values are excluded (they have no first significant digit).
+
+    Plan: the first digit is pure column algebra —
+    ``floor(v / 10^floor(log10(v)))`` — so the whole profile is one
+    map-side-combined 9-group aggregation over the scan. log10 of
+    small integers is cross-engine stable under the suite's round-6
+    contract.
+    """
+    v = F.col(value_col)
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    pos = df.filter(v > 0).select(digit.alias("digit"))
+    counts = pos.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    total = F.sum("n_values").over(Window.partitionBy())
+    obs = F.col("n_values") / total
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n_values",
+        obs.alias("observed_share"),
+        exp.alias("expected_share"),
+        ((obs - exp) * (obs - exp) / exp).alias("chi2_term"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Gini coefficient of a non-negative integer quantity (e.g.
+    revenue in cents) across keys — THE inequality number for "how
+    concentrated is our revenue / token count / document mass".
+
+    ``G = (2 Σ_i i·x_(i)) / (n Σ x) − (n+1)/n`` over values sorted
+    ascending (ties broken by key, so both engines rank identically).
+    All moments are exact integer sums — the double division happens
+    once at the end, which is what makes the DuckDB twin bit-exact
+    before rounding.
+
+    Plan: the global rank comes from :func:`~.percentile.global_rank`
+    (distributed range sort + bounded offset collect — no
+    single-partition window), then one scalar aggregation of
+    ``(Σ i·x, Σ x, n)``. Output: one row ``(n_keys, total, gini)``.
+    """
+    from .percentile import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(key_col).alias("__k"), F.col(cents_col).alias("__x")),
+        [F.col("__x").asc(), F.col("__k").asc()],
+        "__i",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).cast("long").alias("__ixsum"),
+    )
+    n = F.col("n_keys")
+    return agg.select(
+        "n_keys",
+        "total",
+        (
+            F.lit(2.0) * F.col("__ixsum") / (n * F.col("total"))
+            - (n + F.lit(1)) / n
+        ).alias("gini"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    key_col: str,
+    cents_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Lorenz-curve points: split keys into ``buckets`` equal-count
+    tiles by ascending value and report each tile's share of the total
+    — "the bottom 50% of customers hold 9% of revenue" in table form
+    (the graphical companion of :func:`gini_coefficient`).
+
+    Output per tile: ``(tile, n_keys, tile_cents, cum_share)`` with
+    ``cum_share`` the cumulative fraction of the total through that
+    tile. Integer sums throughout; one division per output row.
+
+    Plan: :func:`~.percentile.global_ntile` (distributed), a
+    tile-sized aggregation, then a tiny window over ≤ ``buckets`` rows
+    for the cumulative sum.
+    """
+    from .percentile import global_ntile
+
+    tiled = global_ntile(
+        df.select(F.col(key_col).alias("__k"), F.col(cents_col).alias("__x")),
+        [F.col("__x").asc(), F.col("__k").asc()],
+        buckets,
+        "tile",
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__x").cast("long").alias("tile_cents"),
+    )
+    w = Window.partitionBy().orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("tile_cents").over(Window.partitionBy())
+    return per_tile.select(
+        "tile",
+        "n_keys",
+        "tile_cents",
+        (F.sum("tile_cents").over(w) / total).alias("cum_share"),
     )

@@ -8252,6 +8252,360 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# =====================================================================
+# Round-10 batch B — graph analytics, attribution/behavior, and
+# distribution diagnostics (operators/graph.py, operators/behavior.py,
+# operators/profiling.py, operators/percentile.py::global_ntile).
+# =====================================================================
+
+#: Shared CTE: the part co-occurrence graph — normalized (a < b) edges
+#: between parts appearing in the same order, basket size capped 2..8
+#: (the same cap discipline item_cooccurrence_topk uses: pair volume is
+#: SUM C(|basket|,2), so the cap bounds it linearly in orders).
+_COOC_EDGE_CTES = """inc AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS p FROM lineitem
+), keepb AS (
+  SELECT b FROM inc GROUP BY b HAVING count(*) BETWEEN 2 AND 8
+), e AS (
+  SELECT DISTINCT i1.p AS a, i2.p AS c
+  FROM inc i1 JOIN inc i2 ON i1.b = i2.b AND i1.p < i2.p
+  JOIN keepb k ON k.b = i1.b
+)"""
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_COOC_EDGE_CTES` — (id_a < id_b) part pairs
+    sharing an order, basket-capped. _bucket_pairs expands pairs from
+    ONE hash aggregation (never a self-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    inc = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("p")
+    ).distinct()
+    keep = (
+        inc.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter((F.col("__sz") >= 2) & (F.col("__sz") <= 8))
+        .select("b")
+    )
+    kept = inc.join(keep, "b", "left_semi")
+    return dd._bucket_pairs(kept, ["b"], "p").distinct()
+
+
+@register(
+    "graph_triangle_counts",
+    f"""
+    WITH {_COOC_EDGE_CTES},
+    tri AS (
+      SELECT e1.a AS x, e1.c AS y, e2.c AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.c
+      JOIN e e3 ON e3.a = e1.a AND e3.c = e2.c
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-occurrence graph
+    (operators/graph.py::triangle_counts). The Spark side runs the
+    degree-ordered orientation (every wedge generated at its
+    (degree,id)-minimal vertex, out-degrees O(sqrt m) even on hubs);
+    the oracle is the naive x<y<z triple join — identical integer
+    counts, different asymptotics."""
+    from .operators.graph import triangle_counts
+
+    edges = _cooc_edges(spark, sf_dir)
+    return triangle_counts(edges, "id_a", "id_b").select(
+        F.col("node"), F.col("n_triangles")
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    f"""
+    WITH {_COOC_EDGE_CTES},
+    deg AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT c FROM e)
+      GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-occurrence graph
+    (operators/graph.py::degree_histogram) — two map-side-combined
+    aggregations; the first look before anything iterative."""
+    from .operators.graph import degree_histogram
+
+    edges = _cooc_edges(spark, sf_dir)
+    return degree_histogram(edges, "id_a", "id_b").select(
+        F.col("degree").cast("long").alias("degree"), F.col("n_nodes")
+    )
+
+
+@register(
+    "attribution_u_shaped",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, epoch_ms(ts) AS cts, event_id AS cid, value AS val
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id AS u, epoch_ms(ts) AS tts, event_id AS tid,
+             event_type AS et
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT cid, val, et,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tts ASC, tid ASC) AS pos,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM conv JOIN touch USING (u)
+      WHERE tts <= cts AND cts - tts <= 604800000
+    ), credits AS (
+      SELECT et, val * (CASE WHEN n = 1 THEN 1.0
+                             WHEN n = 2 THEN 0.5
+                             WHEN pos = 1 OR pos = n THEN 0.4
+                             ELSE 0.2 / (n - 2) END) AS credit
+      FROM j
+    )
+    SELECT et AS event_type, count(*) AS n_touches,
+           round(sum(credit), 4) AS credited_value
+    FROM credits GROUP BY et
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution of purchase value over the
+    preceding week's views/clicks (operators/behavior.py::
+    position_attribution). Weights are rational divisions — no
+    pow/exp — so credits match the oracle bit-for-bit pre-round."""
+    from .operators.behavior import position_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = position_attribution(ev)
+    return out.select(
+        "event_type",
+        "n_touches",
+        F.round("credited_value", 4).alias("credited_value"),
+    )
+
+
+@register(
+    "time_to_conversion_latency",
+    """
+    WITH ft AS (
+      SELECT user_id, min(epoch_ms(ts)) AS first_touch_ms
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), ca AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS first_conversion_ms
+      FROM events e JOIN ft ON ft.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_ms(e.ts) >= ft.first_touch_ms
+      GROUP BY e.user_id
+    )
+    SELECT user_id, first_touch_ms, first_conversion_ms,
+           round((first_conversion_ms - first_touch_ms) / 1000.0, 3)
+             AS latency_s
+    FROM ft JOIN ca USING (user_id)
+    """,
+)
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First view → first purchase-at-or-after-it latency per user
+    (operators/behavior.py::time_to_conversion) — integer epoch-ms
+    arithmetic end to end."""
+    from .operators.behavior import time_to_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_to_conversion(ev)
+    return out.select(
+        "user_id",
+        "first_touch_ms",
+        "first_conversion_ms",
+        F.round("latency_s", 3).alias("latency_s"),
+    )
+
+
+@register(
+    "benford_order_prices",
+    """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE round(o_totalprice * 100) > 0
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM cents
+    ), counts AS (
+      SELECT digit, count(*) AS n_values FROM digits GROUP BY digit
+    )
+    SELECT digit, n_values,
+           round(n_values / CAST(sum(n_values) OVER () AS DOUBLE), 6)
+             AS observed_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS expected_share
+    FROM counts
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of order prices in
+    exact integer cents (operators/profiling.py::benford_first_digit)
+    — the fabricated-data smell test, digit extracted from the integer
+    string so there is no pow/log boundary hazard."""
+    from .operators.profiling import benford_first_digit
+
+    orders = _t(spark, sf_dir, "orders")
+    out = benford_first_digit(orders, "o_totalprice")
+    return out.select(
+        "digit",
+        "n_values",
+        F.round("observed_share", 6).alias("observed_share"),
+        F.round("expected_share", 6).alias("expected_share"),
+    )
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH pc AS (
+      SELECT o_custkey AS k,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT k, x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM pc
+    )
+    SELECT count(*) AS n_keys, CAST(sum(x) AS BIGINT) AS total,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+                 - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM r
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue in exact cents
+    (operators/profiling.py::gini_coefficient) — global ranks via the
+    distributed two-pass global_rank, every moment an exact integer
+    sum."""
+    from .operators.profiling import gini_coefficient
+
+    orders = _t(spark, sf_dir, "orders")
+    pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    out = gini_coefficient(pc, "k", "x")
+    return out.select("n_keys", "total", F.round("gini", 6).alias("gini"))
+
+
+@register(
+    "lorenz_revenue_deciles",
+    """
+    WITH pc AS (
+      SELECT o_custkey AS k,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT k, x, ntile(10) OVER (ORDER BY x ASC, k ASC) AS tile FROM pc
+    ), pt AS (
+      SELECT tile, count(*) AS n_keys, CAST(sum(x) AS BIGINT) AS tile_cents
+      FROM t GROUP BY tile
+    )
+    SELECT CAST(tile AS INTEGER) AS tile, n_keys, tile_cents,
+           round(CAST(sum(tile_cents) OVER (ORDER BY tile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / sum(tile_cents) OVER (), 6) AS cum_share
+    FROM pt
+    """,
+)
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of customer revenue (operators/
+    profiling.py::lorenz_deciles): global_ntile parity with SQL ntile
+    is exact by the integer tile formula — this query is the
+    cross-engine pin for that machinery."""
+    from .operators.profiling import lorenz_deciles
+
+    orders = _t(spark, sf_dir, "orders")
+    pc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    out = lorenz_deciles(pc, "k", "x", 10)
+    return out.select(
+        "tile", "n_keys", "tile_cents", F.round("cum_share", 6).alias("cum_share")
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH pc AS (
+      SELECT o_custkey AS customer_id, max(o_orderdate) AS last_o,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders GROUP BY o_custkey
+    ), mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    rec AS (
+      SELECT customer_id,
+             CAST(date_diff('day', last_o, (SELECT maxd FROM mx)) AS BIGINT)
+               AS recency_days,
+             n_orders, total_cents
+      FROM pc
+    )
+    SELECT customer_id, recency_days, CAST(n_orders AS BIGINT) AS n_orders,
+           total_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, customer_id ASC)
+                AS INTEGER) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY n_orders ASC, customer_id ASC)
+                AS INTEGER) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY total_cents ASC, customer_id ASC)
+                AS INTEGER) AS m_score
+    FROM rec
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (operators/behavior.py::rfm_scores):
+    three distributed global_ntile passes over the customer aggregate
+    — never the single-partition unpartitioned-window ntile."""
+    from .operators.behavior import rfm_scores
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_scores(orders)
+
+
+@register(
+    "behavioral_entropy_users",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), pu AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             sum(c * log2(c)) AS clogc
+      FROM ut GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           round(log2(n_events) - clogc / n_events, 6) AS entropy_bits
+    FROM pu
+    """,
+)
+def q_behavioral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix
+    (operators/behavior.py::behavioral_entropy) — one-pass algebra
+    H = log2(n) − Σ c·log2(c)/n, identical on both engines."""
+    from .operators.behavior import behavioral_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    out = behavioral_entropy(ev)
+    return out.select(
+        "user_id", "n_events", F.round("entropy_bits", 6).alias("entropy_bits")
+    )
+
+
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
 # exactly round 3's first-50 insertion order), so the head of the dict
@@ -8367,16 +8721,30 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # encoded here: rows-only queries are EXEMPT from the
 # new-queries-earn-a-driver-row rotation — their coverage is pytest
 # (tests/test_bpe.py) + the full-registry sweep's rows-only check.
+#
+# Round-10 batch-B rotation: IN — the nine new registrations
+# (graph_triangle_counts, graph_degree_histogram, attribution_u_shaped,
+# time_to_conversion_latency, benford_order_prices,
+# gini_revenue_concentration, lorenz_revenue_deciles,
+# rfm_customer_segments, behavioral_entropy_users — new queries earn a
+# driver row immediately, per policy). OUT — nine r9 rotations, all
+# driver-green in CORRECTNESS_r09 with no open scale risk
+# (weighted_sample_noreplace, ngram_novelty_scores, ses_forecast_events,
+# event_markov_transitions, neyman_allocation_events,
+# session_sequence_logprob, vocab_coverage_curve,
+# decay_weighted_revenue, debounce_burst_events), re-proved each round
+# by the full-registry sweep artifact.
 _DRIVER_SAMPLE_FIRST: list[str] = [
-    "pricing_summary", "weighted_sample_noreplace", "cuped_revenue_sensitivity",
-    "ngram_novelty_scores", "ses_forecast_events", "event_markov_transitions",
-    "neyman_allocation_events", "als_scores_from_saved_factors",
+    "pricing_summary", "graph_triangle_counts", "cuped_revenue_sensitivity",
+    "graph_degree_histogram", "attribution_u_shaped",
+    "time_to_conversion_latency",
+    "benford_order_prices", "als_scores_from_saved_factors",
     "manifest_novelty_new", "merge_event_intervals",
     "scd2_event_type_history", "etl_ratings_pipeline",
     "pareto_frontier_users",
-    "session_sequence_logprob", "vocab_coverage_curve",
+    "gini_revenue_concentration", "lorenz_revenue_deciles",
     "rolling_median_orders", "behavior_affinity_lift",
-    "decay_weighted_revenue", "debounce_burst_events",
+    "rfm_customer_segments", "behavioral_entropy_users",
     "weighted_median_price", "value_changepoints",
     "event_hour_mutual_info", "cumulative_new_customers_monthly",
     "dedup_ngram_jaccard",

@@ -1,0 +1,311 @@
+"""Round-10 batch B operators vs plain-Python oracles: triangles,
+degree histogram, global rank/ntile, attribution, conversion latency,
+RFM, Benford, Gini/Lorenz, behavioral entropy."""
+
+from __future__ import annotations
+
+import math
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_spark.operators.behavior import (
+    behavioral_entropy,
+    position_attribution,
+    rfm_scores,
+    time_to_conversion,
+)
+from spark_streaming_kafka_spark.operators.graph import (
+    degree_histogram,
+    triangle_counts,
+)
+from spark_streaming_kafka_spark.operators.percentile import (
+    global_ntile,
+    global_rank,
+)
+from spark_streaming_kafka_spark.operators.profiling import (
+    benford_first_digit,
+    gini_coefficient,
+    lorenz_deciles,
+)
+
+
+# --- graph ----------------------------------------------------------------
+
+
+def _rand_graph(seed: int, n: int, m: int):
+    rng = random.Random(seed)
+    edges = set()
+    # a hub node to stress the degree orientation
+    for v in range(1, min(n, 25)):
+        edges.add((0, v))
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def _py_triangles(edges):
+    es = set(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[int, int] = {}
+    nodes = sorted(adj)
+    for x in nodes:
+        for y in adj[x]:
+            if y <= x:
+                continue
+            for z in adj[x]:
+                if z <= y:
+                    continue
+                if (y, z) in es:
+                    for v in (x, y, z):
+                        counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    edges = _rand_graph(7, 60, 260)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == _py_triangles(edges)
+    assert got  # the hub construction guarantees triangles exist
+
+
+def test_degree_histogram_matches_bruteforce(spark):
+    edges = _rand_graph(11, 40, 120)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hist: dict[int, int] = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    got = {r["degree"]: r["n_nodes"] for r in degree_histogram(df).collect()}
+    assert got == hist
+
+
+# --- global rank / ntile --------------------------------------------------
+
+
+@pytest.mark.parametrize("n,b", [(1, 5), (4, 5), (10, 4), (97, 5), (100, 10)])
+def test_global_ntile_matches_window_ntile(spark, n, b):
+    rng = random.Random(n * 31 + b)
+    rows = [(i, rng.randrange(20)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["tile"]
+        for r in global_ntile(df, order, b, num_parts=7).collect()
+    }
+    exp = {
+        r["id"]: r["tile"]
+        for r in df.select(
+            "id",
+            F.ntile(b).over(Window.partitionBy().orderBy(*order)).alias("tile"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_rank_matches_window_row_number(spark):
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["__grank"]
+        for r in global_rank(df, order, num_parts=9).collect()
+    }
+    exp = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.partitionBy().orderBy(*order))
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == exp
+
+
+# --- attribution ----------------------------------------------------------
+
+
+def _ev(eid, uid, ts, typ, val=0.0):
+    return (eid, uid, ts, typ, float(val))
+
+
+_T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_attribution_u_shape_weights(spark):
+    h = timedelta(hours=1)
+    rows = [
+        # user 1: 4 touches then purchase of 100 -> 40/10/10/40 split
+        _ev(1, 1, _T0, "view"),
+        _ev(2, 1, _T0 + h, "click"),
+        _ev(3, 1, _T0 + 2 * h, "click"),
+        _ev(4, 1, _T0 + 3 * h, "view"),
+        _ev(5, 1, _T0 + 4 * h, "purchase", 100.0),
+        # user 2: single touch takes everything
+        _ev(6, 2, _T0, "click"),
+        _ev(7, 2, _T0 + h, "purchase", 10.0),
+        # user 3: touch AFTER purchase gets nothing
+        _ev(8, 3, _T0 + h, "view"),
+        _ev(9, 3, _T0, "purchase", 7.0),
+    ]
+    out = {
+        r["event_type"]: (r["n_touches"], round(r["credited_value"], 6))
+        for r in position_attribution(_mk_events(spark, rows)).collect()
+    }
+    # user-1 credits: view(first)=40, view(last)=40, middle clicks 10+10;
+    # user-2: single click takes all 10; user-3's post-purchase view: 0.
+    assert out["view"] == (2, 80.0)
+    assert out["click"] == (3, 30.0)
+
+
+def test_attribution_conserves_value_per_conversion(spark):
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    for u in range(20):
+        t = _T0
+        for _ in range(rng.randrange(1, 8)):
+            eid += 1
+            t += timedelta(minutes=rng.randrange(1, 300))
+            rows.append(_ev(eid, u, t, rng.choice(["view", "click"])))
+        eid += 1
+        t += timedelta(minutes=5)
+        rows.append(_ev(eid, u, t, "purchase", rng.randrange(1, 100)))
+    total_value = sum(r[4] for r in rows if r[3] == "purchase")
+    out = position_attribution(_mk_events(spark, rows)).collect()
+    assert abs(sum(r["credited_value"] for r in out) - total_value) < 1e-9
+
+
+def test_attribution_lookback_excludes_stale_touches(spark):
+    rows = [
+        _ev(1, 1, _T0 - timedelta(days=8), "view"),   # outside 7d lookback
+        _ev(2, 1, _T0 - timedelta(days=2), "click"),  # inside
+        _ev(3, 1, _T0, "purchase", 30.0),
+    ]
+    out = {r["event_type"]: r for r in position_attribution(_mk_events(spark, rows)).collect()}
+    assert "view" not in out
+    assert round(out["click"]["credited_value"], 6) == 30.0
+
+
+# --- time to conversion ---------------------------------------------------
+
+
+def test_time_to_conversion_semantics(spark):
+    m = timedelta(minutes=1)
+    rows = [
+        _ev(1, 1, _T0, "view"),
+        _ev(2, 1, _T0 + 5 * m, "purchase", 1),   # 300 s after first view
+        _ev(3, 1, _T0 + 9 * m, "purchase", 1),   # later conv ignored
+        _ev(4, 2, _T0, "purchase", 1),           # converted BEFORE any view
+        _ev(5, 2, _T0 + m, "view"),
+        _ev(6, 3, _T0, "view"),                  # never converted
+    ]
+    out = {r["user_id"]: r for r in time_to_conversion(_mk_events(spark, rows)).collect()}
+    assert set(out) == {1}
+    assert out[1]["latency_s"] == 300.0
+
+
+def test_time_to_conversion_same_instant_counts(spark):
+    rows = [_ev(1, 1, _T0, "view"), _ev(2, 1, _T0, "purchase", 1)]
+    out = time_to_conversion(_mk_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["latency_s"] == 0.0
+
+
+# --- RFM ------------------------------------------------------------------
+
+
+def test_rfm_scores_ordering(spark, tables):
+    out = rfm_scores(tables["orders"]).collect()
+    assert len(out) == {r["customer_id"] for r in out}.__len__()
+    by_m = sorted(out, key=lambda r: (r["total_cents"], r["customer_id"]))
+    # m_score must be non-decreasing along the monetary order
+    scores = [r["m_score"] for r in by_m]
+    assert scores == sorted(scores)
+    assert set(scores) == {1, 2, 3, 4, 5}
+    # f/r score sanity: 5 = best (most orders / most recent)
+    by_f = sorted(out, key=lambda r: (r["n_orders"], r["customer_id"]))
+    fs = [r["f_score"] for r in by_f]
+    assert fs == sorted(fs)
+    by_r = sorted(out, key=lambda r: (-r["recency_days"], r["customer_id"]))
+    rs = [r["r_score"] for r in by_r]
+    assert rs == sorted(rs)
+
+
+# --- distribution diagnostics --------------------------------------------
+
+
+def test_benford_digit_extraction(spark):
+    rows = [(1, 0.01), (2, 0.09), (3, 1.0), (4, 99.99), (5, 123.45), (6, 0.0), (7, 900.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["digit"]: r["n_values"] for r in benford_first_digit(df, "v").collect()}
+    # cents: 1, 9, 100, 9999, 12345, (dropped), 90000
+    assert out == {1: 3, 9: 3}
+
+
+def test_gini_known_values(spark):
+    eq = spark.createDataFrame([(i, 10) for i in range(8)], "k long, x long")
+    g_eq = gini_coefficient(eq, "k", "x").first()
+    assert round(g_eq["gini"], 9) == 0.0
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(9)] + [(9, 100)], "k long, x long"
+    )
+    g_one = gini_coefficient(one, "k", "x").first()
+    assert round(g_one["gini"], 9) == 0.9  # (n-1)/n for winner-take-all
+
+
+def test_gini_matches_bruteforce(spark):
+    rng = random.Random(17)
+    rows = [(i, rng.randrange(0, 5000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, x long")
+    got = gini_coefficient(df, "k", "x").first()["gini"]
+    xs = sorted((x, k) for k, x in rows)
+    n = len(xs)
+    tot = sum(x for x, _ in xs)
+    ixsum = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+    exp = 2.0 * ixsum / (n * tot) - (n + 1) / n
+    assert abs(got - exp) < 1e-12
+
+
+def test_lorenz_deciles_shape(spark):
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(0, 1000)) for i in range(173)]
+    df = spark.createDataFrame(rows, "k long, x long")
+    out = sorted(lorenz_deciles(df, "k", "x").collect(), key=lambda r: r["tile"])
+    assert [r["tile"] for r in out] == list(range(1, 11))
+    assert sum(r["n_keys"] for r in out) == 173
+    shares = [r["cum_share"] for r in out]
+    assert shares == sorted(shares)  # Lorenz curve is non-decreasing
+    assert abs(shares[-1] - 1.0) < 1e-12
+    assert sum(r["tile_cents"] for r in out) == sum(x for _, x in rows)
+
+
+def test_behavioral_entropy_known_values(spark):
+    rows = (
+        [_ev(i, 1, _T0 + timedelta(minutes=i), "view") for i in range(4)]
+        + [_ev(10 + i, 2, _T0 + timedelta(minutes=i), t, 0)
+           for i, t in enumerate(["view", "click", "purchase", "error"])]
+    )
+    out = {r["user_id"]: r for r in behavioral_entropy(_mk_events(spark, rows)).collect()}
+    assert round(out[1]["entropy_bits"], 9) == 0.0       # one type only
+    assert abs(out[2]["entropy_bits"] - 2.0) < 1e-12     # uniform over 4
+    assert out[2]["n_events"] == 4
