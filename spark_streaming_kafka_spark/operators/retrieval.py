@@ -432,12 +432,15 @@ def item_cooccurrence_topk(
     (log-and-drop is the caller's job; retail baskets are tiny).
 
     Scale shape: distinct incidence → basket-size filter (one agg +
-    semi-join on the basket key) → the ``_bucket_pairs`` array
-    expansion (one hash agg, never a self-join) → symmetrize →
-    per-item counts equi-joined on the item key → lift → per-item
-    top-k window. The basket total rides a broadcast single-row
-    equi-join on a constant key (BroadcastHashJoin, not a nested
-    loop). Lift is one division of exact longs; ranking ties break by
+    semi-join on the basket key), materialized ONCE via a lazy
+    localCheckpoint shared by all three consumers → the
+    ``_bucket_pairs`` array expansion (one hash agg, never a
+    self-join) → symmetrize → per-item counts equi-joined on the item
+    key → lift → per-item top-k window. The basket total is one
+    bounded scalar collected at plan-BUILD time (so building this
+    DataFrame runs one Spark job, and the lift constant reflects the
+    data as of build — the documented bm25 corpus-constant trade).
+    Lift is one division of exact longs; ranking ties break by
     (n_ab desc, neighbor asc), so the result is engine-independent.
     """
     from pyspark.sql import Window

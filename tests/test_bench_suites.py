@@ -48,8 +48,9 @@ def test_headline_suite_frozen_since_r3():
 
 def test_pipeline_suite_frozen():
     """Same tripwire for the pipeline tier: the r7-r9 members are the
-    comparable prefix; r10 appended two new-family representatives.
-    Intentional changes update this list AND the README."""
+    comparable prefix; r10 appended two new-family representatives and
+    r10 batch B three more (graph/RFM/attribution). Intentional
+    changes update this list AND the README."""
     bench = _bench()
     assert bench.PIPELINE == [
         "cdc_dedup_rewrite", "cdc_chunk_documents",
@@ -57,4 +58,6 @@ def test_pipeline_suite_frozen():
         "hybrid_search_rrf", "hll_distinct_users", "heavy_hitters_cms",
         "split_no_leakage", "web_corpus_gate", "bpe_merges",
         "part_cooccurrence_topk", "curriculum_schedule",
+        "graph_triangle_counts", "rfm_customer_segments",
+        "attribution_u_shaped",
     ]

@@ -28,6 +28,7 @@ EXAMPLES = [
     "examples/streaming_e2e.py",
     "examples/behavior_analytics.py",
     "examples/business_analytics.py",
+    "examples/marketing_analytics.py",
 ]
 
 

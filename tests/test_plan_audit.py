@@ -133,3 +133,17 @@ def test_asof_click_view_is_join_free(spark, sf_dir):
     plan = explain_str(fn(spark, sf_dir), "simple")
     assert "Join" not in plan, "asof gained a join — union+window plan lost"
     assert "Window" in plan
+
+
+def test_triangle_stages_width_pinned(spark, sf_dir):
+    """Triangle counting's two heavy stages (adjacency collect_list and
+    the array_intersect closure) must keep their explicit widths: AQE
+    coalesces on shuffle BYTES and cannot see the array-expansion work
+    — unpinned, both ran as single multi-second tasks at sf0.1."""
+    fn, _ = REGISTRY["graph_triangle_counts"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert plan.count("REPARTITION_BY_NUM") >= 2, (
+        "triangle_counts lost a width pin — AQE will single-task the "
+        "intersect stage"
+    )
+    assert "CartesianProduct" not in plan

@@ -126,6 +126,23 @@ SHOWCASE = {
     "linear (block, id) joins, ONE levenshtein verify — no block "
     "self-join, no CartesianProduct, linear shuffle however coarse the "
     "blocking key.",
+    "graph_triangle_counts": "Edge-iterator triangle closure: the oriented "
+    "edge set joins its two adjacency-array sides (equi-joins, never a "
+    "wedge materialization), array_intersect runs in-row, and BOTH heavy "
+    "stages show REPARTITION_BY_NUM — explicit width pins because AQE "
+    "coalesces on shuffle bytes and cannot see the array-expansion work.",
+    "rfm_customer_segments": "Three global_ntile passes: each is a "
+    "RangePartitioning exchange over the CUSTOMER-SIZED aggregate plus a "
+    "per-partition row_number — no Window.partitionBy() single-task sort "
+    "anywhere; the fact table shuffles exactly once (the customer agg).",
+    "attribution_u_shaped": "Conversions x touches is ONE user-keyed "
+    "equi-join; position weights come from a per-conversion window over "
+    "the joined (lookback-bounded) rows, and the final aggregate is "
+    "channel-sized — no cartesian, no per-row Python.",
+    "gini_revenue_concentration": "Global ranks via RangePartitioning + "
+    "partition-offset literals (global_rank): the sort is distributed, "
+    "the offsets are a bounded driver collect, and every moment is an "
+    "exact integer sum folded map-side.",
     "split_no_leakage": "The split unit is the near-dup cluster: the plan is "
     "the established sub-quadratic cluster path (LSH candidates, bounded "
     "verify, one-job-per-iteration CC) plus ONE group-keyed left join and "
