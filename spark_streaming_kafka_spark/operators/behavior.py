@@ -282,3 +282,46 @@ def behavioral_entropy(
             F.log2("n_events") - F.col("__clogc") / F.col("n_events")
         ).alias("entropy_bits"),
     )
+
+
+def event_path_trigrams(
+    events: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most common length-3 event-type paths across users —
+    "what do people actually DO in sequence" (the path-analysis staple
+    behind every sankey diagram).
+
+    Each user's event stream, ordered by (ts, event id), yields one
+    trigram per position via two ``lead`` windows — no
+    ``collect_list`` of whole histories, so per-user state through the
+    shuffle is O(1) per row, not O(events). Output: ``(step1, step2,
+    step3, n_paths)``, ties broken by the path itself.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_id_col).asc()
+    )
+    tri = events.select(
+        F.col(type_col).alias("step1"),
+        F.lead(type_col, 1).over(w).alias("step2"),
+        F.lead(type_col, 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    counts = tri.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    from .relational import top_k
+
+    return top_k(
+        counts,
+        [
+            F.col("n_paths").desc(),
+            F.col("step1").asc(),
+            F.col("step2").asc(),
+            F.col("step3").asc(),
+        ],
+        k,
+    )

@@ -209,3 +209,81 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 50,
+    max_degree: int | None = 256,
+) -> DataFrame:
+    """Top-``k`` link-prediction candidates over an undirected simple
+    graph (normalized a < b edges): non-adjacent pairs at distance 2,
+    scored by common-neighbor count and Adamic-Adar
+    (``Σ_z 1/ln(deg z)`` over shared neighbors ``z`` — rare shared
+    neighbors weigh more than hubs).
+
+    Candidate generation is wedge expansion at the SHARED neighbor:
+    each node z contributes all pairs within its neighborhood, so pair
+    volume is ``Σ deg(z)²`` — a hub makes it quadratic. ``max_degree``
+    caps it the way every pair-expansion in this package is capped
+    (basket caps, LSH bucket sizing): nodes above the cap contribute NO
+    wedges (semantics documented, mirrored exactly by the oracle). A
+    hub shared by everything carries ~zero Adamic-Adar weight anyway
+    (1/ln(deg) → 0), so the cap removes cost, not signal.
+
+    Plan: degree table → capped (z, neighbor) incidence → per-z
+    sorted-neighbor-array aggregation with the wedge weight carried on
+    the bucket row, then pure array algebra expands weighted pairs
+    (one hash agg, never a self-join — the same shape as
+    ``dedup._bucket_pairs``) → per-pair aggregation → LEFT ANTI join
+    against the edge set (only predicted-NEW links survive) → global
+    top-k. ``ln`` of integer degrees is cross-engine stable under the
+    suite's round-6 contract.
+    """
+    from .relational import top_k
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    inc = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = inc.groupBy("z").agg(F.count(F.lit(1)).alias("__deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("__deg") <= max_degree)
+    capped = inc.join(deg, "z")
+    buckets = (
+        capped.groupBy("z", "__deg")
+        .agg(F.sort_array(F.collect_list("n")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pairs = buckets.select(
+        (F.lit(1.0) / F.log(F.col("__deg"))).alias("__w"),
+        F.explode(
+            F.expr(
+                "flatten(transform(__ids, (x, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("__p"),
+    ).select("__p.id_a", "__p.id_b", "__w")
+    scored = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("__w").alias("adamic_adar"),
+    )
+    known = e.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    novel = scored.join(known, ["id_a", "id_b"], "left_anti")
+    return top_k(
+        novel.select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        ),
+        [
+            F.col("adamic_adar").desc(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        ],
+        k,
+    )

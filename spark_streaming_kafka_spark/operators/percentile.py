@@ -329,8 +329,17 @@ def _ranked_with_offsets(
     collect), return (ranged_df_with___pid, offsets dict, total n)."""
     cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
     parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint (lazy): repartitionByRange SAMPLES its boundaries,
+    # and two executions of the same plan can sample DIFFERENT
+    # boundaries (input split order varies) — offsets counted on one
+    # materialization would then be wrong for the final run (observed:
+    # ranks off by a partition's worth at sf0.01). Checkpointing pins
+    # the counting job and the output to the SAME partitioning; blocks
+    # are freed by the ContextCleaner when the result is GC'd.
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -429,3 +438,41 @@ def global_ntile(
         .drop("__grank")
         .drop("__pid")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence,
+    out_col: str = "qnorm",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Rank-based quantile normalization of a numeric column:
+    ``out = (global_rank − 0.5) / n`` ∈ (0, 1) — the
+    distribution-free feature scaling (uniformizes any input
+    distribution; the first step of a rank-INT transform).
+
+    Built on :func:`global_rank`, so the global order comes from a
+    distributed range sort + bounded offset collect — this is the
+    fact-table-sized use the single-partition window could never
+    serve. ``n`` falls out of the same offsets pass (no extra job).
+    The tiebreak columns make the order total, so the output is
+    deterministic and cross-engine exact (integer rank, one division).
+    """
+    order = [F.col(value_col).asc()] + [
+        c if not isinstance(c, str) else F.col(c) for c in tiebreak_cols
+    ]
+    ranged, cols, offsets, n = _ranked_with_offsets(df, order, num_parts)
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    rank = (off_expr + local).cast("long")
+    return ranged.withColumn(
+        out_col, (rank.cast("double") - 0.5) / F.lit(float(n))
+    ).drop("__pid")

@@ -264,3 +264,43 @@ def lorenz_deciles(
         "tile_cents",
         (F.sum("tile_cents").over(w) / total).alias("cum_share"),
     )
+
+
+def fd_confidence(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Approximate functional-dependency check ``lhs → rhs``: does the
+    left-hand side (approximately) determine the right? The schema-
+    inference / data-quality primitive behind "is this column a key
+    for that one".
+
+    Confidence = ``Σ_g max_v count(g, v) / Σ_g count(g)`` — the
+    fraction of rows that keep their group's majority value (1.0 iff
+    the FD holds exactly). Output: one row ``(n_groups,
+    n_violating_groups, n_rows, confidence)``.
+
+    Plan: one (lhs, rhs) hash aggregation (map-side combined), one
+    lhs-sized re-aggregation taking the per-group max, one scalar
+    rollup. Counts are exact integers; the single division happens at
+    the end.
+    """
+    gv = df.groupBy(
+        *[F.col(c) for c in lhs_cols], F.col(rhs_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    per_g = gv.groupBy(*[F.col(c) for c in lhs_cols]).agg(
+        F.max("__c").alias("__maxc"),
+        F.sum("__c").alias("__tot"),
+        F.count(F.lit(1)).alias("__nvals"),
+    )
+    return per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("__nvals") > 1).cast("long"))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum("__tot").cast("long").alias("n_rows"),
+        (
+            F.sum("__maxc").cast("double") / F.sum("__tot")
+        ).alias("confidence"),
+    )

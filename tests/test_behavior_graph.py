@@ -309,3 +309,113 @@ def test_behavioral_entropy_known_values(spark):
     assert round(out[1]["entropy_bits"], 9) == 0.0       # one type only
     assert abs(out[2]["entropy_bits"] - 2.0) < 1e-12     # uniform over 4
     assert out[2]["n_events"] == 4
+
+
+# --- batch C: link prediction, paths, FD, quantile normalize --------------
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    import math
+
+    edges = _rand_graph(13, 40, 140)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from spark_streaming_kafka_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_prediction_scores(df, k=10**9, max_degree=None).collect()
+    }
+    es = set(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp: dict[tuple[int, int], tuple[int, float]] = {}
+    for z, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue  # no wedge through a degree-1 node
+        w = 1.0 / math.log(len(nbrs))
+        ns = sorted(nbrs)
+        for i, x in enumerate(ns):
+            for y in ns[i + 1:]:
+                if (x, y) in es:
+                    continue
+                cn, aa = exp.get((x, y), (0, 0.0))
+                exp[(x, y)] = (cn + 1, aa + w)
+    assert set(got) == set(exp)
+    for p, (cn, aa) in exp.items():
+        assert got[p][0] == cn
+        assert abs(got[p][1] - aa) < 1e-6
+
+
+def test_link_prediction_degree_cap_drops_hub_wedges(spark):
+    # star around node 0 (degree 5) plus a small triangle fan
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from spark_streaming_kafka_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    uncapped = link_prediction_scores(df, k=100, max_degree=None).count()
+    capped = link_prediction_scores(df, k=100, max_degree=4).count()
+    assert uncapped > 0
+    # hub 0's wedges (all C(5,2) minus existing edges) disappear;
+    # remaining wedges center on degree<=4 nodes only
+    assert capped < uncapped
+
+
+def test_event_path_trigrams_counts(spark):
+    s = timedelta(seconds=1)
+    rows = [
+        _ev(i, 1, _T0 + i * s, t)
+        for i, t in enumerate(["view", "click", "purchase", "view"])
+    ] + [_ev(10 + i, 2, _T0 + i * s, t)
+         for i, t in enumerate(["view", "click", "purchase"])]
+    from spark_streaming_kafka_spark.operators.behavior import (
+        event_path_trigrams,
+    )
+
+    out = {
+        (r["step1"], r["step2"], r["step3"]): r["n_paths"]
+        for r in event_path_trigrams(_mk_events(spark, rows)).collect()
+    }
+    assert out == {
+        ("view", "click", "purchase"): 2,
+        ("click", "purchase", "view"): 1,
+    }
+
+
+def test_fd_confidence_exact_and_violated(spark):
+    from spark_streaming_kafka_spark.operators.profiling import fd_confidence
+
+    exact = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    r = fd_confidence(exact, ["k"], "v").first()
+    assert (r["n_groups"], r["n_violating_groups"]) == (2, 0)
+    assert r["confidence"] == 1.0
+    # group 1: 3x a + 1x b -> majority 3/4; group 2 exact
+    viol = spark.createDataFrame(
+        [(1, "a")] * 3 + [(1, "b")] + [(2, "c")], "k long, v string"
+    )
+    r = fd_confidence(viol, ["k"], "v").first()
+    assert (r["n_groups"], r["n_violating_groups"], r["n_rows"]) == (2, 1, 5)
+    assert abs(r["confidence"] - 4 / 5) < 1e-12
+
+
+def test_quantile_normalize_is_uniform_permutation(spark):
+    from spark_streaming_kafka_spark.operators.percentile import (
+        quantile_normalize,
+    )
+
+    rng = random.Random(29)
+    n = 400
+    rows = [(i, rng.gauss(0, 100.0)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(11)
+    out = quantile_normalize(df, "v", ["id"], num_parts=5).collect()
+    qs = sorted(r["qnorm"] for r in out)
+    assert qs == [(i + 0.5) / n for i in range(n)]  # exact uniform grid
+    by_v = sorted(out, key=lambda r: (r["v"], r["id"]))
+    assert [r["qnorm"] for r in by_v] == qs  # monotone in value

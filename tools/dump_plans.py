@@ -126,6 +126,15 @@ SHOWCASE = {
     "linear (block, id) joins, ONE levenshtein verify — no block "
     "self-join, no CartesianProduct, linear shuffle however coarse the "
     "blocking key.",
+    "link_prediction_parts": "Weighted wedge expansion from ONE per-z "
+    "array aggregation (the _bucket_pairs shape with the Adamic-Adar "
+    "weight on the bucket row) — no self-join of the incidence table; "
+    "known edges removed by a LEFT ANTI hash join; TakeOrderedAndProject "
+    "cuts the top-k without a global sort.",
+    "price_quantile_normalized": "global_rank on a FACT column: "
+    "RangePartitioning exchange (the distributed sort) + per-partition "
+    "row_number + literal offsets — the plan an unpartitioned-window "
+    "rank could never scale to.",
     "graph_triangle_counts": "Edge-iterator triangle closure: the oriented "
     "edge set joins its two adjacency-array sides (equi-joins, never a "
     "wedge materialization), array_intersect runs in-row, and BOTH heavy "
