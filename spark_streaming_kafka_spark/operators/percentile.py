@@ -476,3 +476,51 @@ def quantile_normalize(
     return ranged.withColumn(
         out_col, (rank.cast("double") - 0.5) / F.lit(float(n))
     ).drop("__pid")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group: str,
+    value: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized mean/stddev: values clamped to the group's
+    [``lower``, ``upper``] exact quantiles before the moments — the
+    robust summary that keeps a fat-tailed metric's mean from being a
+    hostage of its top 1% (the standard pre-step before z-scoring
+    revenue-like columns).
+
+    Output: ``(group, n_rows, q_low, q_high, winsorized_mean,
+    winsorized_std)``; stddev is the sample form. Plan: one per-group
+    exact-percentile aggregation (dimension-sized), broadcast back
+    onto the fact rows for the clamp, one moments aggregation — two
+    fact passes, no window, no sort.
+    """
+    q = df.groupBy(F.col(group)).agg(
+        F.expr(
+            f"percentile({value}, array({lower!r}, {upper!r}))"
+        ).alias("__q")
+    )
+    bounds = q.select(
+        F.col(group),
+        F.col("__q").getItem(0).alias("q_low"),
+        F.col("__q").getItem(1).alias("q_high"),
+    )
+    joined = df.join(F.broadcast(bounds), group)
+    clamped = F.least(
+        F.greatest(F.col(value).cast("double"), F.col("q_low")),
+        F.col("q_high"),
+    )
+    return (
+        joined.groupBy(F.col(group), F.col("q_low"), F.col("q_high"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.avg(clamped).alias("winsorized_mean"),
+            F.stddev_samp(clamped).alias("winsorized_std"),
+        )
+        .select(
+            group, "n_rows", "q_low", "q_high",
+            "winsorized_mean", "winsorized_std",
+        )
+    )
