@@ -39,6 +39,7 @@ __all__ = [
     "time_to_conversion",
     "rfm_scores",
     "behavioral_entropy",
+    "event_path_trigrams",
 ]
 
 
