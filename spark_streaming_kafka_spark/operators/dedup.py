@@ -533,7 +533,10 @@ def minhash_manifest_matches(
 
 
 def _bucket_pairs(
-    df: DataFrame, bucket_cols: list[str], id_col: str
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    expand_width: int | None = None,
 ) -> DataFrame:
     """All within-bucket (id_a < id_b) pairs WITHOUT a self-join: one
     hash aggregation collects each bucket's sorted id list, then pure
@@ -554,6 +557,16 @@ def _bucket_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    # ``expand_width``: AQE coalesces the reader of the (small) bucket
+    # table to ONE task on byte count — blind to the Σ|bucket|² pair
+    # EXPANSION that reader performs. Near-dup callers leave it None
+    # (candidate volume ≈ true-pair volume, a 1-task expand is fine and
+    # the extra exchange would cost a stage); dense-graph callers
+    # (co-occurrence edges, wedge expansion) pin it to restore
+    # parallelism — measured 14 s → sub-second on the sf0.01 link-
+    # prediction wedge stage.
+    if expand_width:
+        buckets = buckets.repartition(expand_width)
     return buckets.select(
         F.explode(
             F.expr(

@@ -257,6 +257,15 @@ def link_prediction_scores(
         .agg(F.sort_array(F.collect_list("n")).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    # Width pin on the EXPLODE side (the triangle_counts/Pass-Join
+    # lesson): the bucket table is a few thousand small rows, so AQE
+    # coalesces its reader to ONE task — which is exactly the stage
+    # that expands Σ deg² weighted pairs (measured 14 s single-task at
+    # sf0.01). An explicit round-robin REPARTITION_BY_NUM between the
+    # aggregation and the explode pins the expansion's parallelism;
+    # AQE never coalesces a user-numbered repartition.
+    width = edges.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(width)
     pairs = buckets.select(
         (F.lit(1.0) / F.log(F.col("__deg"))).alias("__w"),
         F.explode(

@@ -466,8 +466,9 @@ def item_cooccurrence_topk(
     # three times, 3.2 s vs 1.5 s at sf0.1.)
     kept = b.join(keep, "__basket", "left_semi").localCheckpoint(eager=False)
 
+    width = facts.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        _bucket_pairs(kept, ["__basket"], "__item")
+        _bucket_pairs(kept, ["__basket"], "__item", expand_width=width)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )

@@ -8288,7 +8288,10 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b")
     )
     kept = inc.join(keep, "b", "left_semi")
-    return dd._bucket_pairs(kept, ["b"], "p").distinct()
+    # expand_width: the basket->pair expansion is the dense-graph case
+    # AQE single-tasks on bytes (see _bucket_pairs) — pin it.
+    width = spark.sparkContext.defaultParallelism
+    return dd._bucket_pairs(kept, ["b"], "p", expand_width=width).distinct()
 
 
 @register(
