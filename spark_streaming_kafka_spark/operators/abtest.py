@@ -139,9 +139,12 @@ def mann_whitney_u(
     rank sum is an exact integer-weighted aggregate. Output one row:
     ``(n_0, n_1, u_1, z)``.
     """
+    # NULL values carry no rank: Spark's ascending sort places NULLs
+    # first while ANSI engines place them last, so an unfiltered NULL
+    # group would shift every midrank differently per engine.
     g = df.select(
         F.col(value_col).alias("__v"), group.cast("int").alias("__g")
-    )
+    ).filter(F.col("__v").isNotNull())
     per_val = g.groupBy("__v").agg(
         F.count(F.lit(1)).alias("__t"),
         F.sum("__g").cast("long").alias("__t1"),
@@ -256,14 +259,23 @@ def poisson_bootstrap_ci(
         (F.sum("__wx").cast("double") / F.sum("__w")).alias("__mean")
     ).filter(F.col("__mean").isNotNull())
     lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
-    # Point estimate: one bounded two-scalar collect at build (the
+    # Point estimate: one bounded three-scalar collect at build (the
     # documented corpus-constant pattern — a 1x1 crossJoin would put a
     # CartesianProduct in the returned plan, which the suite audit
-    # rightly bans).
-    n_units, total = df.agg(
-        F.count(F.lit(1)), F.sum(F.col(value_col))
+    # rightly bans). n_units counts DISTINCT resampling units (the
+    # thing the bootstrap draws weights for); the mean stays the row
+    # mean, which is what the cluster bootstrap estimates when a unit
+    # spans several rows.
+    n_units, n_rows, total = df.agg(
+        F.countDistinct(F.col(unit_col)),
+        F.count(F.lit(1)),
+        F.sum(F.col(value_col)),
     ).first()
-    mean_value = float(total) / n_units if n_units else float("nan")
+    mean_value = (
+        float(total) / n_rows
+        if n_rows and total is not None
+        else float("nan")
+    )
     return reps.agg(
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
         F.expr(f"percentile(__mean, {lo!r})").alias("ci_low"),

@@ -7,13 +7,22 @@ the same iterative sparse-matvec family as the connected-components
 loop in operators/dedup.py, and it follows the identical Spark loop
 discipline:
 
-- the edge table is joined with out-degrees ONCE, persisted, and
-  reused every iteration (the loop's only fact-sized state);
-- each iteration is one join (current ranks onto edge sources) and one
-  partial-aggregated sum by destination — shuffle keyed by node id,
-  node-sized rows, never wider;
-- lineage is truncated per round (persist + count + unpersist of the
-  superseded ranks) so the plan does not double per iteration.
+- the whole fixed-iteration recurrence is ONE lazy query: the same
+  edge⋈degree subtree (one Python DataFrame object) feeds every round,
+  so its source-keyed shuffle is planned once and every later round
+  reads it back as a ReusedExchange — the per-round cost is a single
+  node-sized aggregation exchange, and there is no per-round
+  driver job at all (a fixed iteration count needs no convergence
+  check, hence nothing to collect between rounds);
+- nodes with no in-edges leave the loop entirely: their rank is the
+  bare teleport constant after the first step, so their (constant)
+  out-contribution is pre-aggregated once and unioned into each
+  round's sum — no per-iteration nodes left-join;
+- per-round rank tables ride the shuffled-hash join build side (the
+  hint avoids re-sorting the edge stage every round); plan depth grows
+  linearly in the iteration count, which is fine at the 5-20 rounds
+  PageRank needs — a 100+-round recurrence would re-introduce a
+  checkpoint every ~10 rounds to bound optimizer time.
 
 Determinism: fixed iteration count (no convergence test — the oracle
 unrolls the same number of steps), no dangling-mass redistribution
@@ -42,48 +51,99 @@ def pagerank(
     both directions. Parallel edges each carry contribution (acting as
     weights); pre-``distinct()`` the input for simple-graph semantics.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n_nodes = nodes.count()  # bounded driver scalar; also materializes
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # degree rides WITH the edge rows so the loop never re-joins it
-    e_deg = e.join(deg, "src").persist()
-    e_deg.count()
+    from pyspark.sql import Window as _W
 
+    # The caller's edge subtree can be arbitrarily expensive (a
+    # fact-fact join + distinct in the registered query) and is needed
+    # by several differently-keyed consumers below, where exchange
+    # reuse cannot dedup it — materialize it ONCE. localCheckpoint (not
+    # persist) so the blocks are ContextCleaner-freed with the result,
+    # never session-pinned.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+
+    # ONE aggregation yields the node census AND in-edge liveness; the
+    # two loop constants (1/N and the live count) are bounded driver
+    # scalars read off it.
+    stats = (
+        e.select(F.col("src").alias("node"), F.lit(0).alias("has_in"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.lit(1).alias("has_in"))
+        )
+        .groupBy("node")
+        .agg(F.max("has_in").alias("has_in"))
+        .localCheckpoint()
+    )
+    n_nodes = stats.count()
+    n_live = stats.filter(F.col("has_in") == 1).count()
     base = 1.0 / n_nodes
     teleport = (1.0 - damping) / n_nodes
-    ranks = nodes.withColumn("r", F.lit(base)).persist()
-    ranks.count()
-    for _ in range(iterations):
-        contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("r") / F.col("__deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("__in"))
+    if iterations <= 0:
+        return stats.select("node", F.lit(base).alias("rank_score"))
+
+    # out-degree rides WITH the edge rows via a src-keyed window (one
+    # edge-sized exchange, no join), which also leaves the loop's edge
+    # state hash-partitioned on the join key.
+    e_deg = e.withColumn(
+        "__deg", F.count(F.lit(1)).over(_W.partitionBy("src"))
+    )
+
+    # live = nodes with in-edges — the only ranks the recurrence can
+    # change; a node without in-edges ("dead") holds the closed-form
+    # bare-teleport rank after step one, and its out-contribution is a
+    # per-destination constant. When the probe says every node is live
+    # (any doubled/undirected graph), the whole dead path vanishes
+    # from the plan.
+    all_live = n_live == n_nodes
+    live = stats.filter(F.col("has_in") == 1).select("node")
+    if all_live:
+        e_live = e_deg
+        dead = dead_w = None
+    else:
+        e_live = e_deg.join(live, e_deg.src == live.node, "left_semi")
+        dead = stats.filter(F.col("has_in") == 0).select("node")
+        dead_w = (
+            e_deg.join(live, e_deg.src == live.node, "left_anti")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(1.0 / F.col("__deg")).alias("__w"))
+            .localCheckpoint(eager=False)
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("r"),
+    # Checkpoint the loop's edge state: only the EXCHANGE below the
+    # degree window dedups across rounds (ReusedExchange), so without
+    # this every round would re-sort and re-count the window. The
+    # rounds then share one source-keyed shuffle of the checkpointed
+    # rows.
+    e_live = e_live.localCheckpoint(eager=False)
+
+    ranks = live.select("node", F.lit(base).alias("r"))
+    for t in range(iterations):
+        joined = e_live.join(
+            ranks.hint("shuffle_hash"), e_live.src == ranks.node
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("r") / F.col("__deg")).alias("c"),
+        )
+        if dead_w is not None:
+            dead_rank = base if t == 0 else teleport
+            joined = joined.unionByName(
+                dead_w.select(
+                    "node", (F.lit(dead_rank) * F.col("__w")).alias("c")
+                )
             )
-            .persist()
+        contrib = joined.groupBy("node").agg(F.sum("c").alias("__in"))
+        ranks = contrib.select(
+            "node",
+            (F.lit(teleport) + F.lit(damping) * F.col("__in")).alias("r"),
         )
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
     out = ranks.select("node", F.col("r").alias("rank_score"))
-    nodes.unpersist()
-    e_deg.unpersist()
-    return out
+    if dead is None:
+        return out
+    # dead nodes re-enter with their closed-form rank (iterations >= 1
+    # here): bare teleport — no in-mass ever arrives.
+    return out.unionByName(
+        dead.select("node", F.lit(teleport).alias("rank_score"))
+    )
 
 
 def degree_histogram(

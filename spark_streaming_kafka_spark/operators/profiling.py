@@ -153,8 +153,13 @@ def benford_first_digit(
     Output per digit d ∈ 1..9: ``(digit, n_values, observed_share,
     expected_share, chi2_term)`` with ``expected_share =
     log10(1 + 1/d)`` and ``chi2_term = (obs - exp)² / exp`` over the
-    shares (sum the column for the test statistic). Zero/negative/null
-    values are excluded (they have no first significant digit).
+    shares (sum the column for the test statistic). ALL nine digit
+    rows are always present — a digit with zero occurrences yields
+    ``n_values = 0`` and ``chi2_term = expected_share``, so the summed
+    statistic never silently drops a digit's contribution.
+    Zero/negative/null values are excluded (they have no first
+    significant digit); on empty input the shares and chi2 terms are
+    NULL (no total to divide by).
 
     Plan: the first digit is pure column algebra —
     ``floor(v / 10^floor(log10(v)))`` — so the whole profile is one
@@ -168,8 +173,20 @@ def benford_first_digit(
     counts = pos.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_values")
     )
+    # Densify to the full 1..9 support: a 9-row literal spine
+    # left-joins the observed counts (broadcast, key equi-join) so
+    # absent digits surface as 0 rather than vanishing from the chi²
+    # sum.
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n_values", F.lit(0).cast("long")).alias("n_values")
+    )
     total = F.sum("n_values").over(Window.partitionBy())
-    obs = F.col("n_values") / total
+    # try_divide: an all-empty input leaves total = 0 and the shares
+    # NULL instead of an ANSI divide-by-zero.
+    obs = F.try_divide(F.col("n_values"), total)
     exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     return counts.select(
         "digit",

@@ -473,9 +473,6 @@ def item_cooccurrence_topk(
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     counts = kept.groupBy("__item").agg(F.count(F.lit(1)).alias("__c"))
-    # Basket total: a single-row aggregate joined on a constant key —
-    # BroadcastHashJoin of one row (the bm25 corpus-constant pattern,
-    # kept lazy instead of collected).
     # Basket total: one bounded single-scalar collect at plan-build
     # time (NOTE: building this DataFrame therefore runs one Spark job,
     # and the lift constant reflects the data as of build — the

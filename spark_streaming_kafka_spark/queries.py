@@ -8442,12 +8442,16 @@ def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cents
     ), counts AS (
       SELECT digit, count(*) AS n_values FROM digits GROUP BY digit
+    ), dense AS (
+      SELECT CAST(d.range AS INTEGER) AS digit,
+             coalesce(c.n_values, 0) AS n_values
+      FROM range(1, 10) d LEFT JOIN counts c ON c.digit = d.range
     )
     SELECT digit, n_values,
            round(n_values / CAST(sum(n_values) OVER () AS DOUBLE), 6)
              AS observed_share,
            round(log10(1.0 + 1.0 / digit), 6) AS expected_share
-    FROM counts
+    FROM dense
     """,
 )
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8755,7 +8759,8 @@ _POISSON_CASE_SQL = "CASE " + " ".join(
     WITH g AS (
       SELECT value AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS gr
-      FROM events WHERE event_type IN ('view', 'click')
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
     ), pv AS (
       SELECT v, count(*) AS t, sum(gr) AS t1 FROM g GROUP BY v
     ), r AS (

@@ -257,9 +257,15 @@ def test_rfm_scores_ordering(spark, tables):
 def test_benford_digit_extraction(spark):
     rows = [(1, 0.01), (2, 0.09), (3, 1.0), (4, 99.99), (5, 123.45), (6, 0.0), (7, 900.0)]
     df = spark.createDataFrame(rows, "id long, v double")
-    out = {r["digit"]: r["n_values"] for r in benford_first_digit(df, "v").collect()}
-    # cents: 1, 9, 100, 9999, 12345, (dropped), 90000
-    assert out == {1: 3, 9: 3}
+    rows_out = benford_first_digit(df, "v").collect()
+    out = {r["digit"]: r["n_values"] for r in rows_out}
+    # cents: 1, 9, 100, 9999, 12345, (dropped), 90000 — dense 1..9
+    # support: absent digits surface as 0, not missing rows.
+    assert out == {1: 3, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 3}
+    by_d = {r["digit"]: r for r in rows_out}
+    # zero-count digit contributes exactly expected_share to the chi2 sum
+    assert round(by_d[4]["chi2_term"], 9) == round(by_d[4]["expected_share"], 9)
+    assert by_d[4]["observed_share"] == 0.0
 
 
 def test_gini_known_values(spark):
