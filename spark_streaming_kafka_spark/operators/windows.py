@@ -147,6 +147,113 @@ def rolling_zscore(
     )
 
 
+def rolling_zscore_bucketed(
+    df: DataFrame,
+    value_col: str,
+    part_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    bucket_col: Column,
+    window: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """:func:`rolling_zscore` for LOW-CARDINALITY partition keys — the
+    scale-out form when one key's full history is too much for one
+    task (the r11 SCALING.md finding: `events` has ~5 event types, so
+    the plain per-type window runs ~5-way parallel at ANY volume).
+
+    Exact same output: the input is sub-partitioned on
+    ``(part_cols..., bucket)`` (``bucket_col``: any monotone function
+    of the order — e.g. ``date_trunc('month', ts)``), and each
+    bucket's last ``window`` rows are ALSO emitted into the next
+    non-empty bucket as carry rows — they extend that bucket's
+    trailing frames across the boundary, then drop from the output.
+    Parallelism becomes keys × buckets instead of keys.
+
+    Exactness requires every non-final bucket of a key to hold at
+    least ``window`` rows (otherwise a frame would need to reach TWO
+    buckets back); the operator verifies that with one bounded
+    (keys × buckets)-sized probe at build and raises ``ValueError``
+    asking for coarser buckets when violated — the same
+    probe-gate-at-build pattern as the dedup cluster loop.
+
+    Plan: one shuffle of the fact rows on (key, bucket), one
+    dimension-sized bucket-index aggregation (dense per-key bucket
+    numbering, so carries hop EMPTY buckets correctly), the tail
+    extraction and the z-score both ride the same (key, bucket)
+    window partitioning.
+    """
+    parts = [F.col(c) if isinstance(c, str) else c for c in part_cols]
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    base_cols = list(df.columns)
+    b = df.withColumn("__bkt", bucket_col)
+    # dense per-key bucket index over the DISTINCT (key, bucket) table
+    # (dimension-sized window, not the fact table) — consecutive
+    # indexes even when calendar buckets are empty.
+    idx_w = Window.partitionBy(*parts).orderBy(F.col("__bkt").asc())
+    idx = (
+        b.select(*parts, F.col("__bkt"))
+        .distinct()
+        .withColumn("__bi", F.row_number().over(idx_w))
+    )
+    data = b.join(idx, [*part_cols, "__bkt"])
+    bw = Window.partitionBy(*parts, F.col("__bi"))
+    # probe gate: every non-final bucket must hold >= window rows
+    probe = (
+        data.groupBy(*parts, "__bi")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__is_last",
+            F.col("__bi")
+            == F.max("__bi").over(Window.partitionBy(*parts)),
+        )
+        .filter(~F.col("__is_last") & (F.col("__n") < window))
+        .limit(1)
+        .collect()
+    )
+    if probe:
+        raise ValueError(
+            "rolling_zscore_bucketed: a non-final bucket holds fewer "
+            f"than window={window} rows (e.g. {probe[0].asDict()}); "
+            "coarsen bucket_col so every bucket spans at least one "
+            "full window, or fall back to rolling_zscore"
+        )
+    # tail = rows with fewer than `window` rows after them in their
+    # bucket (ascending row_number vs bucket size — the order columns
+    # may already carry asc()/desc() wrappers, so no desc() re-wrap).
+    rn_asc = F.row_number().over(bw.orderBy(*order))
+    n_in_bkt = F.count(F.lit(1)).over(bw)
+    carries = (
+        data.withColumn("__rn", rn_asc)
+        .withColumn("__nb", n_in_bkt)
+        .filter(F.col("__rn") > F.col("__nb") - window)
+        .drop("__rn", "__nb")
+        .withColumn("__bi", F.col("__bi") + 1)
+        .withColumn("__carry", F.lit(1))
+    )
+    unioned = data.withColumn("__carry", F.lit(0)).unionByName(carries)
+    # width pin (the _bucket_pairs/AQE lesson): the z-window's exchange
+    # carries only a few MB at test SF, so AQE would coalesce the whole
+    # keys x buckets layout back to ONE task — an explicit numbered
+    # repartition on the window keys pins the parallelism this operator
+    # exists to provide.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    unioned = unioned.repartition(width, *parts, F.col("__bi"))
+    zw = bw.orderBy(*order).rowsBetween(-window, -1)
+    v = F.col(value_col)
+    mu = F.avg(v).over(zw)
+    sd = F.stddev_samp(v).over(zw)
+    zscore = F.when(sd > 0, F.round((v - mu) / sd, 6))
+    return (
+        unioned.withColumn("zscore", zscore)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > F.lit(threshold), F.lit(False)),
+        )
+        .filter(F.col("__carry") == 0)
+        .select(*base_cols, "zscore", "is_anomaly")
+    )
+
+
 def time_decay_sum(
     df: DataFrame,
     ts_col: str,

@@ -8912,6 +8912,60 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round-11 batch A — scale-out variants proven by oracle identity.
+# =====================================================================
+
+@register(
+    "event_anomaly_zscore_bucketed",
+    """
+    SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+           round(value, 4) AS value, zscore,
+           coalesce(abs(zscore) > 3.0, FALSE) AS is_anomaly
+    FROM (
+      SELECT event_id, event_type, ts, value,
+             CASE WHEN stddev_samp(value) OVER w > 0 THEN
+               round((value - avg(value) OVER w)
+                     / (stddev_samp(value) OVER w), 6)
+             END AS zscore
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def q_event_anomaly_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-OUT form of event_anomaly_zscore
+    (operators/windows.py::rolling_zscore_bucketed): identical rolling
+    z-scores, but the window runs per (event_type, month bucket) with
+    the previous bucket's 20-row tail carried across the boundary —
+    parallelism becomes types x months instead of the ~5 types the
+    plain per-type window is stuck at (r11 SCALING.md note: AQE ran
+    that window single-task). The oracle is BYTE-IDENTICAL to
+    event_anomaly_zscore's plain-window SQL, so the hash match IS the
+    exactness proof for the carry machinery."""
+    from .operators.windows import rolling_zscore_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = rolling_zscore_bucketed(
+        ev,
+        "value",
+        ["event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        bucket_col=F.date_trunc("month", F.col("ts")),
+        window=20,
+        threshold=3.0,
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+        "zscore",
+        "is_anomaly",
+    )
+
+
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
 # exactly round 3's first-50 insertion order), so the head of the dict

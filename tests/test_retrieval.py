@@ -210,6 +210,59 @@ def test_rolling_zscore_flags_spike(spark):
     assert not any(rows[i].is_anomaly for i in range(21))
 
 
+def test_rolling_zscore_bucketed_matches_plain(spark):
+    """The bucketed variant must be value-identical to the plain
+    window, including carries that hop an EMPTY bucket (key "n" has
+    no rows in bucket 1) and a final bucket smaller than the window."""
+    import random
+
+    from spark_streaming_kafka_spark.operators.windows import (
+        rolling_zscore_bucketed,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    i = 0
+    for bkt in range(4):
+        for _ in range(25):  # every non-final bucket >= window rows
+            rows.append((i, "m", bkt, rng.uniform(0, 100.0)))
+            i += 1
+        if bkt != 1:  # key "n" skips bucket 1 entirely
+            for _ in range(25 if bkt < 3 else 7):
+                rows.append((i, "n", bkt, rng.uniform(0, 100.0)))
+                i += 1
+    df = spark.createDataFrame(rows, "i long, g string, b int, v double")
+    plain = rolling_zscore(
+        df, "v", ["g"], [F.col("i").asc()], window=20
+    )
+    bucketed = rolling_zscore_bucketed(
+        df, "v", ["g"], [F.col("i").asc()],
+        bucket_col=F.col("b"), window=20,
+    )
+    want = {(r.g, r.i): (r.zscore, r.is_anomaly) for r in plain.collect()}
+    got = {(r.g, r.i): (r.zscore, r.is_anomaly) for r in bucketed.collect()}
+    assert got == want and len(got) == len(rows)
+
+
+def test_rolling_zscore_bucketed_guards_sparse_buckets(spark):
+    import pytest as _pytest
+
+    from spark_streaming_kafka_spark.operators.windows import (
+        rolling_zscore_bucketed,
+    )
+
+    # bucket 0 holds 3 rows < window=20 and is not the final bucket
+    rows = [(i, "g", 0, float(i)) for i in range(3)] + [
+        (i, "g", 1, float(i)) for i in range(3, 30)
+    ]
+    df = spark.createDataFrame(rows, "i long, g string, b int, v double")
+    with _pytest.raises(ValueError, match="coarsen bucket_col"):
+        rolling_zscore_bucketed(
+            df, "v", ["g"], [F.col("i").asc()],
+            bucket_col=F.col("b"), window=20,
+        )
+
+
 def test_rolling_zscore_zero_variance_is_null_not_flagged(spark):
     df = spark.createDataFrame(
         [(i, "g", 5.0) for i in range(10)] + [(10, "g", 5.0)],
