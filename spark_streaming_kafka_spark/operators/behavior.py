@@ -325,3 +325,82 @@ def event_path_trigrams(
         ],
         k,
     )
+
+
+def interarrival_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-arrival-time statistics — the core behavioral
+    cadence features (bot detection: near-constant sub-second gaps;
+    churn models: stretching gaps): for every user with at least two
+    events, the count/mean/stddev/min/max of the millisecond gaps
+    between consecutive events.
+
+    One shuffle on the user key (high-cardinality — parallelism is the
+    user count, unlike the type-keyed windows), one ``lag`` window
+    pass, one hash aggregation. Gaps are exact integer epoch-ms
+    differences; the mean is one division of exact integers, so the
+    whole row hash-matches the SQL twin. Output: ``(user_id, n_gaps,
+    mean_gap_ms, std_gap_ms, min_gap_ms, max_gap_ms)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_id_col).asc()
+    )
+    ms = F.unix_millis(F.col(ts_col))
+    gap = (ms - F.lag(ms, 1).over(w)).alias("__gap")
+    gaps = events.select(F.col(user_col).alias("user_id"), gap).filter(
+        F.col("__gap").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (F.sum("__gap").cast("double") / F.count(F.lit(1))).alias(
+            "mean_gap_ms"
+        ),
+        F.stddev_samp(F.col("__gap").cast("double")).alias("std_gap_ms"),
+        F.min("__gap").cast("long").alias("min_gap_ms"),
+        F.max("__gap").cast("long").alias("max_gap_ms"),
+    )
+
+
+def active_users_rolling(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 28,
+) -> DataFrame:
+    """Rolling N-day active users per OBSERVED day — the
+    DAU/WAU/MAU-style engagement series: for each calendar day that
+    has any event, how many distinct users were active in the
+    ``window_days`` ending on it.
+
+    The scale-honest shape: a sliding COUNT DISTINCT cannot be a
+    window aggregate (distinct does not decompose), so each distinct
+    (user, active-day) pair is exploded into the ``window_days``
+    window-ends it supports, deduped to (user, window-end), and hash
+    aggregated — volume is ``distinct(user, day) × window_days``
+    narrow rows, map-side combinable, no per-day scan and no
+    single-partition anything. Output: ``(day, active_users)`` with
+    the day formatted ISO so both engines compare as strings.
+    """
+    ud = events.select(
+        F.col(user_col).alias("__u"), F.to_date(F.col(ts_col)).alias("__d")
+    ).distinct()
+    days = ud.select(F.col("__d").alias("__end")).distinct()
+    ends = ud.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+            )
+        ).alias("__end"),
+    ).distinct()
+    observed = ends.join(days, "__end", "left_semi")
+    return observed.groupBy("__end").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    ).select(
+        F.date_format("__end", "yyyy-MM-dd").alias("day"), "active_users"
+    )

@@ -110,3 +110,76 @@ def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 mi
         [F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")],
         slide=slide,
     ).select("window_start_ms", "n", "avg_value")
+
+
+def lag_cross_correlation(
+    events: DataFrame,
+    type_x: str,
+    type_y: str,
+    max_lag_hours: int = 12,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cross-correlation function (CCF) between two event-type series:
+    Pearson correlation of hourly counts of ``type_x`` against
+    ``type_y`` shifted ``lag`` hours later, for lag = 0..max — the
+    "does a click surge predict purchases two hours later" diagnostic
+    that precedes any causal/forecast modeling.
+
+    Both series live on the DENSE hour spine (zero-count hours are
+    real zeros, not missing rows — the gap_fill lesson; the spine
+    bounds are one bounded two-scalar collect at build, the documented
+    corpus-constant pattern). All five moments per lag are EXACT
+    integer sums of counts; the single double division happens at the
+    end, so every CCF value hash-matches the SQL twin. Output:
+    ``(lag_hours, n_hours, ccf)``, NULL ccf when either series is
+    constant over the lag's overlap (zero variance).
+
+    Scale: the spine is hours-sized (9k rows/year) regardless of event
+    volume; the heavy part is the two hourly aggregations, each one
+    map-side-combined pass over the scan.
+    """
+    h = F.date_trunc("hour", F.col(ts_col))
+    bounds = events.agg(
+        F.min(h).alias("mn"), F.max(h).alias("mx")
+    ).first()
+    mn, mx = bounds["mn"], bounds["mx"]
+    spine = events.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(mn), F.lit(mx), F.expr("interval 1 hour")
+            )
+        ).alias("__h")
+    )
+    def series(tp: str, out: str) -> DataFrame:
+        cnt = (
+            events.filter(F.col(type_col) == tp)
+            .groupBy(h.alias("__h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        return spine.join(cnt, "__h", "left").select(
+            "__h", F.coalesce("__c", F.lit(0)).cast("long").alias(out)
+        )
+    xs = series(type_x, "__x")
+    ys = series(type_y, "__y")
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(max_lag_hours + 1)])
+    ).alias("lag_hours")
+    pairs = xs.select("__h", "__x", lags).join(
+        ys.withColumnRenamed("__h", "__h2"),
+        F.expr("timestampadd(HOUR, lag_hours, __h)") == F.col("__h2"),
+    )
+    m = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_hours")
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    varx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vary = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    ccf = F.when((varx > 0) & (vary > 0), num / F.sqrt(varx * vary))
+    return m.select("lag_hours", "n_hours", ccf.alias("ccf"))
