@@ -173,6 +173,12 @@ PIPELINE = [
     "graph_triangle_counts",    # degree-ordered triangle enumeration
     "rfm_customer_segments",    # fused 3-ordering global_ntile_multi
     "attribution_u_shaped",     # per-user conversion x touch join + window
+    # r11 additions (same prefix-stability rule: earlier entries
+    # unchanged so r7-r10 pipeline records compare on the shared
+    # prefix):
+    "pagerank_source_authority",  # single-lazy-query exchange-reuse loop
+    "hits_hub_authority",         # fixed-iteration HITS, deferred L1 norm
+    "rolling_active_users_28d",   # sliding COUNT DISTINCT via window-end explode
 ]
 
 SUITES = {"headline": HEADLINE, "pipeline": PIPELINE}

@@ -5,8 +5,8 @@ batch-B operator family composed end to end.
 
 Steps: U-shaped multi-touch attribution of purchase value over the
 event stream → first-touch-to-conversion latency → RFM quintile
-segmentation of the customer base (three distributed global_ntile
-passes) → revenue-concentration diagnostics (Gini + Lorenz deciles in
+segmentation of the customer base (one fused global_ntile_multi
+pass — all three orderings in a single range shuffle) → revenue-concentration diagnostics (Gini + Lorenz deciles in
 exact cents, Benford first-digit screen) → the part co-occurrence
 GRAPH: degree histogram and degree-ordered triangle counts, ending
 with the most "embedded" parts (highest triangle participation — the

@@ -40,6 +40,8 @@ __all__ = [
     "rfm_scores",
     "behavioral_entropy",
     "event_path_trigrams",
+    "interarrival_gaps",
+    "active_users_rolling",
 ]
 
 

@@ -29,6 +29,7 @@ EXAMPLES = [
     "examples/behavior_analytics.py",
     "examples/business_analytics.py",
     "examples/marketing_analytics.py",
+    "examples/feature_engineering.py",
 ]
 
 

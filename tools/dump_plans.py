@@ -92,9 +92,13 @@ SHOWCASE = {
     "funnel_conversion": "One partial-aggregated min per funnel step; each "
     "later stage joins only the SHRINKING converted set (user-keyed hash "
     "joins, no windows, no state).",
-    "pagerank_source_authority": "The iterative-loop discipline: the plan "
-    "shows only the FINAL iteration reading persisted ranks (InMemoryRelation) "
-    "— lineage truncated per round, one join + one partial-agg sum.",
+    "pagerank_source_authority": "The r11 single-lazy-query loop: ONE "
+    "plan holds all five rounds — the checkpointed edge state (Scan "
+    "ExistingRDD) is shuffled on the source key once and every later "
+    "round reads it back as ReusedExchange; per round one ShuffledHashJoin "
+    "(ranks on the build side, no sort) + one partial-agg sum; no "
+    "per-round driver job, no nodes left-join (no-in-edge ranks are "
+    "closed-form).",
     "bm25_topk_docs": "Query-term filter runs map-side BEFORE the (doc, "
     "term) count shuffle — the exchange carries matching postings only; "
     "idf is a |terms|-row BroadcastHashJoin and the final cut is "
@@ -140,14 +144,37 @@ SHOWCASE = {
     "wedge materialization), array_intersect runs in-row, and BOTH heavy "
     "stages show REPARTITION_BY_NUM — explicit width pins because AQE "
     "coalesces on shuffle bytes and cannot see the array-expansion work.",
-    "rfm_customer_segments": "Three global_ntile passes: each is a "
-    "RangePartitioning exchange over the CUSTOMER-SIZED aggregate plus a "
-    "per-partition row_number — no Window.partitionBy() single-task sort "
-    "anywhere; the fact table shuffles exactly once (the customer agg).",
+    "rfm_customer_segments": "FUSED global_ntile_multi: one explode to "
+    "(spec, key) rows, ONE RangePartitioning exchange over the "
+    "customer-sized aggregate covering all three orderings, per-(spec, "
+    "partition) literal offsets + a per-partition row_number, and a "
+    "max(case) pivot hash-agg instead of three joins — no "
+    "Window.partitionBy() single-task sort anywhere; the fact table "
+    "shuffles exactly once (the customer agg).",
     "attribution_u_shaped": "Conversions x touches is ONE user-keyed "
     "equi-join; position weights come from a per-conversion window over "
     "the joined (lookback-bounded) rows, and the final aggregate is "
     "channel-sized — no cartesian, no per-row Python.",
+    "event_anomaly_zscore_bucketed": "The scale-out rolling window: rows "
+    "and their carried previous-bucket tails union into (type, bucket) "
+    "window partitions, and the z-window stage shows REPARTITION_BY_NUM "
+    "— the explicit pin that keeps types x buckets parallelism where "
+    "AQE's byte-based coalescing would fold it back to one task (the "
+    "plain per-type form is KEY-CARDINALITY-bound at ~5).",
+    "hits_hub_authority": "Both per-round joins read the SAME checkpointed "
+    "edge RDD through two reused keyed shuffles (src for the authority "
+    "step, dst for the hub step); scores ride the shuffled-hash build "
+    "side; normalization is deferred to one node-sized window pass at "
+    "the end — no per-round global reduction.",
+    "rolling_active_users_28d": "A sliding COUNT DISTINCT that never "
+    "windows: Generate(explode(sequence(day, day+27))) fans each "
+    "(user, day) into its window-ends, a hash DISTINCT dedups, a "
+    "left-semi join restricts to observed days, one final hash agg — "
+    "every exchange is map-side combinable, nothing is per-day.",
+    "target_encode_kfold": "Leakage-safe encoding as pure plan algebra: "
+    "one fact-sized hash aggregation by (category, md5-derived fold), "
+    "then the leave-one-fold-out means via a category-partitioned window "
+    "over the CATEGORYxFOLD grid — the fact table shuffles once.",
     "gini_revenue_concentration": "Global ranks via RangePartitioning + "
     "partition-offset literals (global_rank): the sort is distributed, "
     "the offsets are a bounded driver collect, and every moment is an "
