@@ -49,8 +49,9 @@ def test_headline_suite_frozen_since_r3():
 def test_pipeline_suite_frozen():
     """Same tripwire for the pipeline tier: the r7-r9 members are the
     comparable prefix; r10 appended two new-family representatives and
-    r10 batch B three more (graph/RFM/attribution). Intentional
-    changes update this list AND the README."""
+    r10 batch B three more (graph/RFM/attribution); r11 appended the
+    two iterative-graph rankers and the sliding-distinct series.
+    Intentional changes update this list AND the README."""
     bench = _bench()
     assert bench.PIPELINE == [
         "cdc_dedup_rewrite", "cdc_chunk_documents",
@@ -60,4 +61,6 @@ def test_pipeline_suite_frozen():
         "part_cooccurrence_topk", "curriculum_schedule",
         "graph_triangle_counts", "rfm_customer_segments",
         "attribution_u_shaped",
+        "pagerank_source_authority", "hits_hub_authority",
+        "rolling_active_users_28d",
     ]
