@@ -17,7 +17,9 @@ integers — identical in any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -286,4 +288,267 @@ def poisson_bootstrap_ci(
         F.lit(float(mean_value)).alias("mean_value"),
         "ci_low",
         "ci_high",
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group: "F.Column",
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the
+    parametric complement of :func:`mann_whitney_u` when the outcome
+    is roughly symmetric but the arms differ in spread/size (the case
+    where Student's pooled variance is wrong and Welch is the default
+    every stats package ships).
+
+    ``group`` must evaluate to 0/1; NULL values carry no weight (same
+    rule as :func:`mann_whitney_u`). Everything is the explicit-sums
+    identity — ``var = (Σx² − (Σx)²/n)/(n−1)`` — in ONE hash
+    aggregation (six conditional sums, map-side combined, one output
+    row), so an external oracle evaluating the same closed form over
+    doubles agrees to rounding; no covar/var internals, no second
+    pass, nothing driver-side. Returns one row:
+    ``(n_0, n_1, mean_0, mean_1, t_stat, dof)`` with the
+    Welch–Satterthwaite degrees of freedom; t/dof are NULL when either
+    arm has fewer than 2 points or both variances are 0.
+    """
+    g = df.select(
+        F.col(value_col).cast("double").alias("__v"),
+        group.cast("int").alias("__g"),
+    ).filter(F.col("__v").isNotNull())
+    is0 = (F.col("__g") == 0).cast("int")
+    is1 = F.col("__g").cast("int")
+    agg = g.agg(
+        F.sum(is0).cast("long").alias("n_0"),
+        F.sum(is1).cast("long").alias("n_1"),
+        F.sum(is0 * F.col("__v")).alias("__s0"),
+        F.sum(is1 * F.col("__v")).alias("__s1"),
+        F.sum(is0 * F.col("__v") * F.col("__v")).alias("__ss0"),
+        F.sum(is1 * F.col("__v") * F.col("__v")).alias("__ss1"),
+    )
+    n0 = F.col("n_0").cast("double")
+    n1 = F.col("n_1").cast("double")
+    m0 = F.try_divide(F.col("__s0"), n0)
+    m1 = F.try_divide(F.col("__s1"), n1)
+    v0 = F.try_divide(
+        F.col("__ss0") - F.try_divide(F.col("__s0") * F.col("__s0"), n0),
+        n0 - 1,
+    )
+    v1 = F.try_divide(
+        F.col("__ss1") - F.try_divide(F.col("__s1") * F.col("__s1"), n1),
+        n1 - 1,
+    )
+    se2 = F.try_divide(v0, n0) + F.try_divide(v1, n1)
+    t = F.when(se2 > 0, (m0 - m1) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            F.try_divide(
+                F.try_divide(v0, n0) * F.try_divide(v0, n0), n0 - 1
+            )
+            + F.try_divide(
+                F.try_divide(v1, n1) * F.try_divide(v1, n1), n1 - 1
+            )
+        ),
+    )
+    return agg.select(
+        "n_0",
+        "n_1",
+        F.round(m0, 6).alias("mean_0"),
+        F.round(m1, 6).alias("mean_1"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group: "F.Column",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the empirical
+    CDFs of two groups — the distribution-shape test (location AND
+    spread AND tails) that a mean-based or rank-based test can miss.
+
+    ``group`` must evaluate to 0/1; NULLs are dropped (sort-placement
+    differs per engine). The ECDFs come from the DISTINCT-VALUE table
+    run through :func:`..percentile.global_cumsum` — a range-
+    partitioned exact prefix sum, NEVER a single-partition window — so
+    the operator survives unbounded value cardinality (o_totalprice-
+    like columns where every row is distinct). The supremum is
+    evaluated in EXACT INTEGERS: ``D = max|c0·n1 − c1·n0| / (n0·n1)``,
+    one division after the max, so any engine reproduces it
+    bit-for-bit. Group totals fall out of the cumsum's own bounded
+    offsets collect (no extra job).
+
+    Returns one row: ``(n_0, n_1, ks_d, ks_stat)`` where ``ks_stat =
+    D·sqrt(n0·n1/(n0+n1))`` is the scaled statistic compared against
+    the Kolmogorov distribution.
+    """
+    from .percentile import global_cumsum
+
+    g = df.select(
+        F.col(value_col).alias("__v"), group.cast("int").alias("__g")
+    ).filter(F.col("__v").isNotNull())
+    per_val = g.groupBy("__v").agg(
+        F.sum(1 - F.col("__g")).cast("long").alias("__t0"),
+        F.sum("__g").cast("long").alias("__t1"),
+    )
+    cum, totals = global_cumsum(
+        per_val, [F.col("__v").asc()], ["__t0", "__t1"]
+    )
+    n0, n1 = totals["__t0"], totals["__t1"]
+    d_num = F.abs(
+        F.col("cum___t0") * F.lit(n1) - F.col("cum___t1") * F.lit(n0)
+    )
+    agg = cum.agg(F.max(d_num).alias("__dnum"))
+    # degenerate arms resolve at BUILD time (totals are plan constants):
+    # an empty group has no ECDF, so D is NULL — never a /0 under ANSI.
+    if n0 > 0 and n1 > 0:
+        d = F.col("__dnum").cast("double") / F.lit(float(n0 * n1))
+        scale = F.lit(float(n0) * float(n1)) / F.lit(float(n0 + n1))
+    else:
+        d = F.lit(None).cast("double")
+        scale = F.lit(None).cast("double")
+    return agg.select(
+        F.lit(n0).cast("long").alias("n_0"),
+        F.lit(n1).cast("long").alias("n_1"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(d * F.sqrt(scale), 6).alias("ks_stat"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_expr: "F.Column",
+    col_domain: "Sequence[int] | None" = None,
+    col_name: str = "col_key",
+) -> DataFrame:
+    """Chi-square test of independence over a two-way contingency
+    table (is event mix independent of weekday? is label mix
+    independent of source?).
+
+    The contingency table comes from ONE fact-sized hash aggregation;
+    every total/expected/term is then window algebra over the
+    CELL-COUNT-sized table (|rows|·|cols| rows — bounded by the
+    categorical domains, the same bound every distinct-value window in
+    this package documents). ``col_domain`` (a literal integer domain,
+    e.g. weekdays 1..7) densifies the table: a structurally-possible
+    cell with zero observations still carries its expected count —
+    omitting it would silently understate the statistic (the Benford
+    right-join rule from round-10 ADVICE). Counts are exact longs and
+    ``expected = row_total·col_total/n`` is one double division of
+    exact integers, so cross-engine agreement is rounding-only.
+
+    Returns one row per dense cell:
+    ``(row_col, col_name, n_obs, expected, chi2_term, chi2_total,
+    dof)`` — the total and degrees of freedom repeated per row (window
+    sums over the cell table).
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("__r"), col_expr.cast("int").alias("__c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    if col_domain is not None:
+        rows = cells.groupBy("__r").agg(
+            F.sum("__o").cast("long").alias("__rt")
+        )
+        dense = rows.select(
+            "__r",
+            "__rt",
+            F.explode(
+                F.array(*[F.lit(int(c)).cast("int") for c in col_domain])
+            ).alias("__c"),
+        ).join(cells, ["__r", "__c"], "left").na.fill({"__o": 0})
+    else:
+        wr = Window.partitionBy("__r")
+        dense = cells.withColumn(
+            "__rt", F.sum("__o").over(wr).cast("long")
+        )
+    wc = Window.partitionBy("__c")
+    wall = Window.partitionBy()
+    dense = (
+        dense.withColumn("__ct", F.sum("__o").over(wc).cast("long"))
+        .withColumn("__n", F.sum("__o").over(wall).cast("long"))
+        .withColumn(
+            "__nr", F.size(F.collect_set("__r").over(wall)).cast("long")
+        )
+        .withColumn(
+            "__nc", F.size(F.collect_set("__c").over(wall)).cast("long")
+        )
+    )
+    exp = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__n").cast("double")
+    )
+    term = F.when(
+        F.col("__ct") > 0,
+        (F.col("__o").cast("double") - exp) * (F.col("__o") - exp) / exp,
+    ).otherwise(F.lit(0.0))
+    out = dense.withColumn("__term", term).withColumn(
+        "__total", F.sum("__term").over(wall)
+    )
+    return out.select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_name),
+        F.col("__o").alias("n_obs"),
+        F.round(exp, 6).alias("expected"),
+        F.round(F.col("__term"), 6).alias("chi2_term"),
+        F.round(F.col("__total"), 6).alias("chi2_total"),
+        ((F.col("__nr") - 1) * (F.col("__nc") - 1)).alias("dof"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    treated: "F.Column",
+    post: "F.Column",
+) -> DataFrame:
+    """Difference-in-differences estimator over a 2×2 design: the
+    causal-inference workhorse for launch/rollout readouts where a
+    holdout exists but assignment wasn't randomized per unit.
+
+    ``treated`` and ``post`` are boolean Columns; the estimate is
+    ``(ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)``.
+    ONE aggregation of eight conditional sums; pass ``value_col`` as
+    exact integers (cents) and every cell mean is a single division of
+    exact integers — bit-identical in any engine (the repo-wide
+    exact-cents rule). Returns one row: the four cell counts, four
+    cell means (round-6) and ``did`` (round-6, NULL if any cell is
+    empty).
+    """
+    t = treated.cast("int")
+    p = post.cast("int")
+    flags = {
+        "treat_post": t * p,
+        "treat_pre": t * (1 - p),
+        "ctrl_post": (1 - t) * p,
+        "ctrl_pre": (1 - t) * (1 - p),
+    }
+    v = F.col(value_col)
+    agg = df.agg(
+        *[
+            F.sum(fl).cast("long").alias(f"n_{k}")
+            for k, fl in flags.items()
+        ],
+        *[F.sum(fl * v).alias(f"__s_{k}") for k, fl in flags.items()],
+    )
+    means = {
+        k: F.try_divide(
+            F.col(f"__s_{k}").cast("double"),
+            F.col(f"n_{k}").cast("double"),
+        )
+        for k in flags
+    }
+    did = (means["treat_post"] - means["treat_pre"]) - (
+        means["ctrl_post"] - means["ctrl_pre"]
+    )
+    return agg.select(
+        *[F.col(f"n_{k}") for k in flags],
+        *[F.round(means[k], 6).alias(f"mean_{k}") for k in flags],
+        F.round(did, 6).alias("did"),
     )

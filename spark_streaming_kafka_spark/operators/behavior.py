@@ -42,6 +42,7 @@ __all__ = [
     "event_path_trigrams",
     "interarrival_gaps",
     "active_users_rolling",
+    "kaplan_meier",
 ]
 
 
@@ -405,4 +406,77 @@ def active_users_rolling(
         F.count(F.lit(1)).cast("long").alias("active_users")
     ).select(
         F.date_format("__end", "yyyy-MM-dd").alias("day"), "active_users"
+    )
+
+
+def kaplan_meier(
+    subjects: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimate — the churn/
+    retention curve done right: a user still active at the observation
+    cutoff is CENSORED (we know they survived *at least* this long),
+    not a churn event, and naive retention curves that ignore that
+    distinction bias survival down.
+
+    Input is one row per subject: ``duration_col`` (integer time
+    units) and ``event_col`` (1 = event observed, 0 = censored). The
+    fact-sized work is ONE hash aggregation to the distinct-duration
+    table; everything after is window algebra over that
+    duration-cardinality-sized table (the package's documented
+    distinct-value-window bound — durations are days/weeks, not
+    facts). At-risk counts come from a DESCENDING cumulative sum (no
+    grand-total pass needed); the survival product is
+    ``exp(Σ ln((r−d)/r))`` over the ascending event times — both
+    factors exact-integer ratios, the ln/exp round-trip agrees
+    cross-engine at round-6 (the mutual-information precedent). A
+    time point where all remaining subjects fail (``d = r``) sends
+    survival to exactly 0 from there on (the ln is skipped, not
+    evaluated at 0).
+
+    Output: one row per distinct duration WITH observed events —
+    ``(duration, n_risk, n_events, n_censored, survival)`` — the
+    standard KM step-curve support.
+    """
+    per_t = subjects.groupBy(
+        F.col(duration_col).cast("long").alias("duration")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(1 - F.col(event_col).cast("long")).alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("__t"),
+    )
+    asc = Window.orderBy(F.col("duration").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    desc = Window.orderBy(F.col("duration").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.withColumn(
+        "n_risk", F.sum("__t").over(desc).cast("long")
+    )
+    d, r = F.col("n_events"), F.col("n_risk")
+    ln_factor = F.when(
+        d < r, F.log((r - d).cast("double") / r.cast("double"))
+    )  # NULL when d == r (absorbing zero) or d == 0 (ln 1 skipped too
+    # cheaply as an aggregate no-op: ln(1) = 0 contributes nothing,
+    # but evaluating it keeps the expression uniform — d==0 rows pass
+    # the d < r guard and contribute exactly 0.0)
+    curve = risk.withColumn(
+        "__zero",
+        F.max((d == r).cast("int")).over(asc),
+    ).withColumn(
+        "__lnsum", F.sum(ln_factor).over(asc)
+    )
+    survival = F.when(F.col("__zero") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.col("__lnsum"), F.lit(0.0)))
+    )
+    return (
+        curve.filter(d > 0)
+        .select(
+            "duration",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.round(survival, 6).alias("survival"),
+        )
+        .orderBy("duration")
     )

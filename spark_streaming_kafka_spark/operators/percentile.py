@@ -641,3 +641,77 @@ def winsorized_stats(
             "winsorized_mean", "winsorized_std",
         )
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence,
+    sum_cols: Sequence[str],
+    num_parts: int | None = None,
+) -> "tuple[DataFrame, dict[str, int]]":
+    """Exact global INCLUSIVE running sums of integer weight columns
+    under a total order — the weighted generalization of
+    :func:`global_rank` (which is the special case ``weight = 1``),
+    and the scalable ECDF primitive: a cumulative count over sorted
+    distinct values IS the empirical CDF numerator.
+
+    Same two-pass shape, never a single-partition window:
+    range-repartition on the order columns, collect each partition's
+    COLUMN TOTALS (a partition-count-sized build-time collect, the
+    documented bounded pattern), broadcast the running offsets back as
+    a literal lookup, and add each partition's local windowed sum.
+    The checkpoint pins the sampled range boundaries to the offsets
+    job (see :func:`_ranked_with_offsets`).
+
+    Weights must be integer-typed (they are cast to long); every
+    running sum is then exact, so downstream statistics built from
+    ratios of these sums (KS distance, ECDF quantiles) are
+    bit-identical in any engine. Returns ``(df + cum_<col> columns,
+    {col: grand_total})`` — the totals fall out of the same offsets
+    collect, no extra job.
+    """
+    cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
+    parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumns(
+            {c: F.col(c).cast("long") for c in sum_cols}
+        )
+        .repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    psums = sorted(
+        (r["__pid"], tuple(r[f"__s_{c}"] or 0 for c in sum_cols))
+        for r in ranged.groupBy("__pid")
+        .agg(*[F.sum(c).alias(f"__s_{c}") for c in sum_cols])
+        .collect()
+    )
+    offsets: dict[int, tuple] = {}
+    acc = [0] * len(sum_cols)
+    for pid, sums in psums:
+        offsets[pid] = tuple(acc)
+        acc = [a + s for a, s in zip(acc, sums)]
+    totals = {c: acc[i] for i, c in enumerate(sum_cols)}
+    w = Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = ranged
+    for i, c in enumerate(sum_cols):
+        off = (
+            F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for pid, offs in offsets.items()
+                        for x in (pid, offs[i])
+                    ]
+                ),
+                F.col("__pid"),
+            )
+            if offsets
+            else F.lit(0)
+        )
+        out = out.withColumn(
+            f"cum_{c}", (off + F.sum(c).over(w)).cast("long")
+        )
+    return out.drop("__pid"), totals

@@ -321,3 +321,220 @@ def fd_confidence(
             F.sum("__maxc").cast("double") / F.sum("__tot")
         ).alias("confidence"),
     )
+
+
+def _pairwise(series: DataFrame, key: str, x_col: str, y_col: str):
+    """All ordered point pairs (x_a < x_b) within each key — the shared
+    candidate stage of :func:`mann_kendall_trend` and
+    :func:`theil_sen_slope`. A per-key self-equi-join: quadratic in the
+    SERIES LENGTH (points per key — months of a rollup, ~tens), linear
+    in the number of keys, so it scales with the dimension table it is
+    meant for, never the fact table that produced the series."""
+    a = series.select(
+        F.col(key).alias("__k"),
+        F.col(x_col).cast("long").alias("__xa"),
+        F.col(y_col).cast("long").alias("__ya"),
+    )
+    b = series.select(
+        F.col(key).alias("__k"),
+        F.col(x_col).cast("long").alias("__xb"),
+        F.col(y_col).cast("long").alias("__yb"),
+    )
+    return a.join(b, "__k").filter(F.col("__xa") < F.col("__xb"))
+
+
+def mann_kendall_trend(
+    series: DataFrame, key: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per key — the nonparametric
+    "is this series going up?" (no linearity or normality assumption;
+    the robust complement of :func:`grouped_trend`'s least-squares
+    slope, which one outlier month can hijack).
+
+    Input is an already-aggregated series (one row per ``(key, x)``,
+    ``y`` exact integers — pass cents). ``S = Σ sign(y_b − y_a)`` over
+    the ordered pairs, tie-corrected variance
+    ``(n(n−1)(2n+5) − Σt(t−1)(2t+5))/18``, continuity-corrected normal
+    ``z``. S and both variance pieces are EXACT INTEGER aggregates;
+    the only doubles are the final var/z divisions — cross-engine
+    agreement is rounding-only. Output per key:
+    ``(n_points, s_stat, var_s, z)``.
+    """
+    pairs = _pairwise(series, key, x_col, y_col)
+    s = pairs.groupBy("__k").agg(
+        F.sum(F.signum(F.col("__yb") - F.col("__ya")))
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = series.groupBy(F.col(key).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    t = F.col("__t")
+    ties = (
+        series.groupBy(F.col(key).alias("__k"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .groupBy("__k")
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("__tie")
+        )
+    )
+    out = n.join(s, "__k").join(ties, "__k")
+    np = F.col("n_points")
+    var = (
+        (np * (np - 1) * (2 * np + 5) - F.col("__tie")).cast("double")
+        / 18.0
+    )
+    sgn = F.col("s_stat").cast("double")
+    z = F.when(var <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(sgn > 0, (sgn - 1) / F.sqrt(var))
+        .when(sgn < 0, (sgn + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        F.col("__k").alias(key),
+        "n_points",
+        "s_stat",
+        F.round(var, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def theil_sen_slope(
+    series: DataFrame, key: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Theil–Sen slope per key: the MEDIAN of all pairwise slopes
+    ``(y_b − y_a)/(x_b − x_a)`` — the robust trend ESTIMATE that pairs
+    with :func:`mann_kendall_trend`'s trend TEST (up to ~29% corrupted
+    points leave it unmoved, where least squares is already gone).
+
+    Same exact-integer pair expansion (:func:`_pairwise`, series-length
+    quadratic per key, dimension-sized overall); each slope is one
+    double division of exact integers, the median is the exact
+    linear-interpolation percentile both engines share (the
+    ``group_quantiles`` precedent). Output per key:
+    ``(n_pairs, sen_slope)``.
+    """
+    pairs = _pairwise(series, key, x_col, y_col)
+    slope = (F.col("__yb") - F.col("__ya")).cast("double") / (
+        F.col("__xb") - F.col("__xa")
+    ).cast("double")
+    return (
+        pairs.withColumn("__slope", slope)
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("percentile(__slope, 0.5)").alias("__med"),
+        )
+        .select(
+            F.col("__k").alias(key),
+            "n_pairs",
+            F.round(F.col("__med"), 6).alias("sen_slope"),
+        )
+    )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation between two BOUNDED-CARDINALITY
+    numeric columns (quantity-like, discount-like): Pearson's formula
+    evaluated on midranks, the tie-correct definition (the classic
+    ``1 − 6Σd²/…`` shortcut is tie-wrong and not used).
+
+    Midranks come from each column's DISTINCT-VALUE table — per value,
+    rows-below + (count+1)/2, the :func:`..abtest.mann_whitney_u`
+    machinery — so the only windows run over value-cardinality-sized
+    aggregates and the rank tables broadcast back onto the fact rows
+    (two broadcast hash joins, one fact pass each). For unbounded
+    cardinality rank with ``percentile.global_rank`` instead. Rows
+    with a NULL in either column are dropped (per-engine NULL sort
+    placement). Output one row: ``(n_rows, rho)`` — the five-sums
+    Pearson identity over midranks, round-6 (midrank sums exceed 2^53
+    only past ~10^8 rows per the doubled-rank bound; round-6 absorbs
+    the fold noise long before).
+    """
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def rank_table(col: str) -> DataFrame:
+        per_val = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("__t")
+        )
+        w = Window.orderBy(F.col(col).asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return per_val.select(
+            col,
+            (
+                (F.sum("__t").over(w) - F.col("__t")).cast("double")
+                + (F.col("__t") + 1) / 2.0
+            ).alias(f"__r{col}"),
+        )
+    ranked = base.join(
+        F.broadcast(rank_table("__x")), "__x"
+    ).join(F.broadcast(rank_table("__y")), "__y")
+    rx, ry = F.col("__r__x"), F.col("__r__y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * ry).alias("__sxy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+    )
+    nn = F.col("__n")
+    num = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+    return agg.select(
+        nn.cast("long").alias("n_rows"), F.round(rho, 6).alias("rho")
+    )
+
+
+def zipf_fit(
+    counts: DataFrame,
+    term_col: str,
+    count_col: str,
+    n_top: int = 500,
+) -> DataFrame:
+    """Zipf's-law fit over a frequency table: the least-squares slope
+    of ``ln(count)`` on ``ln(rank)`` across the top ``n_top`` terms —
+    the one-number corpus-health diagnostic (natural text sits near
+    −1; boilerplate-heavy or synthetic corpora drift off it).
+
+    Ranking is ``count DESC, term ASC`` (the package-wide unique-
+    tiebreaker rule) via orderBy+limit — a distributed TakeOrdered,
+    never a full-table window; only the ``n_top``-row result gets a
+    row_number, bounded by the literal. Slope/intercept from the
+    five-sums identity (:func:`grouped_trend`'s closed form), so the
+    oracle evaluates the same expression. Output one row:
+    ``(n_terms, zipf_slope, zipf_intercept)``.
+    """
+    top = counts.select(
+        F.col(term_col).alias("__term"),
+        F.col(count_col).cast("long").alias("__cnt"),
+    ).orderBy(F.col("__cnt").desc(), F.col("__term").asc()).limit(n_top)
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("__term").asc())
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__lx"),
+        F.log(F.col("__cnt").cast("double")).alias("__ly"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__lx").alias("__sx"),
+        F.sum("__ly").alias("__sy"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("__sxy"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("__sxx"),
+    )
+    nn = F.col("__n")
+    denom = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        denom != 0.0,
+        (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+    )
+    intercept = F.try_divide(F.col("__sy") - slope * F.col("__sx"), nn)
+    return agg.select(
+        nn.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )

@@ -9257,6 +9257,498 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "welch_ttest_value",
+    """
+    WITH g AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(sum(1 - grp) AS DOUBLE) AS n0,
+             CAST(sum(grp) AS DOUBLE) AS n1,
+             sum((1 - grp) * v) AS s0, sum(grp * v) AS s1,
+             sum((1 - grp) * v * v) AS ss0, sum(grp * v * v) AS ss1
+      FROM g
+    ),
+    b AS (
+      SELECT n0, n1, s0 / n0 AS m0, s1 / n1 AS m1,
+             (ss0 - s0 * s0 / n0) / (n0 - 1) AS v0,
+             (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1
+      FROM a
+    ),
+    c AS (SELECT n0, n1, m0, m1, v0, v1, v0 / n0 + v1 / n1 AS se2 FROM b)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           round(m0, 6) AS mean_0, round(m1, 6) AS mean_1,
+           round(CASE WHEN se2 > 0 THEN (m0 - m1) / sqrt(se2) END, 6)
+             AS t_stat,
+           round(CASE WHEN se2 > 0 THEN se2 * se2 /
+                 ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                  + (v1 / n1) * (v1 / n1) / (n1 - 1)) END, 6) AS dof
+    FROM c
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: purchase vs click event values
+    (operators/abtest.py::welch_ttest) — ONE six-sum hash aggregation,
+    explicit-sums variance identity, Welch-Satterthwaite dof; the
+    parametric sibling of mann_whitney_value_test over the same
+    columns."""
+    from .operators.abtest import welch_ttest
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return welch_ttest(
+        ev, "value", (F.col("event_type") == "purchase").cast("int")
+    )
+
+
+@register(
+    "ks_price_by_priority",
+    """
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    pv AS (SELECT v, sum(1 - grp) AS t0, sum(grp) AS t1 FROM g GROUP BY v),
+    c AS (
+      SELECT sum(t0) OVER (ORDER BY v ASC) AS c0,
+             sum(t1) OVER (ORDER BY v ASC) AS c1
+      FROM pv
+    ),
+    t AS (SELECT CAST(sum(t0) AS BIGINT) AS n0,
+                 CAST(sum(t1) AS BIGINT) AS n1 FROM pv),
+    m AS (SELECT max(abs(c0 * t.n1 - c1 * t.n0)) AS dnum FROM c, t)
+    SELECT n0 AS n_0, n1 AS n_1,
+           round(CAST(dnum AS DOUBLE)
+                 / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS ks_d,
+           round(CAST(dnum AS DOUBLE)
+                 / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))), 6)
+             AS ks_stat
+    FROM m, t
+    """,
+)
+def q_ks_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between order-price
+    distributions of urgent (1-URGENT/2-HIGH) vs other priorities
+    (operators/abtest.py::ks_two_sample). The ECDFs come from
+    percentile.global_cumsum — a range-partitioned exact prefix sum
+    over the distinct-value table, never a single-partition window —
+    and the supremum is exact-integer algebra (max|c0*n1 - c1*n0|,
+    ONE division at the end), so the statistic is bit-identical
+    cross-engine at unbounded price cardinality."""
+    from .operators.abtest import ks_two_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return ks_two_sample(
+        o,
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+    )
+
+
+@register(
+    "chisq_event_dow",
+    """
+    WITH cells AS (
+      SELECT event_type AS r, CAST(dayofweek(ts) + 1 AS INTEGER) AS c,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r),
+    dense AS (
+      SELECT rt.r, d.c, rt.rt, coalesce(cells.o, 0) AS o
+      FROM rt
+      CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS c) d
+      LEFT JOIN cells ON cells.r = rt.r AND cells.c = d.c
+    ),
+    w AS (
+      SELECT r, c, o, rt,
+             sum(o) OVER (PARTITION BY c) AS ct,
+             sum(o) OVER () AS n
+      FROM dense
+    ),
+    dims AS (SELECT count(DISTINCT r) AS nr, count(DISTINCT c) AS nc
+             FROM dense),
+    term AS (
+      SELECT r, c, o, rt, ct, n,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+               AS expd,
+             CASE WHEN ct > 0 THEN
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             ELSE 0.0 END AS term
+      FROM w
+    )
+    SELECT r AS event_type, c AS dow, CAST(o AS BIGINT) AS n_obs,
+           round(expd, 6) AS expected, round(term, 6) AS chi2_term,
+           round(sum(term) OVER (), 6) AS chi2_total,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+    FROM term, dims
+    """,
+)
+def q_chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs day-of-week
+    (operators/abtest.py::chi_square_independence) — one fact-sized
+    aggregation to the 5x7 contingency table, weekday domain densified
+    from the literal 1..7 (the Benford zero-cell rule), exact-integer
+    expected-count algebra. Spark dayofweek is 1=Sunday; the oracle
+    shifts DuckDB's 0=Sunday to match."""
+    from .operators.abtest import chi_square_independence
+
+    ev = _t(spark, sf_dir, "events")
+    return chi_square_independence(
+        ev,
+        "event_type",
+        F.dayofweek("ts"),
+        col_domain=range(1, 8),
+        col_name="dow",
+    )
+
+
+@register(
+    "did_revenue_building",
+    """
+    WITH j AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                  THEN 1 ELSE 0 END AS p
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    a AS (
+      SELECT sum(t * p) AS n_tp, sum(t * (1 - p)) AS n_t0,
+             sum((1 - t) * p) AS n_cp, sum((1 - t) * (1 - p)) AS n_c0,
+             sum(t * p * cents) AS s_tp, sum(t * (1 - p) * cents) AS s_t0,
+             sum((1 - t) * p * cents) AS s_cp,
+             sum((1 - t) * (1 - p) * cents) AS s_c0
+      FROM j
+    )
+    SELECT CAST(n_tp AS BIGINT) AS n_treat_post,
+           CAST(n_t0 AS BIGINT) AS n_treat_pre,
+           CAST(n_cp AS BIGINT) AS n_ctrl_post,
+           CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
+           round(CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE), 6)
+             AS mean_treat_post,
+           round(CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE), 6)
+             AS mean_treat_pre,
+           round(CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE), 6)
+             AS mean_ctrl_post,
+           round(CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE), 6)
+             AS mean_ctrl_pre,
+           round((CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+                  - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+                 - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+                    - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)), 6)
+             AS did
+    FROM a
+    """,
+)
+def q_did_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on order revenue (cents): BUILDING-
+    segment customers as the treated group, orders from 1998-07-01 as
+    the post period (operators/abtest.py::diff_in_diff) — one
+    broadcast dim join + ONE eight-sum aggregation, every cell mean a
+    single division of exact integers."""
+    from .operators.abtest import diff_in_diff
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("c_mktsegment"),
+        F.col("o_orderdate"),
+    )
+    return diff_in_diff(
+        j,
+        "cents",
+        F.col("c_mktsegment") == "BUILDING",
+        F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"),
+    )
+
+
+_MK_SERIES_SQL = """
+      SELECT o_orderpriority AS k,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+"""
+
+
+@register(
+    "mann_kendall_monthly_revenue",
+    f"""
+    WITH s AS ({_MK_SERIES_SQL}),
+    p AS (
+      SELECT a.k, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+      FROM s a JOIN s b ON a.k = b.k AND a.x < b.x GROUP BY a.k
+    ),
+    n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM s GROUP BY k),
+    t AS (
+      SELECT k, sum(t * (t - 1) * (2 * t + 5)) AS tie
+      FROM (SELECT k, y, count(*) AS t FROM s GROUP BY k, y) GROUP BY k
+    ),
+    v AS (
+      SELECT n.k, n_points, s_stat,
+             CAST(n_points * (n_points - 1) * (2 * n_points + 5) - tie
+                  AS DOUBLE) / 18.0 AS var_s
+      FROM n JOIN p ON p.k = n.k JOIN t ON t.k = n.k
+    )
+    SELECT k AS o_orderpriority, n_points, s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN var_s <= 0 THEN NULL
+                      WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                      WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z
+    FROM v
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on monthly revenue (cents)
+    per order priority (operators/profiling.py::mann_kendall_trend).
+    The fact pass is one hash aggregation to the ~80-month series; the
+    pair expansion is series-length-quadratic per key (dimension-
+    sized), S and the tie-corrected variance exact integers."""
+    from .operators.profiling import mann_kendall_trend
+
+    series = _monthly_revenue_series(spark, sf_dir)
+    return mann_kendall_trend(series, "o_orderpriority", "x", "y")
+
+
+def _monthly_revenue_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared series for the two trend queries: per-priority monthly
+    revenue in exact cents, month index = year*12 + month."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+
+
+@register(
+    "theil_sen_monthly_trend",
+    f"""
+    WITH s AS ({_MK_SERIES_SQL}),
+    p AS (
+      SELECT a.k,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+               AS slope
+      FROM s a JOIN s b ON a.k = b.k AND a.x < b.x
+    )
+    SELECT k AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS sen_slope
+    FROM p GROUP BY k
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of the same monthly-revenue series
+    (operators/profiling.py::theil_sen_slope): median of all pairwise
+    slopes — each one double division of exact integers, the median
+    the exact linear-interpolation percentile both engines share."""
+    from .operators.profiling import theil_sen_slope
+
+    series = _monthly_revenue_series(spark, sf_dir)
+    return theil_sen_slope(series, "o_orderpriority", "x", "y")
+
+
+@register(
+    "spearman_qty_discount",
+    """
+    WITH b AS (
+      SELECT l_quantity AS x, l_discount AS y FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    rx AS (
+      SELECT x, CAST(sum(count(*)) OVER (ORDER BY x ASC) - count(*)
+                     AS DOUBLE)
+                + (count(*) + 1) / 2.0 AS r
+      FROM b GROUP BY x
+    ),
+    ry AS (
+      SELECT y, CAST(sum(count(*)) OVER (ORDER BY y ASC) - count(*)
+                     AS DOUBLE)
+                + (count(*) + 1) / 2.0 AS r
+      FROM b GROUP BY y
+    ),
+    j AS (
+      SELECT rx.r AS rxv, ry.r AS ryv
+      FROM b JOIN rx ON rx.x = b.x JOIN ry ON ry.y = b.y
+    ),
+    a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(rxv) AS sx,
+             sum(ryv) AS sy, sum(rxv * ryv) AS sxy,
+             sum(rxv * rxv) AS sxx, sum(ryv * ryv) AS syy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(CASE WHEN (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)) END, 6) AS rho
+    FROM a
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs discount
+    (operators/profiling.py::spearman_corr): midranks from the two
+    DISTINCT-VALUE tables (50 and 11 values — bounded), broadcast back
+    onto the fact rows, Pearson's five-sums identity on the ranks —
+    the tie-correct definition, not the 6*sum(d^2) shortcut."""
+    from .operators.profiling import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_discount")
+
+
+@register(
+    "zipf_word_rank_fit",
+    """
+    WITH wc AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    top AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+      FROM wc ORDER BY cnt DESC, word ASC LIMIT 500
+    ),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(cnt AS DOUBLE)) AS ly
+      FROM top
+    ),
+    a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+      FROM pts
+    ),
+    b AS (
+      SELECT n, sx, sy,
+             CASE WHEN (n * sxx - sx * sx) != 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             END AS slope
+      FROM a
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms, round(slope, 6) AS zipf_slope,
+           round((sy - slope * sx) / n, 6) AS zipf_intercept
+    FROM b
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the documents word-frequency table
+    (operators/profiling.py::zipf_fit): ln(count) on ln(rank) for the
+    top 500 words — ranking via distributed TakeOrdered (count DESC,
+    word ASC), the window only over the 500-row result, slope from the
+    five-sums identity. Natural corpora sit near -1; the one-number
+    corpus-health diagnostic."""
+    from .operators.profiling import zipf_fit
+
+    wc = word_count(_t(spark, sf_dir, "documents"), "text")
+    return zipf_fit(wc, "word", "count", n_top=500)
+
+
+@register(
+    "kaplan_meier_churn",
+    """
+    WITH u0 AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS d0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS DATE) AS dp
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT user_id,
+             CASE WHEN dp IS NOT NULL
+                   AND date_diff('day', d0, dp) <= 7
+                  THEN date_diff('day', d0, dp) ELSE 7 END AS dur,
+             CASE WHEN dp IS NOT NULL
+                   AND date_diff('day', d0, dp) <= 7
+                  THEN 1 ELSE 0 END AS ev
+      FROM u0
+    ),
+    t AS (
+      SELECT CAST(dur AS BIGINT) AS duration, sum(ev) AS d,
+             sum(1 - ev) AS c, count(*) AS t
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT duration, d, c,
+             sum(t) OVER (ORDER BY duration DESC) AS r
+      FROM t
+    ),
+    w2 AS (
+      SELECT duration, d, c, r,
+             max(CASE WHEN d = r THEN 1 ELSE 0 END)
+               OVER (ORDER BY duration ASC) AS zero,
+             sum(CASE WHEN d < r
+                      THEN ln((r - d) / CAST(r AS DOUBLE)) END)
+               OVER (ORDER BY duration ASC) AS lnsum
+      FROM w
+    )
+    SELECT duration, CAST(r AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           round(CASE WHEN zero = 1 THEN 0.0
+                      ELSE exp(coalesce(lnsum, 0.0)) END, 6) AS survival
+    FROM w2 WHERE d > 0
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase survival with
+    administrative censoring at day 7: duration = days from a user's
+    first event to their first purchase; users who purchase later (or
+    never) are CENSORED at 7 days — the right-censoring case a naive
+    conversion curve silently mishandles
+    (operators/behavior.py::kaplan_meier). One fact aggregation to
+    per-user spans, then duration-cardinality window algebra; the
+    product-limit estimate via exp(sum(ln)) of exact-integer
+    factors."""
+    from .operators.behavior import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("__d0"),
+        F.to_date(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("__dp"),
+    )
+    ttp = F.datediff("__dp", "__d0")
+    observed = F.col("__dp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        F.when(observed, ttp).otherwise(F.lit(7)).alias("dur"),
+        observed.cast("int").alias("ev"),
+    )
+    return kaplan_meier(subjects, "dur", "ev")
+
+
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
 # exactly round 3's first-50 insertion order), so the head of the dict
@@ -9415,16 +9907,29 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OUT — merge_event_intervals, scd2_event_type_history,
 # rolling_median_orders (driver-green in CORRECTNESS_r09, no open
 # scale risk), re-proved by the sweep artifact.
+#
+# Round-11 batch-B rotation: IN — the nine new statistical-inference
+# registrations (welch_ttest_value, ks_price_by_priority,
+# chisq_event_dow, did_revenue_building, mann_kendall_monthly_revenue,
+# theil_sen_monthly_trend, spearman_qty_discount, zipf_word_rank_fit,
+# kaplan_meier_churn — new queries earn a driver row immediately, per
+# policy). OUT — nine driver-green rows with no open scale risk, all
+# green in CORRECTNESS_r10 and re-proved by the committed sf0.1 sweep
+# (CORRECTNESS_full_r14.json): benford_order_prices,
+# mann_whitney_value_test, winsorized_price_stats,
+# bootstrap_revenue_ci, monthly_revenue_growth,
+# seasonal_dow_adjustment, ab_conversion_ztest, readability_scores,
+# cohort_retention_triangle.
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "graph_triangle_counts", "link_prediction_parts",
     "graph_degree_histogram", "pagerank_source_authority",
     "hits_hub_authority",
-    "benford_order_prices", "als_scores_from_saved_factors",
-    "manifest_novelty_new", "mann_whitney_value_test",
-    "winsorized_price_stats", "etl_ratings_pipeline",
+    "welch_ttest_value", "als_scores_from_saved_factors",
+    "manifest_novelty_new", "ks_price_by_priority",
+    "chisq_event_dow", "etl_ratings_pipeline",
     "pareto_frontier_users",
     "event_anomaly_zscore_bucketed", "target_encode_kfold",
-    "bootstrap_revenue_ci", "behavior_affinity_lift",
+    "did_revenue_building", "behavior_affinity_lift",
     "rfm_customer_segments", "interarrival_gap_stats",
     "rolling_active_users_28d", "ccf_lag_correlation",
     "feature_minmax_scaler", "class_weights_balanced",
@@ -9438,9 +9943,9 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "salted_bigjoin_revenue", "bloom_prefilter_orders",
     "benchmark_contamination", "corpus_curation_e2e",
     "ann_topk_pq_refined",
-    "monthly_revenue_growth", "seasonal_dow_adjustment",
-    "ab_conversion_ztest", "readability_scores",
-    "cohort_retention_triangle",
+    "mann_kendall_monthly_revenue", "theil_sen_monthly_trend",
+    "spearman_qty_discount", "zipf_word_rank_fit",
+    "kaplan_meier_churn",
     "curriculum_schedule", "seasonal_anomaly_days",
     "part_cooccurrence_topk",
 ]

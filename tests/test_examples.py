@@ -30,6 +30,7 @@ EXAMPLES = [
     "examples/business_analytics.py",
     "examples/marketing_analytics.py",
     "examples/feature_engineering.py",
+    "examples/experiment_analysis.py",
 ]
 
 
