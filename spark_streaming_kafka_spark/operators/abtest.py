@@ -552,3 +552,404 @@ def diff_in_diff(
         *[F.round(means[k], 6).alias(f"mean_{k}") for k in flags],
         F.round(did, 6).alias("did"),
     )
+
+
+def anova_oneway_f(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One-way ANOVA F statistic across k groups — the k-group
+    extension of :func:`welch_ttest` (equal-variance form; pair with
+    :func:`brown_forsythe` when spread homogeneity is itself in
+    doubt).
+
+    Sum-of-squares from the explicit-sums identities:
+    ``SSB = Σ s_g²/n_g − S²/N``, ``SSW = Σ(ss_g − s_g²/n_g)`` — one
+    per-group hash aggregation (n, Σx, Σx²) and one k-row reduction,
+    nothing else; an oracle evaluating the same closed form over
+    doubles agrees to rounding. NULL values carry no weight. Returns
+    one row: ``(k_groups, n_rows, f_stat, df_between, df_within)``;
+    F is NULL when df or SSW degenerate.
+    """
+    g = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    per = g.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum("__s").alias("__S"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sb"),
+        F.sum(
+            F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")
+        ).alias("__ssw"),
+    )
+    n = F.col("n_rows").cast("double")
+    k = F.col("k_groups").cast("double")
+    ssb = F.col("__sb") - F.col("__S") * F.col("__S") / n
+    dfb = k - 1
+    dfw = n - k
+    f = F.when(
+        (dfb > 0) & (dfw > 0) & (F.col("__ssw") > 0),
+        (ssb / dfb) / (F.col("__ssw") / dfw),
+    )
+    return agg.select(
+        "k_groups",
+        "n_rows",
+        F.round(f, 6).alias("f_stat"),
+        dfb.cast("long").alias("df_between"),
+        dfw.cast("long").alias("df_within"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H test across k groups — the k-group
+    :func:`mann_whitney_u`, with the same midrank tie convention and
+    tie correction, but built for UNBOUNDED value cardinality: the
+    midranks come from :func:`..percentile.global_cumsum` over the
+    distinct-value table (range-partitioned exact prefix sums), so no
+    single-partition window exists anywhere even when every row's
+    value is distinct (revenue-like doubles).
+
+    ``H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)``, tie-corrected by
+    ``1 − Σ(t³−t)/(N³−N)``. Midranks are halves (exact doubles);
+    per-group rank sums stay exact far past any realistic N, and the
+    only engine-sensitive arithmetic is the final closed form —
+    round-6. Building runs one bounded scalar job (the Σ(t³−t)
+    reduction over the rank table) on top of global_cumsum's own
+    offsets job — the documented build-time-constant pattern
+    (bootstrap's point estimate, bm25's totals). Returns one row:
+    ``(k_groups, n_rows, h_stat, h_corrected)`` (both NULL on a
+    degenerate input, e.g. all values tied).
+    """
+    from .percentile import global_cumsum
+
+    g = df.select(
+        F.col(value_col).alias("__v"),
+        F.col(group_col).alias("__g"),
+    ).filter(F.col("__v").isNotNull())
+    per_val = g.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    cum, totals = global_cumsum(per_val, [F.col("__v").asc()], ["__t"])
+    n = totals["__t"]
+    ranks = cum.select(
+        "__v",
+        (
+            (F.col("cum___t") - F.col("__t")).cast("double")
+            + (F.col("__t") + 1) / 2.0
+        ).alias("__midrank"),
+        (
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tie3"),
+    )
+    joined = g.join(ranks, "__v")
+    per_g = joined.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__midrank").alias("__r"),
+    )
+    # Σ(t³−t) over DISTINCT values: read it off the rank table, not the
+    # joined facts (each distinct value counts once).
+    tie_sum = ranks.agg(F.sum("__tie3").alias("__ts"))
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(
+            F.col("__r") * F.col("__r") / F.col("__n")
+        ).alias("__rsum"),
+    )
+    ts = tie_sum.first()["__ts"] if n else None
+    nn = float(n)
+    if n and nn > 1:
+        h = (
+            F.lit(12.0) / F.lit(nn * (nn + 1.0)) * F.col("__rsum")
+            - F.lit(3.0 * (nn + 1.0))
+        )
+        corr = 1.0 - float(ts or 0) / (nn * nn * nn - nn)
+        hc = F.when(F.lit(corr) > 0, h / F.lit(corr))
+    else:
+        h = F.lit(None).cast("double")
+        hc = F.lit(None).cast("double")
+    return agg.select(
+        "k_groups",
+        F.lit(n).cast("long").alias("n_rows"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(hc, 6).alias("h_corrected"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown–Forsythe test for equal spread across k groups: the
+    one-way ANOVA F (:func:`anova_oneway_f`) computed on
+    ``|x − group median|`` — the robust Levene variant (median
+    centers, so one heavy tail doesn't masquerade as heteroskedasticity).
+    The gatekeeper to run BEFORE trusting the plain ANOVA's
+    equal-variance assumption.
+
+    Plan: one per-group exact-percentile aggregation (dimension-sized)
+    broadcast back onto the facts for the centering, then the ANOVA
+    sums — two fact passes, no window. Returns the same row shape as
+    :func:`anova_oneway_f`.
+    """
+    g = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    med = g.groupBy("__g").agg(
+        F.expr("percentile(__v, 0.5)").alias("__med")
+    )
+    centered = g.join(F.broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__med")).alias("__z")
+    )
+    return anova_oneway_f(centered, "__z", "__g")
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_expr: "F.Column",
+    col_domain: "Sequence[int] | None" = None,
+) -> DataFrame:
+    """Cramér's V effect size for a two-way contingency table:
+    ``V = sqrt(χ² / (N · (min(R, C) − 1)))`` — the 0..1 strength
+    companion to :func:`chi_square_independence`'s significance
+    machinery (on big data everything is "significant"; V says whether
+    the association is worth acting on).
+
+    Reuses the chi-square operator's dense cell table and reduces it
+    to one row: ``(n_rows, chi2, dof, v)``. R and C count categories
+    with nonzero totals (an all-zero padded column carries no
+    association information).
+    """
+    cells = chi_square_independence(
+        df, row_col, col_expr, col_domain=col_domain
+    )
+    agg = cells.agg(
+        F.sum("n_obs").cast("long").alias("n_rows"),
+        F.max("chi2_total").alias("__chi2"),
+        F.max("dof").alias("dof"),
+        F.countDistinct(row_col).cast("long").alias("__r"),
+        F.countDistinct(
+            F.when(F.col("expected") > 0, F.col("col_key"))
+        ).cast("long").alias("__c"),
+    )
+    minrc = F.least(F.col("__r"), F.col("__c")) - 1
+    v = F.when(
+        (F.col("n_rows") > 0) & (minrc > 0),
+        F.sqrt(
+            F.col("__chi2") / (F.col("n_rows").cast("double") * minrc)
+        ),
+    )
+    return agg.select(
+        "n_rows",
+        F.round(F.col("__chi2"), 6).alias("chi2"),
+        "dof",
+        F.round(v, 6).alias("v"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    unit_col: str,
+    success: "F.Column",
+    variant: "F.Column | None" = None,
+) -> DataFrame:
+    """Odds ratio for a 2×2 conversion design, with the log-OR normal
+    approximation — the effect-size readout of
+    :func:`two_proportion_ztest`'s significance test (same per-unit
+    collapse, same deterministic split).
+
+    ``OR = (a·d)/(b·c)`` over converted/not per arm;
+    ``SE(ln OR) = sqrt(1/a + 1/b + 1/c + 1/d)``; ``z = ln(OR)/SE``.
+    All four cells are exact longs from ONE aggregation; OR/SE/z are
+    closed-form and NULL when any cell is empty (the standard
+    degenerate case — callers wanting a continuity correction can add
+    0.5 upstream). Returns one row:
+    ``(conv_0, nonconv_0, conv_1, nonconv_1, or_ratio, log_or, se, z)``.
+    """
+    if variant is None:
+        variant = (F.col(unit_col) % 2).cast("int")
+    per_unit = df.groupBy(
+        F.col(unit_col).alias("__unit"), variant.alias("__variant")
+    ).agg(F.max(success.cast("int")).alias("__conv"))
+    is0 = (F.col("__variant") == 0).cast("long")
+    is1 = (F.col("__variant") == 1).cast("long")
+    agg = per_unit.agg(
+        F.sum(is0 * F.col("__conv")).alias("conv_0"),
+        F.sum(is0 * (1 - F.col("__conv"))).alias("nonconv_0"),
+        F.sum(is1 * F.col("__conv")).alias("conv_1"),
+        F.sum(is1 * (1 - F.col("__conv"))).alias("nonconv_1"),
+    )
+    a, b = F.col("conv_1").cast("double"), F.col("nonconv_1").cast("double")
+    c, d = F.col("conv_0").cast("double"), F.col("nonconv_0").cast("double")
+    ok = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    orr = F.when(ok, (a * d) / (b * c))
+    log_or = F.when(ok, F.log((a * d) / (b * c)))
+    se = F.when(ok, F.sqrt(1 / a + 1 / b + 1 / c + 1 / d))
+    return agg.select(
+        "conv_0",
+        "nonconv_0",
+        "conv_1",
+        "nonconv_1",
+        F.round(orr, 6).alias("or_ratio"),
+        F.round(log_or, 6).alias("log_or"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(ok, log_or / se), 6).alias("z"),
+    )
+
+
+def permutation_test_mean(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    variant: "F.Column | None" = None,
+    n_replicates: int = 200,
+    seed: str = "perm",
+) -> DataFrame:
+    """Deterministic permutation test for the difference of means
+    between two arms — the exact-null companion of
+    :func:`poisson_bootstrap_ci`: instead of asking "how precise is
+    the mean" it asks "how often would a RANDOM re-assignment of units
+    to arms produce a gap this large".
+
+    Each unit's arm in replicate ``b`` is ``md5_long(seed, unit, b)
+    & 1`` — derived, not random (the engine's seeded-permutation
+    precedent), so the oracle reproduces every replicate and the
+    p-value is hash-checkable. One explode of the per-unit table ×
+    replicate ids, one (replicate, arm) aggregation, one
+    replicate-sized reduction. Pass integer values (cents): every
+    replicate mean is one division of exact integer sums, and the
+    ``|diff| ≥ |observed|`` comparison is engine-identical. Returns
+    one row: ``(n_units, n_replicates, obs_diff, p_value)`` —
+    p uses the add-one convention ``(1 + #extreme)/(B + 1)``.
+    """
+    from ..functions.hashing import md5_long
+
+    if variant is None:
+        variant = (F.col(unit_col) % 2).cast("int")
+    per_unit = df.groupBy(F.col(unit_col).alias("__unit")).agg(
+        F.sum(F.col(value_col)).cast("long").alias("__x"),
+        F.count(F.lit(1)).cast("long").alias("__c"),
+    )
+    obs_arm = variant
+    base = df.groupBy(obs_arm.alias("__arm")).agg(
+        F.sum(F.col(value_col)).cast("long").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    is0 = (F.col("__arm") == 0).cast("long")
+    is1 = (F.col("__arm") == 1).cast("long")
+    obs = base.agg(
+        F.sum(is1 * F.col("__s")).alias("__s1"),
+        F.sum(is1 * F.col("__n")).alias("__n1"),
+        F.sum(is0 * F.col("__s")).alias("__s0"),
+        F.sum(is0 * F.col("__n")).alias("__n0"),
+    ).first()
+    if not obs["__n0"] or not obs["__n1"]:
+        obs_diff = None
+    else:
+        obs_diff = float(obs["__s1"]) / obs["__n1"] - float(
+            obs["__s0"]
+        ) / obs["__n0"]
+    b = F.explode(
+        F.array(*[F.lit(i) for i in range(1, n_replicates + 1)])
+    ).alias("__b")
+    drawn = per_unit.select("__unit", "__x", "__c", b)
+    arm = (
+        md5_long(
+            F.concat(
+                F.lit(seed + "_"),
+                F.col("__unit").cast("string"),
+                F.lit("_"),
+                F.col("__b").cast("string"),
+            )
+        )
+        % 2
+    ).cast("int")
+    per_rep = drawn.groupBy("__b", arm.alias("__a")).agg(
+        F.sum("__x").cast("long").alias("__s"),
+        F.sum("__c").cast("long").alias("__n"),
+    )
+    a0 = (F.col("__a") == 0).cast("long")
+    a1 = (F.col("__a") == 1).cast("long")
+    reps = per_rep.groupBy("__b").agg(
+        F.sum(a1 * F.col("__s")).alias("__s1"),
+        F.sum(a1 * F.col("__n")).alias("__n1"),
+        F.sum(a0 * F.col("__s")).alias("__s0"),
+        F.sum(a0 * F.col("__n")).alias("__n0"),
+    )
+    diff = F.try_divide(
+        F.col("__s1").cast("double"), F.col("__n1").cast("double")
+    ) - F.try_divide(
+        F.col("__s0").cast("double"), F.col("__n0").cast("double")
+    )
+    extreme = F.when(
+        diff.isNotNull()
+        & (F.abs(diff) >= F.lit(abs(obs_diff) if obs_diff is not None else 0.0)),
+        1,
+    ).otherwise(0)
+    out = reps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.sum(extreme).cast("long").alias("__ext"),
+    )
+    n_units = per_unit.count()
+    p = (
+        (1 + F.col("__ext").cast("double"))
+        / (F.col("n_replicates").cast("double") + 1)
+        if obs_diff is not None
+        else F.lit(None).cast("double")
+    )
+    return out.select(
+        F.lit(int(n_units)).cast("long").alias("n_units"),
+        "n_replicates",
+        F.lit(obs_diff).cast("double").alias("obs_diff"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    value_col: str,
+    group: "F.Column",
+    probs: "Sequence[float]" = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effect: per-quantile difference between two
+    arms' outcome distributions — where a mean difference says "arm 1
+    is +3%", the QTE says WHERE in the distribution that lift lives
+    (tail-only lifts and median shifts read identically to a t-test).
+
+    One per-arm exact-percentile aggregation (the engine's shared
+    linear-interpolation form), then a 2-row pivot — output one row
+    per probe: ``(prob, q_0, q_1, qte)``, round-6. For 100 TB swap
+    ``exact=False`` semantics by pre-sketching with
+    ``percentile_approx`` upstream; the shape is unchanged.
+    """
+    plist = ", ".join(repr(float(p)) for p in probs)
+    g = df.select(
+        F.col(value_col).cast("double").alias("__v"),
+        group.cast("int").alias("__g"),
+    ).filter(F.col("__v").isNotNull())
+    per_arm = g.groupBy("__g").agg(
+        F.expr(f"percentile(__v, array({plist}))").alias("__qs")
+    )
+    exploded = per_arm.select(
+        "__g",
+        F.posexplode("__qs").alias("__i", "__q"),
+    )
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    out = exploded.groupBy("__i").agg(
+        F.max(F.when(F.col("__g") == 0, F.col("__q"))).alias("q_0"),
+        F.max(F.when(F.col("__g") == 1, F.col("__q"))).alias("q_1"),
+    )
+    return out.select(
+        F.element_at(probs_arr, F.col("__i") + 1).alias("prob"),
+        F.round(F.col("q_0"), 6).alias("q_0"),
+        F.round(F.col("q_1"), 6).alias("q_1"),
+        F.round(F.col("q_1") - F.col("q_0"), 6).alias("qte"),
+    )

@@ -265,3 +265,152 @@ def test_kaplan_meier_absorbing_zero(spark):
     got = {r.duration: r for r in kaplan_meier(df, "dur", "ev").collect()}
     assert got[1].survival == pytest.approx(2 / 3, abs=1e-6)
     assert got[2].survival == 0.0
+
+
+# --- batch C: k-group tests, effect sizes, resampling ---------------------
+
+def test_anova_hand_example(spark):
+    from spark_streaming_kafka_spark.operators.abtest import anova_oneway_f
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 3.0, 4.0], "c": [6.0, 7.0, 8.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway_f(df, "v", "g").collect()[0]
+    means = {g: sum(vs) / len(vs) for g, vs in groups.items()}
+    grand = sum(sum(vs) for vs in groups.values()) / 9
+    ssb = sum(len(vs) * (means[g] - grand) ** 2 for g, vs in groups.items())
+    ssw = sum(
+        (v - means[g]) ** 2 for g, vs in groups.items() for v in vs
+    )
+    f = (ssb / 2) / (ssw / 6)
+    assert (r.k_groups, r.n_rows) == (3, 9)
+    assert (r.df_between, r.df_within) == (2, 6)
+    assert r.f_stat == pytest.approx(f, abs=1e-6)
+
+
+def test_anova_single_group_null(spark):
+    from spark_streaming_kafka_spark.operators.abtest import anova_oneway_f
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = anova_oneway_f(df, "v", "g").collect()[0]
+    assert r.f_stat is None and r.df_between == 0
+
+
+def test_kruskal_wallis_matches_hand_h(spark):
+    from spark_streaming_kafka_spark.operators.abtest import kruskal_wallis
+
+    # no ties: values 1..6 split (1,2,3) vs (4,5,6): R1=6, R2=15
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    n = 6
+    h = 12 / (n * (n + 1)) * (6 ** 2 / 3 + 15 ** 2 / 3) - 3 * (n + 1)
+    assert (r.k_groups, r.n_rows) == (2, 6)
+    assert r.h_stat == pytest.approx(h, abs=1e-6)
+    assert r.h_corrected == pytest.approx(h, abs=1e-6)  # no ties
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    from spark_streaming_kafka_spark.operators.abtest import kruskal_wallis
+
+    # all values tied -> correction factor 0 -> h_corrected NULL
+    rows = [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert r.h_stat == pytest.approx(0.0, abs=1e-6)
+    assert r.h_corrected is None
+
+
+def test_brown_forsythe_flat_when_spreads_match(spark):
+    from spark_streaming_kafka_spark.operators.abtest import brown_forsythe
+
+    # identical spreads around different medians -> F == 0
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 11.0), ("b", 12.0), ("b", 13.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brown_forsythe(df, "v", "g").collect()[0]
+    assert r.f_stat == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cramers_v_perfect_association_is_one(spark):
+    from spark_streaming_kafka_spark.operators.abtest import cramers_v
+
+    # 2x2 diagonal: row fully determines column -> V = 1
+    rows = [("A", 1)] * 5 + [("B", 2)] * 5
+    df = spark.createDataFrame(rows, "r string, c int")
+    r = cramers_v(df, "r", F.col("c"), col_domain=[1, 2]).collect()[0]
+    assert r.v == pytest.approx(1.0, abs=1e-6)
+    assert r.n_rows == 10 and r.dof == 1
+
+
+def test_odds_ratio_hand_2x2(spark):
+    from spark_streaming_kafka_spark.operators.abtest import odds_ratio
+
+    # variant 1: 3 of 4 convert; variant 0: 1 of 4 -> OR = (3*3)/(1*1)=9
+    rows = []
+    for unit, conv in [(1, 1), (3, 1), (5, 1), (7, 0),
+                       (2, 1), (4, 0), (6, 0), (8, 0)]:
+        rows.append((unit, conv))
+    df = spark.createDataFrame(rows, "unit long, ok int")
+    r = odds_ratio(df, "unit", F.col("ok") == 1).collect()[0]
+    assert (r.conv_1, r.nonconv_1, r.conv_0, r.nonconv_0) == (3, 1, 1, 3)
+    assert r.or_ratio == pytest.approx(9.0, abs=1e-6)
+    assert r.log_or == pytest.approx(math.log(9.0), abs=1e-6)
+    assert r.se == pytest.approx(
+        math.sqrt(1 / 3 + 1 / 1 + 1 / 1 + 1 / 3), abs=1e-6
+    )
+
+
+def test_permutation_test_null_data_large_p(spark):
+    from spark_streaming_kafka_spark.operators.abtest import (
+        permutation_test_mean,
+    )
+
+    # identical values in both arms: obs_diff 0, every replicate ties
+    # or exceeds -> p = 1
+    rows = [(u, 100) for u in range(1, 21)]
+    df = spark.createDataFrame(rows, "unit long, v long")
+    r = permutation_test_mean(
+        df, "v", "unit", n_replicates=20
+    ).collect()[0]
+    assert r.obs_diff == pytest.approx(0.0, abs=1e-9)
+    assert r.n_units == 20 and r.n_replicates == 20
+    assert r.p_value == pytest.approx(1.0, abs=1e-6)
+
+
+def test_permutation_test_planted_effect_small_p(spark):
+    from spark_streaming_kafka_spark.operators.abtest import (
+        permutation_test_mean,
+    )
+
+    # arm 1 (odd units) gets value 1000, arm 0 gets 0: the observed
+    # split is the most extreme possible; random reassignments rarely
+    # reproduce it
+    rows = [(u, 1000 if u % 2 else 0) for u in range(1, 41)]
+    df = spark.createDataFrame(rows, "unit long, v long")
+    r = permutation_test_mean(
+        df, "v", "unit", n_replicates=50
+    ).collect()[0]
+    assert r.obs_diff == pytest.approx(1000.0, abs=1e-9)
+    assert r.p_value < 0.1
+
+
+def test_qte_matches_per_arm_percentiles(spark):
+    from spark_streaming_kafka_spark.operators.abtest import (
+        quantile_treatment_effect,
+    )
+
+    a = [float(v) for v in range(1, 101)]           # arm 0: 1..100
+    b = [float(v) + 10 for v in range(1, 101)]      # arm 1: shifted +10
+    rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+    df = spark.createDataFrame(rows, "v double, g int")
+    got = {r.prob: r for r in quantile_treatment_effect(
+        df, "v", F.col("g"), probs=(0.25, 0.5, 0.75)
+    ).collect()}
+    assert set(got) == {0.25, 0.5, 0.75}
+    for p, row in got.items():
+        assert row.qte == pytest.approx(10.0, abs=1e-6)
+    assert got[0.5].q_0 == pytest.approx(50.5, abs=1e-6)
