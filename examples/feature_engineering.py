@@ -34,6 +34,11 @@ from spark_streaming_kafka_spark.operators.features import (
     feature_scaler_stats,
     target_encode_kfold,
 )
+from spark_streaming_kafka_spark.operators.regress import (
+    info_gain,
+    ols_two_regressors,
+    pca_2d,
+)
 from spark_streaming_kafka_spark.operators.timewindows import (
     lag_cross_correlation,
 )
@@ -118,6 +123,44 @@ def main() -> None:
         f"[6] ccf: purchase response peaks {best['lag_hours']} h after "
         f"clicks (r = {round(best['ccf'], 4)} over {best['n_hours']} hours)"
     )
+
+    # [7] pre-model diagnostics (round-11 batch D): is discount still
+    # informative after controlling for quantity?
+    li = load_table(spark, sf_dir, "lineitem")
+    ols = ols_two_regressors(
+        li,
+        F.round(F.col("l_extendedprice") * 100),
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 10000),
+    ).first()
+    print(
+        f"[7] OLS cents ~ qty + discount_bps: b_qty "
+        f"{round(ols['b_x1'], 2)}, b_disc {round(ols['b_x2'], 4)}, "
+        f"R2 {round(ols['r2'], 4)} over {ols['n_rows']} rows"
+    )
+
+    # [8] feature-redundancy check: explained-variance ratio near 0.5
+    # means the two features carry independent signal.
+    pca = pca_2d(
+        li, F.col("l_quantity"), F.round(F.col("l_discount") * 10000)
+    ).first()
+    print(
+        f"[8] PCA(qty, discount_bps): explained ratio "
+        f"{round(pca['explained_ratio'], 4)} at angle "
+        f"{round(pca['angle_deg'], 2)} deg"
+    )
+
+    # [9] categorical split ranking against the high-value-order label.
+    ig = info_gain(
+        orders,
+        (F.col("o_totalprice") > 150000).cast("long"),
+        ["o_orderpriority", "o_orderstatus"],
+    ).collect()
+    for r in sorted(ig, key=lambda r: -r["info_gain"]):
+        print(
+            f"[9] info gain {r['feature']}: {round(r['info_gain'], 6)}"
+            f" (H(Y) {round(r['h_label'], 4)})"
+        )
 
     print(f"wrote parquet outputs under {out_dir}")
     spark.stop()

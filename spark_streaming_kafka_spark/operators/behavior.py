@@ -480,3 +480,62 @@ def kaplan_meier(
         )
         .orderBy("duration")
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate — the additive
+    companion to :func:`kaplan_meier`: ``H(t) = Σ_{tᵢ≤t} dᵢ/rᵢ`` with
+    variance ``Σ dᵢ/rᵢ²``, the curve survival analysts difference to
+    read the hazard RATE over time (KM's product form hides it).
+
+    Identical execution contract to :func:`kaplan_meier`: one
+    fact-sized hash aggregation to the distinct-duration table, then
+    window algebra bounded by duration cardinality (days/weeks, never
+    facts); at-risk counts from the descending cumulative sum. Every
+    per-time term is a ratio of exact integers summed over a bounded
+    table — no ln/exp needed for the hazard itself, so the only
+    transcendental is the derived ``exp(−H)`` survival (the
+    Fleming–Harrington estimator, KM's asymptotic twin, worth emitting
+    for the diff-against-KM sanity check). Censored subjects leave the
+    risk set without contributing events, exactly as in KM.
+
+    Output: one row per distinct duration WITH observed events —
+    ``(duration, n_risk, n_events, cum_hazard, var_hazard,
+    fh_survival)`` round-6, ascending.
+    """
+    per_t = subjects.groupBy(
+        F.col(duration_col).cast("long").alias("duration")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("__t"),
+    )
+    asc = Window.orderBy(F.col("duration").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    desc = Window.orderBy(F.col("duration").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.withColumn(
+        "n_risk", F.sum("__t").over(desc).cast("long")
+    )
+    d = F.col("n_events").cast("double")
+    r = F.col("n_risk").cast("double")
+    curve = risk.withColumn(
+        "cum_hazard", F.sum(d / r).over(asc)
+    ).withColumn("var_hazard", F.sum(d / (r * r)).over(asc))
+    return (
+        curve.filter(F.col("n_events") > 0)
+        .select(
+            "duration",
+            "n_risk",
+            "n_events",
+            F.round(F.col("cum_hazard"), 6).alias("cum_hazard"),
+            F.round(F.col("var_hazard"), 6).alias("var_hazard"),
+            F.round(F.exp(-F.col("cum_hazard")), 6).alias(
+                "fh_survival"
+            ),
+        )
+        .orderBy("duration")
+    )

@@ -538,3 +538,127 @@ def zipf_fit(
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("zipf_intercept"),
     )
+
+
+def kl_js_divergence(
+    df: DataFrame,
+    cat_col: str,
+    split: "F.Column",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """KL and Jensen–Shannon divergence between the categorical
+    distributions of two row populations (split 0 vs split 1) — the
+    drift readout for DISCRETE columns that complements ``drift.psi``'s
+    binned-numeric report: "did the event-type mix shift between
+    weekday and weekend / last month and this month?".
+
+    ``split`` must evaluate to 0/1. Per-category counts for both
+    populations come from ONE conditional-sum hash aggregation
+    (bounded by category cardinality); probabilities are additively
+    smoothed over the UNION of observed categories —
+    ``p = (c + α)/(N + αK)`` — so zero-count categories on one side
+    contribute finite terms and both engines smooth identically from
+    exact integers. The three divergences are then one sum over the
+    bounded category table (``JS = ½KL(P‖M) + ½KL(Q‖M)``, M the
+    midpoint — symmetric, bounded by ln 2). Returns one row:
+    ``(n_categories, n_0, n_1, kl_01, kl_10, js_div)`` round-6.
+    """
+    per_cat = (
+        df.select(
+            F.col(cat_col).cast("string").alias("__c"),
+            split.cast("int").alias("__s"),
+        )
+        .filter(F.col("__c").isNotNull() & F.col("__s").isNotNull())
+        .groupBy("__c")
+        .agg(
+            F.sum(1 - F.col("__s")).cast("long").alias("__c0"),
+            F.sum("__s").cast("long").alias("__c1"),
+        )
+    )
+    # Totals via a whole-frame window over the CATEGORY-BOUNDED count
+    # table (the duration-cardinality window allowance — never a fact
+    # table), which keeps the plan free of the 1-row-join nested-loop
+    # node the suite-wide audit bans; sums of longs stay exact.
+    wall = Window.partitionBy()
+    j = per_cat.select(
+        "__c0",
+        "__c1",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_categories"),
+        F.sum("__c0").over(wall).cast("long").alias("n_0"),
+        F.sum("__c1").over(wall).cast("long").alias("n_1"),
+    )
+    k = F.col("n_categories").cast("double")
+    p = (F.col("__c0") + alpha) / (F.col("n_0") + alpha * k)
+    q = (F.col("__c1") + alpha) / (F.col("n_1") + alpha * k)
+    m = (p + q) / 2
+    agg = j.groupBy("n_categories", "n_0", "n_1").agg(
+        F.sum(p * F.log(p / q)).alias("__kl01"),
+        F.sum(q * F.log(q / p)).alias("__kl10"),
+        F.sum(
+            0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+        ).alias("__js"),
+    )
+    return agg.select(
+        "n_categories",
+        "n_0",
+        "n_1",
+        F.round(F.col("__kl01"), 6).alias("kl_01"),
+        F.round(F.col("__kl10"), 6).alias("kl_10"),
+        F.round(F.col("__js"), 6).alias("js_div"),
+    )
+
+
+def chao1_richness(
+    counts: DataFrame, term_col: str, count_col: str
+) -> DataFrame:
+    """Chao1 species-richness estimate and Good–Turing coverage from a
+    term-frequency table — "how much vocabulary has this corpus NOT
+    seen yet": singletons (f1) and doubletons (f2) bound the unseen
+    mass, the standard corpus-growth diagnostic before committing to a
+    tokenizer vocabulary size.
+
+    Input is any frequency table (term, count). The work is the
+    frequency-of-frequencies reduction: one hash aggregation keyed by
+    count (output bounded by distinct count VALUES, which grow
+    ~log-scale), then a 1-row reduction. Bias-corrected Chao1
+    ``S + f1(f1−1)/(2(f2+1))`` stays finite when f2 = 0; Good–Turing
+    coverage ``1 − f1/N`` estimates the probability the NEXT token is
+    a known type. All inputs to the two divisions are exact longs.
+    Returns one row: ``(s_observed, n_tokens, f1, f2, chao1,
+    gt_coverage)`` round-6.
+    """
+    fof = (
+        counts.select(F.col(count_col).cast("long").alias("__c"))
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__species"))
+    )
+    agg = fof.agg(
+        F.sum("__species").cast("long").alias("s_observed"),
+        F.sum(F.col("__c") * F.col("__species")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.sum(
+            F.when(F.col("__c") == 1, F.col("__species")).otherwise(0)
+        )
+        .cast("long")
+        .alias("f1"),
+        F.sum(
+            F.when(F.col("__c") == 2, F.col("__species")).otherwise(0)
+        )
+        .cast("long")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("s_observed").cast("double") + f1 * (f1 - 1) / (
+        2 * (f2 + 1)
+    )
+    coverage = 1.0 - f1 / F.col("n_tokens").cast("double")
+    return agg.select(
+        "s_observed",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(coverage, 6).alias("gt_coverage"),
+    )

@@ -10137,6 +10137,425 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round-11 batch D: closed-form modeling & corpus diagnostics
+# (operators/regress.py + profiling/behavior additions)
+# =====================================================================
+
+@register(
+    "ols_price_qty_discount",
+    """
+    WITH b AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 10000) AS BIGINT) AS x2
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM b
+    ),
+    d AS (
+      SELECT a.*,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM a
+    ),
+    o AS (
+      SELECT d.*, abs(det) > abs(n * s11 * s22) * 1e-9 AS ok
+      FROM d
+    )
+    SELECT n_rows,
+           round(CASE WHEN ok THEN det0 / det END, 6) AS b_intercept,
+           round(CASE WHEN ok THEN det1 / det END, 6) AS b_x1,
+           round(CASE WHEN ok THEN det2 / det END, 6) AS b_x2,
+           round(CASE WHEN ok AND (syy - sy * sy / n) > 0 THEN
+             1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                    - (det2 / det) * s2y)
+                   / (syy - sy * sy / n) END, 6) AS r2
+    FROM o
+    """,
+)
+def q_ols_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of line price (exact cents) on quantity and discount basis
+    points (operators/regress.py::ols_two_regressors): nine exact
+    decimal moment sums in ONE fact aggregation, then Cramer's 3x3
+    closed form — both engines feed identical exact integers into the
+    identical expression, so the coefficients agree bit-for-bit before
+    round-6. The quantize-to-integer rule (cents / bps) is the
+    package's exact-cents convention applied to regression."""
+    from .operators.regress import ols_two_regressors
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_two_regressors(
+        li,
+        F.round(F.col("l_extendedprice") * 100),
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 10000),
+    )
+
+
+@register(
+    "pca_qty_discount_axes",
+    """
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 10000) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM b
+    ),
+    c AS (
+      SELECT n_rows,
+             CASE WHEN n_rows >= 2
+                  THEN (sxx - sx * sx / n) / (n - 1) END AS cxx,
+             CASE WHEN n_rows >= 2
+                  THEN (syy - sy * sy / n) / (n - 1) END AS cyy,
+             CASE WHEN n_rows >= 2
+                  THEN (sxy - sx * sy / n) / (n - 1) END AS cxy
+      FROM a
+    ),
+    e AS (
+      SELECT c.*, cxx + cyy AS tr, cxx - cyy AS diff,
+             sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy) AS disc
+      FROM c
+    )
+    SELECT n_rows, round(cxx, 6) AS var_x, round(cyy, 6) AS var_y,
+           round(cxy, 6) AS cov_xy,
+           round((tr + disc) / 2, 6) AS lambda1,
+           round((tr - disc) / 2, 6) AS lambda2,
+           round(CASE WHEN tr > 0 THEN ((tr + disc) / 2) / tr END, 6)
+             AS explained_ratio,
+           round(degrees(atan2(2 * cxy, diff) / 2), 6) AS angle_deg
+    FROM e
+    """,
+)
+def q_pca_axes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PCA of quantity vs discount basis points
+    (operators/regress.py::pca_2d): the 2x2 covariance eigensystem in
+    closed form from one exact-sum aggregation — explained-variance
+    ratio near 0.5 says the two features carry independent signal,
+    near 1.0 says one latent axis (redundant feature)."""
+    from .operators.regress import pca_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pca_2d(
+        li, F.col("l_quantity"), F.round(F.col("l_discount") * 10000)
+    )
+
+
+@register(
+    "kl_event_type_weekend",
+    """
+    WITH e AS (
+      SELECT CAST(event_type AS VARCHAR) AS c,
+             CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END AS s
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    pc AS (SELECT c, sum(1 - s) AS c0, sum(s) AS c1 FROM e GROUP BY c),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(c0) AS BIGINT) AS n_0,
+             CAST(sum(c1) AS BIGINT) AS n_1
+      FROM pc
+    ),
+    j AS (
+      SELECT n_categories, n_0, n_1,
+             (c0 + 0.5) / (n_0 + 0.5 * CAST(n_categories AS DOUBLE))
+               AS p,
+             (c1 + 0.5) / (n_1 + 0.5 * CAST(n_categories AS DOUBLE))
+               AS q
+      FROM pc CROSS JOIN t
+    )
+    SELECT n_categories, n_0, n_1,
+           round(sum(p * ln(p / q)), 6) AS kl_01,
+           round(sum(q * ln(q / p)), 6) AS kl_10,
+           round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js_div
+    FROM j GROUP BY n_categories, n_0, n_1
+    """,
+)
+def q_kl_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL / Jensen-Shannon divergence of the event-type mix, weekday
+    (population 0) vs weekend (population 1)
+    (operators/profiling.py::kl_js_divergence): one conditional-sum
+    aggregation to the bounded category table, additive smoothing
+    alpha=0.5 over the category union, divergences as one bounded sum.
+    The discrete-drift complement of the binned-numeric PSI report."""
+    from .operators.profiling import kl_js_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    return kl_js_divergence(
+        ev,
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).cast("int"),
+    )
+
+
+@register(
+    "chao1_vocab_richness",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+    fof AS (SELECT cnt AS c, count(*) AS species FROM wc GROUP BY cnt),
+    a AS (
+      SELECT CAST(sum(species) AS BIGINT) AS s_observed,
+             CAST(sum(c * species) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN species ELSE 0 END)
+                  AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN species ELSE 0 END)
+                  AS BIGINT) AS f2
+      FROM fof
+    )
+    SELECT s_observed, n_tokens, f1, f2,
+           round(CAST(s_observed AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1)
+                   / (2 * (CAST(f2 AS DOUBLE) + 1)), 6) AS chao1,
+           round(1.0 - CAST(f1 AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS gt_coverage
+    FROM a
+    """,
+)
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing coverage over
+    the documents corpus (operators/profiling.py::chao1_richness):
+    word count -> frequency-of-frequencies -> one-row closed form.
+    Answers "how much vocab is still unseen" before fixing a tokenizer
+    vocabulary; the corpus-growth complement of zipf_word_rank_fit."""
+    from .operators.profiling import chao1_richness
+
+    wc = word_count(_docs_fan(spark, sf_dir), "text")
+    return chao1_richness(wc, "word", "count")
+
+
+@register(
+    "nelson_aalen_conversion",
+    """
+    WITH u0 AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS d0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS DATE) AS dp
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT user_id,
+             CASE WHEN dp IS NOT NULL
+                   AND date_diff('day', d0, dp) <= 7
+                  THEN date_diff('day', d0, dp) ELSE 7 END AS dur,
+             CASE WHEN dp IS NOT NULL
+                   AND date_diff('day', d0, dp) <= 7
+                  THEN 1 ELSE 0 END AS ev
+      FROM u0
+    ),
+    t AS (
+      SELECT CAST(dur AS BIGINT) AS duration, sum(ev) AS d,
+             count(*) AS t
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT duration, d,
+             sum(t) OVER (ORDER BY duration DESC) AS r
+      FROM t
+    ),
+    w2 AS (
+      SELECT duration, d, r,
+             sum(CAST(d AS DOUBLE) / CAST(r AS DOUBLE))
+               OVER (ORDER BY duration ASC) AS ch,
+             sum(CAST(d AS DOUBLE)
+                 / (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)))
+               OVER (ORDER BY duration ASC) AS vh
+      FROM w
+    )
+    SELECT duration, CAST(r AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(ch, 6) AS cum_hazard, round(vh, 6) AS var_hazard,
+           round(exp(-ch), 6) AS fh_survival
+    FROM w2 WHERE d > 0
+    """,
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase with
+    the same day-7 administrative censoring as kaplan_meier_churn
+    (operators/behavior.py::nelson_aalen) — the additive hazard curve
+    whose increments read conversion RATE per day; fh_survival is the
+    Fleming-Harrington twin of the KM curve (diff them as a sanity
+    check). Same shapes: one fact aggregation, duration-bounded
+    windows, exact-integer ratios."""
+    from .operators.behavior import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("__d0"),
+        F.to_date(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("__dp"),
+    )
+    ttp = F.datediff("__dp", "__d0")
+    observed = F.col("__dp").isNotNull() & (ttp <= 7)
+    subjects = per_user.select(
+        F.when(observed, ttp).otherwise(F.lit(7)).alias("dur"),
+        observed.cast("int").alias("ev"),
+    )
+    return nelson_aalen(subjects, "dur", "ev")
+
+
+@register(
+    "acf_daily_revenue",
+    """
+    WITH s AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) AS v
+      FROM orders GROUP BY 1
+    ),
+    st AS (
+      SELECT avg(v) AS mean,
+             sum(v * v) - sum(v) * sum(v) / count(*) AS den
+      FROM s
+    ),
+    l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
+    p AS (
+      SELECT l.lag, a.v AS va, b.v AS vb, st.mean, st.den
+      FROM s a CROSS JOIN l JOIN s b ON a.x + l.lag = b.x
+      CROSS JOIN st
+    )
+    SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CASE WHEN den > 0
+                      THEN sum((va - mean) * (vb - mean)) / den END, 6)
+             AS acf
+    FROM p GROUP BY lag, den
+    """,
+)
+def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..7
+    (operators/regress.py::acf_lags): one fact aggregation to the
+    calendar-bounded daily series (exact cents), then lag self-joins
+    and the textbook r_k over a LAZY broadcast of the series mean and
+    denominator — weekly cadence shows up as a lag-7 peak. The
+    self-ACF complement of ccf_lag_correlation."""
+    from .operators.regress import acf_lags
+
+    o = _t(spark, sf_dir, "orders")
+    series = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("x")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    return acf_lags(series, "x", "v", max_lag=7)
+
+
+@register(
+    "infogain_order_features",
+    """
+    WITH m AS (
+      SELECT 'o_orderpriority' AS feature,
+             CAST(o_orderpriority AS VARCHAR) AS v,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR),
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+      FROM orders
+    ),
+    pv AS (
+      SELECT feature, v, count(*) AS n, sum(y) AS n1
+      FROM m GROUP BY 1, 2
+    ),
+    pf AS (
+      SELECT feature,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(n1) AS BIGINT) AS t1,
+             sum(CAST(n AS DOUBLE) * (
+               CASE WHEN CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE) > 0
+                    THEN ((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                          / CAST(n AS DOUBLE))
+                         * ln((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                              / CAST(n AS DOUBLE))
+                    ELSE 0.0 END
+               + CASE WHEN CAST(n1 AS DOUBLE) > 0
+                      THEN (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      ELSE 0.0 END)) AS condsum
+      FROM pv GROUP BY 1
+    ),
+    h AS (
+      SELECT feature, n_rows,
+             -(CASE WHEN CAST(n_rows AS DOUBLE) - CAST(t1 AS DOUBLE) > 0
+                    THEN ((CAST(n_rows AS DOUBLE) - CAST(t1 AS DOUBLE))
+                          / CAST(n_rows AS DOUBLE))
+                         * ln((CAST(n_rows AS DOUBLE)
+                               - CAST(t1 AS DOUBLE))
+                              / CAST(n_rows AS DOUBLE))
+                    ELSE 0.0 END
+               + CASE WHEN CAST(t1 AS DOUBLE) > 0
+                      THEN (CAST(t1 AS DOUBLE)
+                            / CAST(n_rows AS DOUBLE))
+                           * ln(CAST(t1 AS DOUBLE)
+                                / CAST(n_rows AS DOUBLE))
+                      ELSE 0.0 END) AS h_label,
+             -condsum / CAST(n_rows AS DOUBLE) AS h_cond
+      FROM pf
+    )
+    SELECT feature, n_rows, round(h_label, 6) AS h_label,
+           round(h_cond, 6) AS h_cond,
+           round(h_label - h_cond, 6) AS info_gain
+    FROM h
+    """,
+)
+def q_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of order priority and status against the
+    high-value-order label (o_totalprice > 150000)
+    (operators/regress.py::info_gain): the decision-tree split
+    ranking from ONE melted hash aggregation — melt happens in the
+    scan projection (no per-feature pass), entropy terms are
+    exact-count ratios with the 0*ln0 guard."""
+    from .operators.regress import info_gain
+
+    o = _t(spark, sf_dir, "orders")
+    return info_gain(
+        o,
+        (F.col("o_totalprice") > 150000).cast("long"),
+        ["o_orderpriority", "o_orderstatus"],
+    )
+
+
 # Deliberate registry ordering. The correctness driver checks the FIRST
 # 50 registry entries (verified: CORRECTNESS_r03's sampled set is
 # exactly round 3's first-50 insertion order), so the head of the dict
@@ -10319,11 +10738,34 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bootstrap_revenue_ci, monthly_revenue_growth,
 # seasonal_dow_adjustment, ab_conversion_ztest, readability_scores,
 # cohort_retention_triangle.
+# Round-11 batch-D rotation: IN — the seven new closed-form modeling
+# registrations (ols_price_qty_discount, pca_qty_discount_axes,
+# kl_event_type_weekend, chao1_vocab_richness, nelson_aalen_conversion,
+# acf_daily_revenue, infogain_order_features — new queries earn a
+# driver row immediately, per policy). OUT — with the window holding
+# all 25 round-11 registrations (none sampled yet, so none evictable),
+# the seven evictions come from the PINNED band's most redundantly
+# re-proved veterans: als_scores_from_saved_factors (its one-shot
+# purpose — hash-matching the ALS serving path from the committed
+# factor artifact — completed in CORRECTNESS_r10), plus ann_topk_lsh,
+# ann_topk_ivf, asof_click_view, band_join_click_error,
+# salted_bigjoin_revenue, bloom_prefilter_orders — each driver-green
+# for ≥4 rounds, each carrying a POSITIVE pytest plan pin
+# (tests/test_plan_audit.py / per-query plan tests) and re-proved by
+# every committed full-registry sf0.1 sweep, so driver visibility was
+# their third redundant gate. The scale-critical dedup/ANN spine
+# (minhash, simhash, clusters, the semantic/embedding pairs, brute +
+# pq_refined), the graph headliners, ETL, contamination/curation, and
+# part_cooccurrence_topk stay pinned.
 _DRIVER_SAMPLE_FIRST: list[str] = [
     "pricing_summary", "graph_triangle_counts", "link_prediction_parts",
     "qte_price_by_priority", "pagerank_source_authority",
     "hits_hub_authority",
-    "welch_ttest_value", "als_scores_from_saved_factors",
+    "welch_ttest_value",
+    "ols_price_qty_discount", "pca_qty_discount_axes",
+    "kl_event_type_weekend", "chao1_vocab_richness",
+    "nelson_aalen_conversion", "acf_daily_revenue",
+    "infogain_order_features",
     "odds_ratio_conversion", "ks_price_by_priority",
     "chisq_event_dow", "etl_ratings_pipeline",
     "permutation_test_revenue",
@@ -10337,9 +10779,7 @@ _DRIVER_SAMPLE_FIRST: list[str] = [
     "semantic_dedup_clusters", "brown_forsythe_values",
     "embedding_near_dup",
     "embedding_near_dup_lsh", "semantic_dedup_clusters_lsh",
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
-    "asof_click_view", "band_join_click_error",
-    "salted_bigjoin_revenue", "bloom_prefilter_orders",
+    "ann_topk_bruteforce",
     "benchmark_contamination", "corpus_curation_e2e",
     "ann_topk_pq_refined",
     "mann_kendall_monthly_revenue", "theil_sen_monthly_trend",
