@@ -537,6 +537,7 @@ def _bucket_pairs(
     bucket_cols: list[str],
     id_col: str,
     expand_width: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All within-bucket (id_a < id_b) pairs WITHOUT a self-join: one
     hash aggregation collects each bucket's sorted id list, then pure
@@ -551,12 +552,22 @@ def _bucket_pairs(
     assumption the self-join's quadratic output makes); a pathological
     mega-bucket lands in one task here, so keep bucket-size caps in the
     banding parameters — the knob both formulations share.
+
+    ``max_bucket``: drop buckets larger than this AFTER the collect —
+    for callers whose semantics cap the bucket size (basket caps), the
+    post-aggregation filter replaces a pre-aggregation count + semi-join
+    (two exchanges and a second pass over the incidence rows) with one
+    ``size(__ids)`` predicate on the already-built arrays: same rows
+    out, one aggregation total (measured r11: removed the duplicate
+    fact-distinct lineage from the co-occurrence edge build).
     """
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket)
     # ``expand_width``: AQE coalesces the reader of the (small) bucket
     # table to ONE task on byte count — blind to the Σ|bucket|² pair
     # EXPANSION that reader performs. Near-dup callers leave it None

@@ -238,8 +238,22 @@ def degree_histogram(
     )
 
 
+#: Edge-count gate for broadcasting the oriented adjacency table in
+#: :func:`triangle_counts`: the broadcast relation's payload is one long
+#: per oriented edge (plus node keys), so 4M edges ≈ 45 MB — comfortably
+#: inside executor memory while removing the edge-sized shuffle that
+#: otherwise duplicates every neighbor array per incident edge (measured
+#: 224 MB of array shuffle for a 10 MB adjacency table at sf0.1, r11
+#: profile). Above the gate the shuffle path runs unchanged — the
+#: 100 TB regime, where the adjacency is fact-sized and must partition.
+ADJ_BROADCAST_EDGES = 4_000_000
+
+
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    adj_broadcast_max_edges: int | None = ADJ_BROADCAST_EDGES,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph
     (normalized a < b edge rows): ``(node, n_triangles)`` for every
@@ -256,11 +270,22 @@ def triangle_counts(
     at its (degree, id)-minimal vertex — then exploded to credit its
     three corners.
 
+    The caller's edge subtree is ``localCheckpoint``-ed once (the
+    pagerank lesson: it feeds the degree table, the orientation join
+    and the closure, and exchange reuse cannot dedup across those
+    differently-keyed consumers), which also yields a free edge count —
+    the gate for HOW the neighbor arrays attach to edges. At or below
+    ``adj_broadcast_max_edges`` the adjacency table broadcasts (two
+    map-side joins: no array ever crosses a shuffle — the arrays exist
+    only inside the closure stage's stream); above it, arrays attach by
+    shuffle join, partitioned on the edge endpoints (the 100 TB path).
+
     Every join is an equi-join (shuffle/broadcast by key — no
     cartesian); all values are integers, so the DuckDB oracle matches
     exactly.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    m = e.count()  # free: reads the checkpointed blocks
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
@@ -302,31 +327,63 @@ def triangle_counts(
         .groupBy(F.col("u").alias("node"))
         .agg(F.sort_array(F.collect_list("v")).alias("__nbrs"))
     )
-    # Explicit stage width for the intersect/explode stage (the
-    # Pass-Join lesson, pinned there by test_plan_audit): the shuffle
-    # BYTES entering it are tiny (edge ids + array payloads compress to
-    # ~1 MB at sf0.1) so AQE coalesces it to ONE task — but the stage's
-    # WORK is the Σ|N⁺| array intersections, which AQE cannot see.
-    # Measured 6.7 s single-task vs sub-second at full width.
-    e2 = (
-        oriented.join(
-            adj.select(F.col("node").alias("u"), F.col("__nbrs").alias("__nu")),
-            "u",
+    if adj_broadcast_max_edges is not None and m <= adj_broadcast_max_edges:
+        # Broadcast attach: the adjacency payload is ~8·m bytes (one
+        # long per oriented edge) — at or below the gate that is a
+        # routine broadcast relation, and it removes the shuffle whose
+        # bytes are the arrays DUPLICATED once per incident edge (~an
+        # order of magnitude more than the adjacency itself on this
+        # graph: avg degree ≈ 2m/n copies of each array). The explicit
+        # round-robin repartition pins the closure stage's width — the
+        # oriented-edge bytes feeding it are tiny and AQE would
+        # otherwise coalesce the Σ|N⁺| intersection work to one task.
+        # (The two broadcast builds read the adjacency aggregation's
+        # one shuffle — ReusedExchange dedups the agg even though the
+        # BroadcastExchanges themselves differ by the column rename.)
+        adj_u = adj.select(
+            F.col("node").alias("u"), F.col("__nbrs").alias("__nu")
         )
-        .repartition(width, "v")
-        .join(
-            adj.select(F.col("node").alias("v"), F.col("__nbrs").alias("__nv")),
-            "v",
-            "left",  # v may have no out-edges
+        adj_v = adj.select(
+            F.col("node").alias("v"), F.col("__nbrs").alias("__nv")
         )
-        .select(
-            "u",
-            "v",
-            F.array_intersect(
-                F.col("__nu"), F.coalesce(F.col("__nv"), F.array())
-            ).alias("__common"),
+        e2 = (
+            oriented.repartition(width)
+            .join(F.broadcast(adj_u), "u")
+            .join(F.broadcast(adj_v), "v", "left")  # v may have no out-edges
+            .select(
+                "u",
+                "v",
+                F.array_intersect(
+                    F.col("__nu"), F.coalesce(F.col("__nv"), F.array())
+                ).alias("__common"),
+            )
         )
-    )
+    else:
+        adj_u = adj.select(
+            F.col("node").alias("u"), F.col("__nbrs").alias("__nu")
+        )
+        adj_v = adj.select(
+            F.col("node").alias("v"), F.col("__nbrs").alias("__nv")
+        )
+        # Shuffle attach (the 100 TB path: adjacency is fact-sized).
+        # Explicit stage width for the intersect/explode stage (the
+        # Pass-Join lesson, pinned there by test_plan_audit): the
+        # shuffle BYTES entering it are tiny so AQE coalesces it to ONE
+        # task — but the stage's WORK is the Σ|N⁺| array intersections,
+        # which AQE cannot see. Measured 6.7 s single-task vs
+        # sub-second at full width.
+        e2 = (
+            oriented.join(adj_u, "u")
+            .repartition(width, "v")
+            .join(adj_v, "v", "left")  # v may have no out-edges
+            .select(
+                "u",
+                "v",
+                F.array_intersect(
+                    F.col("__nu"), F.coalesce(F.col("__nv"), F.array())
+                ).alias("__common"),
+            )
+        )
     corners = e2.select(
         F.explode(
             F.concat(

@@ -8281,17 +8281,17 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = li.select(
         F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("p")
     ).distinct()
-    keep = (
-        inc.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("__sz"))
-        .filter((F.col("__sz") >= 2) & (F.col("__sz") <= 8))
-        .select("b")
-    )
-    kept = inc.join(keep, "b", "left_semi")
+    # The basket-size gate (2..8 parts) rides the pair expansion's OWN
+    # aggregation as a size(__ids) filter (max_bucket) instead of a
+    # count + semi-join: the r11 stage profile showed the semi-join
+    # shape re-running the fact scan + distinct twice (the two keyed
+    # consumers of `inc` defeat exchange reuse), for identical rows.
     # expand_width: the basket->pair expansion is the dense-graph case
     # AQE single-tasks on bytes (see _bucket_pairs) — pin it.
     width = spark.sparkContext.defaultParallelism
-    return dd._bucket_pairs(kept, ["b"], "p", expand_width=width).distinct()
+    return dd._bucket_pairs(
+        inc, ["b"], "p", expand_width=width, max_bucket=8
+    ).distinct()
 
 
 @register(

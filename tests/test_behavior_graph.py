@@ -78,6 +78,21 @@ def test_triangle_counts_match_bruteforce(spark):
     assert got  # the hub construction guarantees triangles exist
 
 
+def test_triangle_counts_shuffle_path_identical(spark):
+    """The r11 size gate picks HOW neighbor arrays attach to edges
+    (broadcast below the gate, shuffle join above); both paths must
+    produce identical counts. Forcing the gate to 0 exercises the
+    shuffle path that testdata-sized graphs never reach."""
+    edges = _rand_graph(13, 60, 260)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    via_shuffle = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, adj_broadcast_max_edges=0).collect()
+    }
+    assert via_shuffle == _py_triangles(edges)
+    assert via_shuffle
+
+
 def test_degree_histogram_matches_bruteforce(spark):
     edges = _rand_graph(11, 40, 120)
     df = spark.createDataFrame(edges, "src long, dst long")
