@@ -73,10 +73,17 @@ def pagerank(
         )
         .groupBy("node")
         .agg(F.max("has_in").alias("has_in"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n_nodes = stats.count()
-    n_live = stats.filter(F.col("has_in") == 1).count()
+    # ONE driver job: the two-scalar aggregate materializes the lazy
+    # checkpoint as a side effect (r11 — was three jobs: eager
+    # checkpoint, count, filtered count; the fused agg reads the same
+    # node-sized rows and returns both loop constants).
+    _row = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("has_in").alias("nl")
+    ).collect()[0]
+    n_nodes = _row["n"]
+    n_live = int(_row["nl"] or 0)
     base = 1.0 / n_nodes
     teleport = (1.0 - damping) / n_nodes
     if iterations <= 0:
