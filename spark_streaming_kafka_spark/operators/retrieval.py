@@ -431,48 +431,46 @@ def item_cooccurrence_topk(
     expansion. Baskets above ``max_basket_size`` are dropped whole
     (log-and-drop is the caller's job; retail baskets are tiny).
 
-    Scale shape: distinct incidence → basket-size filter (one agg +
-    semi-join on the basket key), materialized ONCE via a lazy
-    localCheckpoint shared by all three consumers → the
-    ``_bucket_pairs`` array expansion (one hash agg, never a
-    self-join) → symmetrize → per-item counts equi-joined on the item
-    key → lift → per-item top-k window. The basket total is one
-    bounded scalar collected at plan-BUILD time (so building this
-    DataFrame runs one Spark job, and the lift constant reflects the
-    data as of build — the documented bm25 corpus-constant trade).
+    Scale shape: distinct incidence → ONE basket-level aggregation
+    (collect sorted item arrays; the size gate is a filter on the
+    arrays), materialized once via a lazy localCheckpoint shared by
+    all three consumers → the ``_bucket_pairs``-style array expansion
+    (one explode, never a self-join) → symmetrize → per-item counts
+    (explode of the same arrays) equi-joined on the item key → lift →
+    per-item top-k window. The basket total is a plain count of the
+    checkpointed bucket rows, collected at plan-BUILD time (so
+    building this DataFrame runs one Spark job, and the lift constant
+    reflects the data as of build — the documented bm25
+    corpus-constant trade).
     Lift is one division of exact longs; ranking ties break by
     (n_ab desc, neighbor asc), so the result is engine-independent.
     """
     from pyspark.sql import Window
 
-    from .dedup import _bucket_pairs
-
     b = facts.select(
         F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
     ).distinct()
-    sizes = b.groupBy("__basket").agg(F.count(F.lit(1)).alias("__sz"))
-    keep = sizes.filter(
-        (F.col("__sz") >= 2) & (F.col("__sz") <= max_basket_size)
-    ).select("__basket")
-    # Shared materialization for the three consumers (pair expansion,
-    # item counts, basket total) WITHOUT the r9 ADVICE leak: a lazy
-    # localCheckpoint materializes once at the nb job below and serves
-    # the returned plan's two branches from its blocks — but unlike the
-    # old never-unpersisted .persist(), the blocks are freed by the
-    # ContextCleaner when the returned DataFrame is garbage-collected,
-    # not pinned in the CacheManager for the session's lifetime.
-    # (Plain exchange reuse was measured NOT to fire across these
-    # branches — the un-materialized form re-ran the distinct subtree
-    # three times, 3.2 s vs 1.5 s at sf0.1.)
-    kept = b.join(keep, "__basket", "left_semi").localCheckpoint(eager=False)
-
-    width = facts.sparkSession.sparkContext.defaultParallelism
-    pairs = (
-        _bucket_pairs(kept, ["__basket"], "__item", expand_width=width)
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+    # ONE basket-level aggregation carries the whole pipeline (r11 —
+    # was: a size pre-aggregation + semi-join back onto the incidence
+    # rows, i.e. two extra exchanges and a duplicated distinct lineage,
+    # plus a separate countDistinct job for the basket total). The
+    # basket-size gate is a size(__ids) filter on the collected arrays
+    # (identical rows: baskets outside 2..max are dropped whole), the
+    # basket total is a plain count of the checkpointed bucket rows
+    # (one row per kept basket), and per-item counts explode the same
+    # arrays. The lazy localCheckpoint materializes once at the nb job
+    # below and serves the returned plan's branches from its blocks;
+    # the ContextCleaner frees them with the DataFrame (the r9 ADVICE
+    # fix) — plain exchange reuse was measured NOT to fire across
+    # these branches.
+    buckets = (
+        b.groupBy("__basket")
+        .agg(F.sort_array(F.collect_list("__item")).alias("__ids"))
+        .filter(
+            (F.size("__ids") >= 2) & (F.size("__ids") <= max_basket_size)
+        )
+        .localCheckpoint(eager=False)
     )
-    counts = kept.groupBy("__item").agg(F.count(F.lit(1)).alias("__c"))
     # Basket total: one bounded single-scalar collect at plan-build
     # time (NOTE: building this DataFrame therefore runs one Spark job,
     # and the lift constant reflects the data as of build — the
@@ -480,7 +478,33 @@ def item_cooccurrence_topk(
     # data changes). A lazy constant-key join was tried and rejected:
     # any compile-time-constant key folds to a trivially-true condition
     # and plans the BroadcastNestedLoopJoin the suite audit bans.
-    nb = int(kept.agg(F.countDistinct("__basket")).first()[0] or 0)
+    nb = buckets.count()  # also materializes the checkpoint
+
+    # The pair expansion is _bucket_pairs' array algebra applied to the
+    # already-built buckets (one explode, never a self-join); the
+    # explicit round-robin repartition pins the expansion width AQE
+    # would otherwise coalesce away on byte count.
+    width = facts.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        buckets.repartition(width)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    counts = (
+        buckets.select(F.explode("__ids").alias("__item"))
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
 
     # Count joins run on the HALF-SIZE unordered pair table; lift is
     # symmetric, so symmetrization happens AFTER scoring by exploding a
