@@ -179,6 +179,16 @@ PIPELINE = [
     "pagerank_source_authority",  # single-lazy-query exchange-reuse loop
     "hits_hub_authority",         # fixed-iteration HITS, deferred L1 norm
     "rolling_active_users_28d",   # sliding COUNT DISTINCT via window-end explode
+    # r12 additions (same prefix-stability rule). These three are
+    # STREAMING micro-benches, not registry queries: the streaming tier
+    # (15 modules) previously had zero committed perf numbers. Each
+    # runs one bounded structured-streaming job to completion from a
+    # deterministic file source derived from the SF dir (fresh
+    # checkpoint per invocation — nothing carries between timed runs);
+    # the timed value is the full drain. See streaming/microbench.py.
+    "stream_manifest_dedup",      # two-tier incremental dedup foreachBatch loop
+    "stream_sessionization",      # applyInPandasWithState sentinel sessions
+    "stream_drift_gate",          # per-batch PSI vs fixed binned reference
 ]
 
 SUITES = {"headline": HEADLINE, "pipeline": PIPELINE}
@@ -224,9 +234,19 @@ def main() -> None:
     spark = get_spark("bench", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from spark_streaming_kafka_spark.streaming.microbench import STREAM_MICRO
+
+    def run_once(name: str) -> None:
+        if name in STREAM_MICRO:
+            STREAM_MICRO[name](spark, SF_DIR)  # bounded stream, own sink
+        else:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
     # pass 1 (unmeasured): compile/JIT every plan shape once
     for name in suite:
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        run_once(name)
 
     # passes 2-3 (measured): steady-state; report the per-query MIN so
     # one transient stall (GC pause, CPU contention from an unrelated
@@ -236,7 +256,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in suite:
-            fn = QUERIES[name]
             # drop blocks orphaned by the PREVIOUS query (iterative ops
             # localCheckpoint per round; the RDD blocks are only released
             # when Python refs die) so they can't distort this measurement
@@ -252,7 +271,7 @@ def main() -> None:
             # neighbor's heap state.
             spark._jvm.System.gc()
             t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            run_once(name)
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 

@@ -106,13 +106,25 @@ def _apply_merge(symdf: DataFrame, a: str, b: str) -> DataFrame:
     volume, dominated the job floor). The fold walks indices with a
     one-element lookahead and a ``skip`` flag, reproducing the greedy
     left-to-right semantics exactly; words shorter than 2 symbols pass
-    through untouched."""
+    through untouched.
+
+    Bound: the fold's ``array_append`` copies the accumulator per
+    element, so the pass is O(|word|²) per word — fine for
+    natural-language tokens (tens of symbols), degrading only on
+    pathological unsegmented tokens (megabyte URLs/hashes), which a
+    production vocab pass should length-cap upstream."""
     merged = a + b
     syms = F.col("syms")
 
     def step(s, i):
         cur = F.element_at(syms, i.cast("int"))
-        nxt = F.element_at(syms, (i + F.lit(1)).cast("int"))
+        # F.get is 0-based and returns NULL out of bounds, so the
+        # lookahead at i == size(syms) is safe by construction — not by
+        # And short-circuit order, which ANSI-mode element_at(i+1)
+        # relied on (r11 advisor finding: fragile against expression
+        # reordering/CSE). NULL == b is NULL, and when() treats a NULL
+        # condition as false — same branch as before.
+        nxt = F.get(syms, i.cast("int"))
         is_pair = (
             (i < F.size(syms)) & (cur == F.lit(a)) & (nxt == F.lit(b))
         )

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from ..functions.hashing import MERSENNE_P, md5_long
-from ..functions.vectors import cosine_similarity
 from .skew import fan_out
 
 # Deterministic universal-hash parameters for MinHash permutations,
@@ -553,14 +552,32 @@ def _bucket_pairs(
     mega-bucket lands in one task here, so keep bucket-size caps in the
     banding parameters — the knob both formulations share.
 
-    ``max_bucket``: drop buckets larger than this AFTER the collect —
-    for callers whose semantics cap the bucket size (basket caps), the
-    post-aggregation filter replaces a pre-aggregation count + semi-join
-    (two exchanges and a second pass over the incidence rows) with one
-    ``size(__ids)`` predicate on the already-built arrays: same rows
-    out, one aggregation total (measured r11: removed the duplicate
-    fact-distinct lineage from the co-occurrence edge build).
+    ``max_bucket``: drop buckets larger than this — still one
+    aggregation total (the r11 collapse of the pre-aggregation count +
+    semi-join, which cost two exchanges and a second pass over the
+    incidence rows), but bounded (r12): rows are truncated to
+    ``max_bucket + 1`` per bucket with a ranking window BEFORE the
+    collect, so a pathological mega-bucket (one hot basket key with
+    millions of members) never materializes its full id array in a
+    single aggregation buffer — the r11 post-collect ``size`` filter
+    built the whole array first, a single-task memory hotspot the old
+    count+semi-join shape didn't have. The truncation is exact: a
+    bucket with ≤ max_bucket rows keeps every row; a larger one keeps
+    max_bucket + 1 sentinels, enough for the post-collect size filter
+    to identify and drop it, and which ids survive truncation is
+    irrelevant for dropped buckets. Window and groupBy share one
+    hash exchange (same key); the added per-partition sort is the
+    price of the bound.
     """
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w_cap = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col).asc())
+        df = (
+            df.withColumn("__rn", F.row_number().over(w_cap))
+            .filter(F.col("__rn") <= max_bucket + 1)
+            .drop("__rn")
+        )
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
@@ -1343,17 +1360,85 @@ def embedding_near_dup_pairs(
     value (always exact).
     """
     if exact_below > 0 and emb.count() <= exact_below:
-        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        # Exact all-pairs as ONE degenerate LSH bucket (r12): the former
+        # ``id_a < id_b`` theta-join planned a BroadcastNestedLoopJoin
+        # whose stream side collapsed to a single task evaluating the
+        # O(d) cosine expression row-at-a-time over all n²/2 pairs
+        # (sf0.1: n=2000, 2M pairs — before/after numbers in
+        # OPTIMIZATION_r12.md) for work one BLAS gram matrix does in
+        # milliseconds. Routing the rows through the
+        # same chunked-gemm scorer the bucketed path uses keeps the
+        # float64 pipeline identical to the LSH path (normalize, gemm,
+        # threshold) — values equal at the registered queries' 6-digit
+        # rounding — while the chunking bounds peak memory exactly as it
+        # does per bucket. The whole corpus lands in one scorer task;
+        # that is the exact path's declared regime (the ``exact_below``
+        # gate bounds n, and O(n²) pair scoring is the semantics).
+        one = emb.select(
+            F.lit(0).alias("rot"),
+            F.lit(0).cast("long").alias("bucket"),
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+        )
         return (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cosine_similarity(F.col("v_a"), F.col("v_b")))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
+            one.groupBy("rot", "bucket")
+            .applyInPandas(
+                _gram_pair_scorer(threshold),
+                schema="id_a long, id_b long, cosine double",
+            )
         )
     return _bucketed_near_dup_pairs(
         emb, threshold, id_col, vec_col, n_planes, n_rotations, dim
     )
+
+
+def _gram_pair_scorer(thr: float):
+    """pandas scorer for within-group near-dup pairs: normalize the
+    group's vectors, one chunked BLAS gram pass, emit (id_a < id_b,
+    cosine ≥ thr). Shared by the sign-LSH bucketed path (per bucket)
+    and the exact path (one degenerate bucket). Chunked upper-triangle
+    scoring: peak memory is chunk×m doubles, not m×m — an oversized
+    group degrades to more gemm calls instead of an executor OOM
+    (near-dup pairs are sparse, so the kept-pair output stays small
+    either way)."""
+    import numpy as np
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        m = len(ids)
+        chunk = 2048
+        parts = []
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = mat[lo:hi] @ mat.T  # (hi-lo, m)
+            ia, ib = np.nonzero(sims >= thr)
+            keep = (ia + lo) < ib  # upper triangle only (a < b)
+            if keep.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia[keep] + lo],
+                            "id_b": ids[ib[keep]],
+                            "cosine": sims[ia[keep], ib[keep]],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return score
 
 
 def _bucketed_near_dup_pairs(
@@ -1411,45 +1496,6 @@ def _bucketed_near_dup_pairs(
         bucketize, schema=f"vec_id long, vec {vec_type}, rot int, bucket long"
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "cosine": pd.Series(dtype="float64"),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        mat = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        m = len(ids)
-        # Chunked upper-triangle scoring: peak memory is chunk×m doubles,
-        # not m×m — an oversized bucket degrades to more gemm calls
-        # instead of an executor OOM (near-dup pairs are sparse, so the
-        # kept-pair output stays small either way).
-        chunk = 2048
-        parts = []
-        for lo in range(0, m, chunk):
-            hi = min(lo + chunk, m)
-            sims = mat[lo:hi] @ mat.T  # (hi-lo, m)
-            ia, ib = np.nonzero(sims >= thr)
-            keep = (ia + lo) < ib  # upper triangle only (a < b)
-            if keep.any():
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[ia[keep] + lo],
-                            "id_b": ids[ib[keep]],
-                            "cosine": sims[ia[keep], ib[keep]],
-                        }
-                    )
-                )
-        return pd.concat(parts, ignore_index=True) if parts else empty
-
     # Explicit repartition before the grouped pandas stage: AQE's
     # byte-sized coalescing serializes Python workers on small inputs
     # (see similarity.lsh_cosine_topk); an explicit count is exempt.
@@ -1457,7 +1503,9 @@ def _bucketed_near_dup_pairs(
     return (
         bucketed.repartition(n_parts, "rot", "bucket")
         .groupBy("rot", "bucket")
-        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, cosine double")
+        .applyInPandas(
+            _gram_pair_scorer(thr), schema="id_a long, id_b long, cosine double"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 

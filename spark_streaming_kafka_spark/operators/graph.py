@@ -281,7 +281,10 @@ def triangle_counts(
     pagerank lesson: it feeds the degree table, the orientation join
     and the closure, and exchange reuse cannot dedup across those
     differently-keyed consumers), which also yields a free edge count —
-    the gate for HOW the neighbor arrays attach to edges. At or below
+    the gate for HOW the neighbor arrays attach to edges. Building
+    this DataFrame therefore RUNS Spark jobs (the checkpoint + count);
+    the result reflects the edge data as of build time, same
+    convention as ``retrieval.item_cooccurrence_topk``. At or below
     ``adj_broadcast_max_edges`` the adjacency table broadcasts (two
     map-side joins: no array ever crosses a shuffle — the arrays exist
     only inside the closure stage's stream); above it, arrays attach by

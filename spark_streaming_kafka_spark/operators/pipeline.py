@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_long
 from ..functions.text import quality_score
-from .curation import benchmark_contamination, mixture_sample
+from .curation import benchmark_contamination
 from .dedup import dedup_clusters, exact_dedup
 from .similarity import semdedup_prune
 
@@ -203,13 +203,36 @@ def curation_stages(
     if benchmark is None:
         benchmark = docs.filter(F.col(id_col) % 97 == 0)
 
+    # Lineage discipline (r12): composed lazily, the stage decisions
+    # NEST — stage N's plan re-evaluates every earlier stage's subtree
+    # once per consumer (s4 carries s3 twice: main side + inside the
+    # contamination aggregate; s6 carried s5 twice: the mixture gate
+    # joins survivor rows against rates computed FROM the same rows),
+    # so the shingle-explode / MinHash / quality passes each ran 2-8×
+    # in one query (the r11 e2e plan: 28 parquet scans of documents,
+    # 16 pandas-exec nodes, 90 exchanges, ZERO reused). Each small
+    # DECISION frame (ids only — bodies never checkpoint) is now
+    # ``localCheckpoint(eager=False)``-ed: every heavy pass runs
+    # exactly once (the checkpoint RDD computes within the first action
+    # that touches it — the lazy form keeps independent stage subtrees
+    # schedulable concurrently inside one job, where the eager form
+    # would serialize them as separate build-time jobs), and downstream
+    # lineage is a flat chain of checkpoint scans + small joins.
+    # dedup_clusters' connected-components gate still materializes
+    # mid-build (its documented build-time job), so the result reflects
+    # data as of build either way. Numbers: OPTIMIZATION_r12.md.
+
     # 1. exact: canonical ids only (id-keyed drop decision)
-    canon = exact_dedup(docs, text_col, id_col).select(
-        F.col("canonical_id").alias(id_col)
+    canon = (
+        exact_dedup(docs, text_col, id_col)
+        .select(F.col("canonical_id").alias(id_col))
+        .localCheckpoint(eager=False)
     )
     s1 = docs.join(F.broadcast(canon), id_col, "left_semi")
 
     # 2. near-dup clusters over survivors; keep cluster representatives
+    # (no checkpoint needed: connected_components returns either a
+    # driver-built local frame or checkpoint-materialized labels)
     clusters = dedup_clusters(
         s1, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
     )
@@ -221,6 +244,7 @@ def curation_stages(
         semdedup_prune(emb, threshold=sem_threshold)
         .filter(~F.col("keep"))
         .select(F.col("vec_id").alias(id_col))
+        .localCheckpoint(eager=False)
     )
     s3 = s2.join(F.broadcast(sem_drop), id_col, "left_anti")
 
@@ -228,9 +252,11 @@ def curation_stages(
     contam = benchmark_contamination(
         s3, benchmark, k=5, text_col=text_col, id_col=id_col
     )
-    drop4 = contam.filter(
-        F.col("contamination") >= contamination_max
-    ).select(id_col)
+    drop4 = (
+        contam.filter(F.col("contamination") >= contamination_max)
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
     s4 = s3.join(F.broadcast(drop4), id_col, "left_anti")
 
     # 5. per-source quality calibration over the survivor population
@@ -249,11 +275,41 @@ def curation_stages(
         .select(id_col, "source", text_col)
     )
 
-    # 6. temperature mixture from survivor totals
-    s6 = mixture_sample(
-        s5, token_budget=token_budget, alpha=alpha,
-        source_col="source", text_col=text_col, id_col=id_col,
-    ).select(id_col, "source", "n_tokens")
+    # 6. temperature mixture from survivor totals. The narrow survivor
+    # token frame (id, source, n_tokens) is checkpointed once and BOTH
+    # mixture consumers (the per-source rate aggregate and the per-doc
+    # hash gate) read it — ``mixture_sample(s5)`` would tokenize and
+    # re-run the whole s5 subtree (quality window included) twice. The
+    # expressions below replicate mixture_rates/mixture_sample's alpha
+    # path verbatim, so values (and the oracle hash) are unchanged;
+    # tests pin s6 ≡ mixture_sample(s5) row-for-row.
+    from ..functions.text import ws_token_count
+
+    tok5 = s5.select(
+        F.col(id_col),
+        F.col("source"),
+        ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    totals = tok5.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_available")
+    )
+    w6 = Window.partitionBy()
+    pw = F.pow(F.col("tokens_available").cast("double"), F.lit(float(alpha)))
+    rates = totals.withColumn(
+        "__budget", F.lit(float(token_budget)) * pw / F.sum(pw).over(w6)
+    ).select(
+        "source",
+        F.round(
+            F.least(F.lit(1.0), F.col("__budget") / F.col("tokens_available")),
+            6,
+        ).alias("rate"),
+    )
+    bucket = md5_long(F.concat(F.lit("mix_"), F.col(id_col))) % 1000000
+    s6 = (
+        tok5.join(F.broadcast(rates), "source")
+        .filter(bucket < F.round(F.col("rate") * 1000000, 0).cast("long"))
+        .select(id_col, "source", "n_tokens")
+    )
 
     return {
         "input": docs,

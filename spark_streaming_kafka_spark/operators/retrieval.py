@@ -463,8 +463,22 @@ def item_cooccurrence_topk(
     # the ContextCleaner frees them with the DataFrame (the r9 ADVICE
     # fix) — plain exchange reuse was measured NOT to fire across
     # these branches.
+    # r12 memory bound (the r11-advice mega-basket hole): truncate each
+    # basket to max+1 rows with a ranking window BEFORE the collect, so
+    # one pathological hot basket (a crawler account with millions of
+    # items) never materializes its full array in a single aggregation
+    # buffer. Exact: in-cap baskets keep every row; an over-cap basket
+    # keeps max+1 sentinels — enough for the size filter below to drop
+    # it whole, exactly as before. Window and groupBy share the one
+    # __basket exchange.
+    w_cap = Window.partitionBy("__basket").orderBy(F.col("__item").asc())
+    capped = (
+        b.withColumn("__rn", F.row_number().over(w_cap))
+        .filter(F.col("__rn") <= max_basket_size + 1)
+        .drop("__rn")
+    )
     buckets = (
-        b.groupBy("__basket")
+        capped.groupBy("__basket")
         .agg(F.sort_array(F.collect_list("__item")).alias("__ids"))
         .filter(
             (F.size("__ids") >= 2) & (F.size("__ids") <= max_basket_size)

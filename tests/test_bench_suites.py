@@ -21,10 +21,15 @@ def _bench():
 
 def test_bench_suites_are_registered_queries():
     from spark_streaming_kafka_spark.queries import QUERIES
+    from spark_streaming_kafka_spark.streaming.microbench import STREAM_MICRO
 
     bench = _bench()
     for suite_name, suite in bench.SUITES.items():
-        missing = [q for q in suite if q not in QUERIES]
+        # a suite entry resolves either to a registry query (noop-sink
+        # timed) or to a streaming micro-bench (full-drain timed, r12)
+        missing = [
+            q for q in suite if q not in QUERIES and q not in STREAM_MICRO
+        ]
         assert not missing, f"{suite_name} references unregistered: {missing}"
         assert len(suite) == len(set(suite)), f"{suite_name} has duplicates"
 
@@ -50,7 +55,9 @@ def test_pipeline_suite_frozen():
     """Same tripwire for the pipeline tier: the r7-r9 members are the
     comparable prefix; r10 appended two new-family representatives and
     r10 batch B three more (graph/RFM/attribution); r11 appended the
-    two iterative-graph rankers and the sliding-distinct series.
+    two iterative-graph rankers and the sliding-distinct series; r12
+    appended the three streaming micro-benches (the first measured
+    perf path for the streaming tier).
     Intentional changes update this list AND the README."""
     bench = _bench()
     assert bench.PIPELINE == [
@@ -63,4 +70,6 @@ def test_pipeline_suite_frozen():
         "attribution_u_shaped",
         "pagerank_source_authority", "hits_hub_authority",
         "rolling_active_users_28d",
+        "stream_manifest_dedup", "stream_sessionization",
+        "stream_drift_gate",
     ]

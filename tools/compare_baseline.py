@@ -4,8 +4,11 @@ Contextualizes BENCH numbers against a single-process columnar engine
 (the closest measurable stand-in for BASELINE.md, which publishes no
 numbers). Both engines run warm; DuckDB gets all threads.
 
-Usage: python tools/compare_baseline.py [sf_dir]
+Usage: python tools/compare_baseline.py [sf_dir] [--json OUT.json]
+                                        [--queries NAME ...]
 Prints one JSON line: {query: {"duckdb": s, "spark": s, "ratio": r}}.
+Default query set is the bench HEADLINE suite; ``--queries`` appends
+extra registry names (r12: the rewritten pipeline-tier queries).
 
 Reading the ratios (see README "Performance vs single-process
 baseline"): sub-100 ms DuckDB queries sit under Spark's ~0.3 s per-job
@@ -24,7 +27,18 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+_args = list(sys.argv[1:])
+JSON_OUT = None
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    del _args[i : i + 2]
+EXTRA_QUERIES: list[str] = []
+if "--queries" in _args:
+    i = _args.index("--queries")
+    EXTRA_QUERIES = _args[i + 1 :]
+    del _args[i:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.1"
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -48,7 +62,7 @@ def main() -> None:
     import gc
 
     out: dict[str, dict[str, float]] = {}
-    for name in bench.HEADLINE:
+    for name in list(bench.HEADLINE) + EXTRA_QUERIES:
         fn, sql = REGISTRY[name]
         spark.catalog.clearCache()  # release blocks orphaned upstream
         gc.collect()
@@ -69,6 +83,9 @@ def main() -> None:
             "ratio": round(s_spark / s_duck, 2) if s_duck > 0 else None,
         }
     print(json.dumps(out))
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "queries": out}, f, indent=1)
     spark.stop()
 
 
